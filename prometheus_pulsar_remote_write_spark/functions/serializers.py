@@ -1,0 +1,296 @@
+"""Wire serializers C1-C4 (see SURVEY.md §2.C).
+
+The reference ships three pluggable sample serializations
+(pkg/pulsar/serializers.go, selected at pkg/app/pulsar.go:161-191):
+
+  C1 ``json``             {"value":[<sec>,"<val-str>"],"metric":{...},
+                           "tenant_id":...}   (metric/tenant omitted if empty)
+  C2 ``json-compat``      {"labels":{...},"name":...,"tenant_id":(omit if ""),
+                           "timestamp":"RFC3339Nano","value":"<val-str>"}
+  C3 ``avro-json-compat`` the C2 shape constrained by an Avro schema:
+                           tenant_id always present (schema default ""),
+                           fields in schema order
+  C4 the shared compat deserializer (string value/timestamp parsing plus
+     the __name__ backfill)
+
+Two tiers:
+
+  * ``marshal_*`` / ``unmarshal_*`` pure-Python functions: byte-parity with
+    the Go implementation (golden vectors from serializers_test.go pass
+    verbatim). Wrapped in Arrow-batched pandas UDFs for the wire edge.
+  * ``serialize_json_expr`` and friends: pure Column expressions (JVM-side,
+    codegen'd) for the analytics catalog, where both the Spark query and
+    its DuckDB oracle apply the same formatting rules. These cover values
+    with bounded decimal precision; arbitrary doubles need the UDF tier.
+
+Note one deliberate divergence: Go's encoding/json HTML-escapes ``< > &``
+inside strings; we don't (the reference's own golden tests compare with
+JSONEq, so this never appears in its vectors).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..schema import SAMPLE_SCHEMA
+from .gofmt import (
+    go_float_str,
+    go_time_sec_str,
+    ms_from_rfc3339,
+    parse_go_float,
+    rfc3339nano_from_ms,
+)
+
+_COMPACT = {"separators": (",", ":"), "ensure_ascii": False}
+
+#: Field catalog of the default Avro schema (serializers.go:149-181);
+#: values are rendered in this declaration order by marshal_avro_json.
+AVRO_DEFAULT_FIELDS = ("timestamp", "value", "name", "labels", "tenant_id")
+
+
+# ---------------------------------------------------------------------------
+# pure-Python marshal/unmarshal (the byte-parity tier)
+# ---------------------------------------------------------------------------
+
+
+def marshal_json(timestamp_ms: int, value: float, labels: dict | None, tenant_id: str) -> str:
+    """C1: upstream-model JSON. Labels sorted (Go map marshal sorts keys)."""
+    out = [
+        '{"value":[',
+        go_time_sec_str(timestamp_ms),
+        ",",
+        json.dumps(go_float_str(value), **_COMPACT),
+        "]",
+    ]
+    if labels:
+        out.append(',"metric":')
+        out.append(json.dumps(dict(sorted(labels.items())), **_COMPACT))
+    if tenant_id:
+        out.append(',"tenant_id":')
+        out.append(json.dumps(tenant_id, **_COMPACT))
+    out.append("}")
+    return "".join(out)
+
+
+def _compat_dict(timestamp_ms: int, value: float, labels: dict | None, tenant_id: str) -> dict:
+    labels = labels or {}
+    return {
+        "timestamp": rfc3339nano_from_ms(timestamp_ms),
+        "value": go_float_str(value),
+        "name": labels.get("__name__", ""),
+        "labels": dict(sorted(labels.items())),
+    }
+
+
+def marshal_json_compat(
+    timestamp_ms: int, value: float, labels: dict | None, tenant_id: str
+) -> str:
+    """C2: legacy/compat JSON; keys sorted as Go marshals a map."""
+    data = _compat_dict(timestamp_ms, value, labels, tenant_id)
+    if tenant_id:
+        data["tenant_id"] = tenant_id
+    return json.dumps(data, sort_keys=True, **_COMPACT)
+
+
+def marshal_avro_json(
+    timestamp_ms: int, value: float, labels: dict | None, tenant_id: str
+) -> str:
+    """C3: Avro textual encoding of the compat shape, default schema.
+
+    tenant_id is always present (Avro schema default ""), fields emitted in
+    schema declaration order.
+    """
+    data = _compat_dict(timestamp_ms, value, labels, tenant_id)
+    data["tenant_id"] = tenant_id or ""
+    ordered = {k: data[k] for k in AVRO_DEFAULT_FIELDS}
+    return json.dumps(ordered, **_COMPACT)
+
+
+def unmarshal_json(payload: str) -> tuple[int, float, dict, str]:
+    """Inverse of C1."""
+    data = json.loads(payload)
+    sec, val_str = data["value"]
+    ts_ms = int(round(float(sec) * 1000))
+    return (
+        ts_ms,
+        parse_go_float(str(val_str)),
+        data.get("metric") or {},
+        data.get("tenant_id") or "",
+    )
+
+
+def unmarshal_compat(payload: str) -> tuple[int, float, dict, str]:
+    """C4: shared compat deserializer with the B6 __name__ backfill."""
+    data = json.loads(payload)
+    labels = dict(data.get("labels") or {})
+    name = data.get("name") or ""
+    if "__name__" not in labels and name:
+        labels["__name__"] = name
+    return (
+        ms_from_rfc3339(data["timestamp"]),
+        parse_go_float(str(data["value"])),
+        labels,
+        data.get("tenant_id") or "",
+    )
+
+
+MARSHALERS = {
+    "json": marshal_json,
+    "json-compat": marshal_json_compat,
+    "avro-json-compat": marshal_avro_json,
+}
+UNMARSHALERS = {
+    "json": unmarshal_json,
+    "json-compat": unmarshal_compat,
+    "avro-json-compat": unmarshal_compat,
+}
+
+
+# ---------------------------------------------------------------------------
+# Spark column API
+# ---------------------------------------------------------------------------
+
+
+def serialize_col(
+    fmt: str,
+    timestamp: Column = None,
+    value: Column = None,
+    labels: Column = None,
+    tenant_id: Column = None,
+) -> Column:
+    """Exact Go-parity serialization as an Arrow-batched pandas UDF."""
+    marshal = MARSHALERS[fmt]
+    timestamp = timestamp if timestamp is not None else F.col("timestamp")
+    value = value if value is not None else F.col("value")
+    labels = labels if labels is not None else F.col("labels")
+    tenant_id = tenant_id if tenant_id is not None else F.col("tenant_id")
+
+    @pandas_udf(T.StringType())
+    def _ser(ts: pd.Series, val: pd.Series, lbl: pd.Series, ten: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                marshal(int(t), float(v), l, x if x is not None else "")
+                for t, v, l, x in zip(ts, val, lbl, ten)
+            ]
+        )
+
+    return _ser(timestamp, value, labels, tenant_id)
+
+
+_PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("tenant_id", T.StringType()),
+    ]
+)
+
+
+def deserialize(df, fmt: str, payload_col: str = "payload", keep_cols: list[str] | None = None):
+    """Parse wire payloads back to sample rows, tolerating poison records.
+
+    Skip-bad-record semantics (B9, reference pkg/pulsar/pulsar.go:190-201):
+    a payload that fails to parse yields a null struct. Callers split the
+    output with ``filter(col('timestamp').isNotNull())`` for the good rows
+    and the complement for the DLQ. mapInPandas keeps this a narrow,
+    Arrow-batched stage.
+    """
+    unmarshal = UNMARSHALERS[fmt]
+    keep_cols = keep_cols or []
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in keep_cols] + list(_PARSED_SCHEMA.fields)
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in enumerate(pdf[payload_col]):
+                base = {c: pdf[c].iloc[i] for c in keep_cols}
+                try:
+                    ts, val, lbl, ten = unmarshal(payload)
+                    base.update(timestamp=ts, value=val, labels=lbl, tenant_id=ten)
+                except Exception:
+                    base.update(timestamp=None, value=None, labels=None, tenant_id=None)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_parse, out_schema)
+
+
+def sample_df_from_payloads(spark, payloads: list[str], fmt: str):
+    """Convenience for tests: parse payload strings into a sample DataFrame."""
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    parsed = deserialize(df, fmt)
+    return parsed.filter(F.col("timestamp").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# expression tier (JVM-side; for catalog queries with bounded-precision data)
+# ---------------------------------------------------------------------------
+
+
+def trim_zeros_expr(c: Column) -> Column:
+    """Strip a trailing zero-fraction: '12.500'->'12.5', '12.000'->'12'."""
+    return F.regexp_replace(F.regexp_replace(c, r"(\.\d*?)0+$", "$1"), r"\.$", "")
+
+
+def go_sec_expr(timestamp_ms: Column) -> Column:
+    """model.Time seconds rendering (ms/1000, shortest 'f') as an expression."""
+    dec = (timestamp_ms.cast(T.DecimalType(20, 0)) / F.lit(1000)).cast(T.DecimalType(24, 3))
+    return trim_zeros_expr(dec.cast(T.StringType()))
+
+
+def go_float_expr(value: Column, scale: int = 6) -> Column:
+    """Bounded-precision 'f'-format rendering for doubles (no exponent).
+
+    Exact for values with <= ``scale`` decimal places and |v| < 10^(38-scale);
+    arbitrary doubles (and Inf/NaN) need ``serialize_col``'s UDF tier.
+    """
+    dec = value.cast(T.DecimalType(38, scale))
+    return trim_zeros_expr(dec.cast(T.StringType()))
+
+
+def labels_json_expr(labels: Column) -> Column:
+    """Render a string map as compact sorted JSON (no escaping -- for data
+    known to be quote-free, e.g. catalog-constructed label maps)."""
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(labels)),
+                lambda e: F.concat(
+                    F.lit('"'), e["key"], F.lit('":"'), e["value"], F.lit('"')
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+
+
+def serialize_json_expr(
+    timestamp: Column, value: Column, labels: Column, tenant_id: Column
+) -> Column:
+    """C1-shaped payload as a pure expression (JVM hot path)."""
+    tenant_part = F.when(
+        F.length(tenant_id) > 0,
+        F.concat(F.lit(',"tenant_id":"'), tenant_id, F.lit('"')),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('{"value":['),
+        go_sec_expr(timestamp),
+        F.lit(',"'),
+        go_float_expr(value),
+        F.lit('"],"metric":'),
+        labels_json_expr(labels),
+        tenant_part,
+        F.lit("}"),
+    )

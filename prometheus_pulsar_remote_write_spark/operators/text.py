@@ -1,0 +1,143 @@
+"""Text-analysis operators over document tables (SURVEY.md §2.F F4).
+
+All hot-path expressions are Spark built-ins (JVM, codegen); no Python in
+the per-row path. Tokenization is whitespace-based to stay deterministic
+and engine-portable (the DuckDB oracles apply the identical expressions).
+
+Design for 100 TB: every operator is a narrow projection or a single
+hash-aggregation keyed by doc_id/lang; no collect, no cross-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small closed-class marker sets per language for the n-gram/marker
+#: language-ID heuristic. Public common stopwords.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo"],
+}
+
+#: English stopword subset used by the quality score.
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens from repeated spaces."""
+    return F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_col(text)))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    words = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
+    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(words, t)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Score: mean of (type-token ratio, non-stopword ratio, length prior)
+    -- a deterministic stand-in for a trained quality model; the Spark-side
+    and oracle-side formulas are identical.
+    """
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    n_distinct = distinct_token_count(text)
+    n_stop = stopword_count(text)
+    ttr = n_distinct.cast("double") / n_tok
+    nonstop = 1.0 - n_stop.cast("double") / n_tok
+    len_prior = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        n_stop.alias("n_stopwords"),
+        punct_count(text).alias("n_punct"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round((ttr + nonstop + len_prior) / 3.0, 4).alias("quality_score"),
+    )
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word n-grams) as an array of strings.
+
+    Expressed with sequence/transform/slice so it runs entirely JVM-side;
+    a document with fewer than k tokens yields an empty array.
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hit counts.
+
+    Ties break by a fixed language order, so results are deterministic and
+    reproducible in the oracle.
+    """
+    toks = tokens_col(F.col(text_col))
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+        )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash fingerprint from md5 nibbles of distinct tokens.
+
+    For bit i, sum +1/-1 over tokens according to whether the i-th hex
+    nibble of md5(token) is >= '8'; bit set iff the sum is positive.
+    md5 is available and byte-identical in both Spark and DuckDB, which
+    makes this near-dup fingerprint oracle-checkable.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    bit_vals = [
+        F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.substring(F.md5(t), i + 1, 1) >= "8", 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << (15 - i)),
+        ).otherwise(F.lit(0))
+        for i in range(16)
+    ]
+    total = bit_vals[0]
+    for b in bit_vals[1:]:
+        total = total + b
+    return total

@@ -1,0 +1,110 @@
+"""Canonical Spark schemas for the engine.
+
+Derived from the reference data model (see SURVEY.md §1):
+  - a Sample is (timestamp ms, value double, labels map, tenant_id string)
+    -- reference: pkg/pulsar/serializers.go:63-67 (Sample struct)
+  - the wire-ingest shape is prompb.WriteRequest: timeseries[] each with
+    labels[] (name/value structs sorted by name) and samples[]
+    -- reference: pkg/app/produce.go:187-204 (protoToSamples)
+
+The metric name is NOT a separate column: name == labels['__name__']
+(reference pkg/pulsar/serializers.go:73-74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: One time-series sample; the unit of data end-to-end.
+#: timestamp is epoch MILLISECONDS (Go model.Time), not micro/nano.
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("tenant_id", T.StringType(), False),  # "" default
+    ]
+)
+
+#: prompb.Label
+LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+    ]
+)
+
+#: prompb.Sample (note field order: value then timestamp, as in the proto)
+PROTO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("timestamp", T.LongType(), False),
+    ]
+)
+
+#: prompb.TimeSeries
+TIMESERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("labels", T.ArrayType(LABEL_SCHEMA), False),
+        T.StructField("samples", T.ArrayType(PROTO_SAMPLE_SCHEMA), False),
+    ]
+)
+
+#: prompb.WriteRequest -- the nested/batched ingest shape.
+WRITE_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("timeseries", T.ArrayType(TIMESERIES_SCHEMA), False),
+    ]
+)
+
+#: A WriteRequest wrapped with the HTTP-edge context the produce path sees:
+#: auth-derived tenant inputs (reference pkg/context/handlers.go:29-40).
+HTTP_WRITE_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("basic_auth_user", T.StringType(), True),
+        T.StructField("x_scope_orgid", T.StringType(), True),
+        T.StructField("timeseries", T.ArrayType(TIMESERIES_SCHEMA), False),
+    ]
+)
+
+#: Serialized wire message (what a Pulsar message carries): the partition
+#: key (reference pkg/pulsar/serializers.go:91-114) plus the payload.
+WIRE_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("payload", T.StringType(), False),
+    ]
+)
+
+#: Default replica labels excluded from the partition key
+#: (reference pkg/app/produce.go:49-50).
+DEFAULT_REPLICA_LABELS = ["__replica__"]
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+    """Load the driver-generated parquet tables as DataFrames.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps full pushdown/pruning;
+    no caching here -- callers decide what to persist.
+    """
+    names = names or TESTDATA_TABLES
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def register_views(spark, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register the testdata tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

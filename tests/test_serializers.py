@@ -1,0 +1,180 @@
+"""Golden-byte parity with the reference serializers.
+
+Every vector below is verbatim from reference
+pkg/pulsar/serializers_test.go (cited per case). The reference asserts with
+JSONEq (order-insensitive); we assert byte-equality against the canonical
+key order our marshalers emit, plus JSON-level equality with the golden
+bytes, which is strictly stronger than the reference's own check.
+"""
+
+import json
+import math
+
+from prometheus_pulsar_remote_write_spark.functions.serializers import (
+    marshal_avro_json,
+    marshal_json,
+    marshal_json_compat,
+    unmarshal_compat,
+    unmarshal_json,
+)
+
+# (timestamp_ms, value, labels, tenant) fixtures: serializers_test.go:11-37
+_LABELS = (("__name__", "foo"), ("labelfoo", "label-bar"))
+NORMAL = (0, 456.0, _LABELS, "")
+INF = (10001, math.inf, _LABELS, "")
+TENANT = (0, 456.0, _LABELS, "fake")
+
+GOLDEN_JSON = {
+    # serializers_test.go:50-60
+    NORMAL: '{"value":[0,"456"],"metric":{"__name__":"foo","labelfoo":"label-bar"}}',
+    INF: '{"value":[10.001,"+Inf"],"metric":{"__name__":"foo","labelfoo":"label-bar"}}',
+    TENANT: '{"value":[0,"456"],"metric":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":"fake"}',
+}
+
+GOLDEN_COMPAT = {
+    # serializers_test.go:151-164
+    NORMAL: '{"value":"456","timestamp":"1970-01-01T00:00:00Z","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"}}',
+    INF: '{"value":"+Inf","timestamp":"1970-01-01T00:00:10.001Z","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"}}',
+    TENANT: '{"value":"456","timestamp":"1970-01-01T00:00:00Z","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":"fake"}',
+}
+
+# serializers_test.go:198-223 (tenant_id always present, default "").
+# The reference asserts JSONEq only; byte order below is Avro schema
+# declaration order (timestamp, value, name, labels, tenant_id), which is
+# what goavro's TextualFromNative and our marshaler emit.
+GOLDEN_AVRO = {
+    NORMAL: '{"timestamp":"1970-01-01T00:00:00Z","value":"456","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":""}',
+    INF: '{"timestamp":"1970-01-01T00:00:10.001Z","value":"+Inf","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":""}',
+    TENANT: '{"timestamp":"1970-01-01T00:00:00Z","value":"456","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":"fake"}',
+}
+
+# legacy unmarshal vectors: serializers_test.go:110-140
+LEGACY_UNMARSHAL = [
+    (
+        '{"value":"456","timestamp":"1970-01-01T00:00:00Z","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":""}',
+        NORMAL,
+    ),
+    (  # __name__ missing in labels -> backfilled from name (B6)
+        '{"value":"456","timestamp":"1970-01-01T00:00:00Z","name":"foo","labels":{"labelfoo":"label-bar"}}',
+        NORMAL,
+    ),
+    (  # name missing entirely
+        '{"value":"456","timestamp":"1970-01-01T00:00:00Z","labels":{"__name__":"foo","labelfoo":"label-bar"}}',
+        NORMAL,
+    ),
+    (
+        '{"value":"+Inf","timestamp":"1970-01-01T00:00:10.001Z","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":""}',
+        INF,
+    ),
+    (
+        '{"value":"456","timestamp":"1970-01-01T00:00:00Z","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":"fake"}',
+        TENANT,
+    ),
+]
+
+
+def _freeze(sample):
+    ts, val, labels, tenant = sample
+    return (ts, val, tuple(sorted(labels.items())), tenant)
+
+
+def test_marshal_json_golden():
+    for sample, expected in GOLDEN_JSON.items():
+        actual = marshal_json(*sample[:2], dict(sample[2]), sample[3])
+        assert json.loads(actual) == json.loads(expected)
+        assert actual == expected  # byte parity (Go sorts map keys too)
+
+
+def test_marshal_json_compat_golden():
+    for sample, expected in GOLDEN_COMPAT.items():
+        actual = marshal_json_compat(*sample[:2], dict(sample[2]), sample[3])
+        assert json.loads(actual) == json.loads(expected)
+
+
+def test_marshal_avro_golden():
+    for sample, expected in GOLDEN_AVRO.items():
+        actual = marshal_avro_json(*sample[:2], dict(sample[2]), sample[3])
+        assert json.loads(actual) == json.loads(expected)
+        assert actual == expected  # schema declaration order
+
+
+def test_unmarshal_json_roundtrip():
+    for sample, payload in GOLDEN_JSON.items():
+        ts, val, labels, tenant = unmarshal_json(payload)
+        assert _freeze((ts, val, labels, tenant)) == _freeze(
+            (sample[0], sample[1], dict(sample[2]), sample[3])
+        )
+
+
+def test_unmarshal_compat_legacy_vectors():
+    for payload, expected in LEGACY_UNMARSHAL:
+        ts, val, labels, tenant = unmarshal_compat(payload)
+        assert _freeze((ts, val, labels, tenant)) == _freeze(
+            (expected[0], expected[1], dict(expected[2]), expected[3])
+        )
+
+
+def test_empty_metric_and_tenant_omitted():
+    # json.Marshal omitempty: empty labels map and "" tenant are dropped (C1)
+    assert marshal_json(0, 1.0, {}, "") == '{"value":[0,"1"]}'
+    assert marshal_json(0, 1.0, None, "") == '{"value":[0,"1"]}'
+
+
+def test_serialize_col_spark(spark):
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        deserialize,
+        serialize_col,
+    )
+
+    rows = [
+        (0, 456.0, {"__name__": "foo", "labelfoo": "label-bar"}, ""),
+        (10001, math.inf, {"__name__": "foo", "labelfoo": "label-bar"}, ""),
+        (0, 456.0, {"__name__": "foo", "labelfoo": "label-bar"}, "fake"),
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp long, value double, labels map<string,string>, tenant_id string"
+    )
+    for fmt, golden in [("json", GOLDEN_JSON), ("json-compat", GOLDEN_COMPAT), ("avro-json-compat", GOLDEN_AVRO)]:
+        payloads = [r[0] for r in df.select(serialize_col(fmt)).collect()]
+        for payload, expected in zip(payloads, [golden[NORMAL], golden[INF], golden[TENANT]]):
+            assert json.loads(payload) == json.loads(expected)
+
+    # round-trip through the deserializer, plus one poison record (B9)
+    payload_df = df.select(serialize_col("json-compat").alias("payload")).union(
+        spark.createDataFrame([("{not json",)], "payload string")
+    )
+    parsed = deserialize(payload_df, "json-compat")
+    good = parsed.filter(F.col("timestamp").isNotNull()).collect()
+    bad = parsed.filter(F.col("timestamp").isNull()).collect()
+    assert len(good) == 3 and len(bad) == 1
+    got = {(r.timestamp, r.tenant_id) for r in good}
+    assert got == {(0, ""), (10001, ""), (0, "fake")}
+
+
+def test_serialize_json_expr_matches_udf(spark):
+    """The JVM expression tier agrees with the byte-parity tier on
+    bounded-precision data (the catalog's operating envelope)."""
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        serialize_col,
+        serialize_json_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1704067798778, 185.22, {"__name__": "error", "k": "87"}, "13"),
+        (0, 456.0, {"__name__": "foo", "labelfoo": "label-bar"}, ""),
+        (1000, 0.25, {"a": "b"}, "t1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp long, value double, labels map<string,string>, tenant_id string"
+    )
+    out = df.select(
+        serialize_col("json").alias("exact"),
+        serialize_json_expr(
+            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+        ).alias("expr"),
+    ).collect()
+    for r in out:
+        assert r.exact == r.expr
