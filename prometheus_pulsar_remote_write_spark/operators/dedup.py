@@ -1,0 +1,134 @@
+"""Deduplication operators (SURVEY.md §2.F F1/F2).
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard -- all
+expressed as DataFrame ops so Catalyst plans them (hash-aggregate with
+partial/final phases, broadcast where small).
+
+Scale notes (100 TB):
+  - exact dedup is one hash-shuffle on the dedup key; use a digest column
+    (md5/xxhash64 of the payload) as the key so the shuffle moves 16-32
+    bytes/row instead of whole documents.
+  - MinHash LSH replaces the O(n^2) pairwise scan with an equi-join on
+    band buckets: explode(docs x bands) -> shuffle on (band, bucket) ->
+    within-bucket pairs. Bucket sizes are bounded by signature quality;
+    skewed buckets (boilerplate dups) are exactly the rows you want out.
+  - hashes are md5-based so results are engine-portable (the DuckDB
+    oracle computes the identical signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles_col, tokens_col
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep exactly one row per key, deterministically (lowest order_cols).
+
+    row_number over (key, order) rather than dropDuplicates: dropDuplicates
+    keeps an *arbitrary* row per key, which is irreproducible across runs
+    and engines. One shuffle on key_cols either way.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature_cols(text: Column, num_hashes: int, shingle_k: int = 3) -> list[Column]:
+    """MinHash signature: per seed i, min over shingles of md5(i || shingle).
+
+    Lexicographic min over md5 hex strings is a uniform min-hash (md5 is
+    uniform on hex strings); string-min keeps the whole computation inside
+    Spark built-ins AND makes it reproducible in ANSI SQL oracles.
+    """
+    shingles = shingles_col(text, shingle_k)
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle_k: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), *minhash_signature_cols(F.col(text_col), num_hashes, shingle_k)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Unpivots each doc into `bands` (band_id, bucket) rows, then self-joins
+    on the bucket -- an equi-join Catalyst executes as a shuffled hash
+    join on (band_id, bucket); no O(n^2) comparison ever materializes.
+    """
+    mh_cols = [c for c in signatures.columns if c.startswith("mh")]
+    assert len(mh_cols) >= bands * rows_per_band
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("band")
+    ).select(id_col, "band.band_id", "band.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band_id") == F.col(f"r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Joins each side's distinct shingle set, computes |A ∩ B| / |A ∪ B| via
+    array built-ins. Run it on LSH candidates, never on the full cross
+    product.
+    """
+    sets = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    return (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

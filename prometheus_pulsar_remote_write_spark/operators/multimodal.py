@@ -1,0 +1,107 @@
+"""Multimodal column plumbing (SURVEY.md §2.F F5).
+
+Image/audio/video ride as opaque ``binary`` columns with a typed metadata
+struct alongside. The Spark-side machinery -- schema, Arrow batching
+through mapInPandas, partition-friendly layout -- is real and tested; the
+actual media decode is stubbed (no image/audio libraries in this
+container) behind ``decode_media``:
+
+  - ``fake=True`` (default): a deterministic fake decoder that derives
+    width/height/duration from the payload bytes, so pipelines and tests
+    exercise the full path reproducibly.
+  - ``fake=False``: raises NotImplementedError where a real
+    PIL/ffmpeg/soundfile call would go.
+
+At 100 TB the binary payloads dominate I/O: keep them in their own
+parquet column (never a join key), filter on the metadata struct first so
+column pruning skips payload pages for rows the query rejects.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.StringType(), False),
+    ]
+)
+
+DECODED_FIELDS = [
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("decode_status", T.StringType(), True),
+]
+
+
+def attach_media(df: DataFrame, payload_expr, media_type: str = "image/png") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    ``payload_expr`` is any Column producing binary (in tests: encode(text)
+    as a deterministic stand-in for real media bytes).
+    """
+    payload = payload_expr.cast("binary")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(F.col("media")).cast("long").alias("n_bytes"),
+            F.md5(F.col("media")).alias("checksum"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake 'decode': dimensions derived from content bytes."""
+    n = len(payload)
+    width = 16 + (payload[0] if n else 0)
+    height = 16 + (payload[-1] if n else 0)
+    duration = n * 10
+    return width, height, duration
+
+
+def decode_media(
+    df: DataFrame, payload_col: str = "media", fake: bool = True, batch_hint: int = 0
+) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    The UDF signature, output schema, and batch shape are exactly what a
+    real decoder needs; only the per-payload body is stubbed. Narrow stage:
+    scales with input partitions, no shuffle.
+    """
+    keep_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(keep_fields + DECODED_FIELDS)
+    keep = [f.name for f in keep_fields]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            widths, heights, durations, statuses = [], [], [], []
+            for payload in pdf[payload_col]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decode needs PIL/ffmpeg/soundfile -- not in "
+                        "this container; run with fake=True"
+                    )
+                try:
+                    w, h, d = _fake_decode(bytes(payload))
+                    widths.append(w), heights.append(h), durations.append(d)
+                    statuses.append("ok")
+                except Exception as exc:
+                    widths.append(None), heights.append(None), durations.append(None)
+                    statuses.append(f"error: {exc}")
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["duration_ms"] = pd.array(durations, dtype="Int64")
+            out["decode_status"] = statuses
+            yield out
+
+    return df.mapInPandas(_decode, out_schema)

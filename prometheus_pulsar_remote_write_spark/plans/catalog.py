@@ -1,0 +1,27 @@
+"""Aggregated query catalog: every operator surface from SURVEY.md §2
+with its DuckDB oracle (where ANSI-SQL-expressible).
+
+Sections:
+  relational -- §2.F F6 joins/aggs/windows/setops/scalars over TPC-H-ish
+  events     -- §2.F F7 batch equivalents of the streaming windows
+  pipeline   -- §2.B/C/D produce & consume path semantics as batch queries
+  docs       -- §2.F F1/F2/F4/F5 dedup, text analysis, multimodal
+  vectors    -- §2.F F3 similarity search
+"""
+
+from __future__ import annotations
+
+from . import docs_vectors, events_batch, pipeline, relational
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+for module in (relational, events_batch, pipeline, docs_vectors):
+    QUERIES.update(module.QUERIES)
+    ORACLES.update(module.ORACLES)
+
+
+def flagship(spark, sf_dir):
+    """Produce-pipeline flagship (filled by plans.pipeline; placeholder is
+    the densest relational query until then)."""
+    return relational.q1_pricing_summary(spark, sf_dir)

@@ -1,0 +1,325 @@
+"""Documents + embeddings surface (SURVEY.md §2.F F1-F5): exact dedup,
+MinHash LSH near-dup, SimHash, text analysis, language ID, similarity
+search, multimodal plumbing.
+
+Hash-dependent operators use md5 (byte-identical in Spark and DuckDB), so
+even MinHash/SimHash get full value-level oracles. The only rows-only
+entries are emb_ivf_topk (approximate path; recall vs the exact baseline
+is pytest-asserted) and produce_partition_key (FNV, in plans.pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from ..operators.similarity import cosine_topk, ivf_topk
+from ..operators.text import (
+    LANG_MARKERS,
+    language_id,
+    quality_features,
+    simhash16,
+    tokens_col,
+)
+from ..schema import load_tables
+
+_TOKS_SQL = """
+  SELECT doc_id, lang, source, n_chars, text,
+         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM documents
+"""
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> array_to_string(tk[i:i+2], ' ')))
+         END AS shingles
+  FROM ({_TOKS_SQL})
+"""
+
+N_MINHASH = 8
+_SIGS_SQL = f"""
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(N_MINHASH))}
+  FROM ({_SHINGLES_SQL})
+  WHERE len(shingles) > 0
+"""
+
+
+# --- F1: exact dedup ---------------------------------------------------------
+
+
+def docs_exact_dedup(spark, sf_dir):
+    """Exact dedup on a content fingerprint (md5 of the 5-token prefix) --
+    catches identical-prefix near-dup families deterministically."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    keyed = docs.withColumn(
+        "prefix_key", F.md5(F.array_join(F.slice(tokens_col(F.col("text")), 1, 5), " "))
+    )
+    return exact_dedup(keyed, ["prefix_key"], ["doc_id"]).select(
+        "prefix_key", "doc_id", "lang", "n_chars"
+    )
+
+
+DOCS_DEDUP_SQL = f"""
+SELECT prefix_key, doc_id, lang, n_chars
+FROM (
+  SELECT md5(array_to_string(tk[1:5], ' ')) AS prefix_key, doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY md5(array_to_string(tk[1:5], ' '))
+                            ORDER BY doc_id) AS rn
+  FROM ({_TOKS_SQL})
+) WHERE rn = 1
+"""
+
+
+# --- F4: text analysis ---------------------------------------------------------
+
+
+def docs_token_stats(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return quality_features(docs)
+
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(tk)                                   AS n_tokens,
+       len(list_distinct(tk))                    AS n_distinct,
+       len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t)))
+                                                 AS n_stopwords,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                                                 AS n_punct,
+       round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS type_token_ratio,
+       round((len(list_distinct(tk))::DOUBLE / len(tk)
+              + 1.0 - len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / len(tk)
+              + least(length(text)::DOUBLE / 200.0, 1.0)) / 3.0, 4) AS quality_score
+FROM ({_TOKS_SQL})
+"""
+
+
+def docs_lang_profile(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens_col(F.col("text")))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+LANG_PROFILE_SQL = f"""
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(tk)), 4) AS avg_tokens, count(DISTINCT source) AS n_sources
+FROM ({_TOKS_SQL}) GROUP BY lang
+"""
+
+
+def docs_language_id(spark, sf_dir):
+    """Marker-based language ID vs the labeled lang column."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return language_id(docs).groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _langid_sql() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(tk, t -> list_contains(["
+        + ",".join(f"'{m}'" for m in markers)
+        + f"], t))) AS score_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {score_cols} FROM ({_TOKS_SQL}))
+SELECT lang, {case} AS predicted_lang, count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+# --- F2: near-dup dedup ----------------------------------------------------------
+
+
+def docs_minhash_signatures(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sigs = minhash_signatures(docs, num_hashes=N_MINHASH)
+    # docs shorter than the shingle width have no signature
+    return sigs.filter(F.col("mh0").isNotNull())
+
+
+MINHASH_SQL = f"SELECT * FROM ({_SIGS_SQL})"
+
+
+def docs_neardup_pairs(spark, sf_dir):
+    """Banded MinHash LSH candidates filtered by exact shingle Jaccard."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sigs = minhash_signatures(docs, num_hashes=N_MINHASH).filter(
+        F.col("mh0").isNotNull()
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    scored = ngram_jaccard_pairs(docs, pairs)
+    return scored.filter(F.col("jaccard") >= 0.7)
+
+
+NEARDUP_SQL = f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, mh{2*b} || '|' || mh{2*b+1} AS bucket FROM sigs" for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sh AS ({_SHINGLES_SQL})
+SELECT id_a, id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+"""
+
+
+def docs_simhash16(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(dtk, t -> substr(md5(t), {i + 1}, 1) >= '8'))"
+        f" - len(dtk) > 0 THEN {1 << (15 - i)} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+SELECT doc_id, {terms} AS simhash
+FROM (SELECT doc_id, list_distinct(tk) AS dtk FROM ({_TOKS_SQL}))
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# --- F3: similarity search --------------------------------------------------------
+
+
+def emb_cosine_topk(spark, sf_dir):
+    """Exact top-3 cosine neighbours for the first 5 vectors (brute force)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=3)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, match_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)
+             AS cosine
+  FROM q JOIN c ON match_id <> query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def emb_ivf_topk(spark, sf_dir):
+    """IVF approximate top-3 (rows-only: the scale path; recall vs the
+    exact baseline is asserted in tests/test_similarity.py)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3)
+
+
+# --- F5: multimodal ------------------------------------------------------------------
+
+
+def multimodal_meta(spark, sf_dir):
+    """Binary media column + typed metadata + fake decode, joined with the
+    embedding table: the full multimodal row shape minus real codecs."""
+    docs, emb = (
+        load_tables(spark, sf_dir, ["documents", "embeddings"])[t]
+        for t in ("documents", "embeddings")
+    )
+    with_media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "UTF-8"), media_type="image/png"
+    )
+    decoded = multimodal.decode_media(with_media)
+    return (
+        decoded.join(emb, decoded.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("media_meta.media_type").alias("media_type"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("media_meta.checksum").alias("checksum"),
+            "width",
+            "height",
+            "duration_ms",
+            F.size("embedding").alias("dim"),
+            "label",
+        )
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id, lang,
+       'image/png'                                   AS media_type,
+       octet_length(encode(text))                    AS n_bytes,
+       md5(text)                                     AS checksum,
+       16 + ascii(substr(text, 1, 1))                AS width,
+       16 + ascii(substr(text, length(text), 1))     AS height,
+       octet_length(encode(text)) * 10               AS duration_ms,
+       len(embedding)                                AS dim,
+       label
+FROM documents JOIN embeddings ON doc_id = vec_id
+"""
+
+
+QUERIES = {
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_token_stats": docs_token_stats,
+    "docs_lang_profile": docs_lang_profile,
+    "docs_language_id": docs_language_id,
+    "docs_minhash_signatures": docs_minhash_signatures,
+    "docs_neardup_pairs": docs_neardup_pairs,
+    "docs_simhash16": docs_simhash16,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_ivf_topk": emb_ivf_topk,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES = {
+    "docs_exact_dedup": DOCS_DEDUP_SQL,
+    "docs_token_stats": TOKEN_STATS_SQL,
+    "docs_lang_profile": LANG_PROFILE_SQL,
+    "docs_language_id": LANGID_SQL,
+    "docs_minhash_signatures": MINHASH_SQL,
+    "docs_neardup_pairs": NEARDUP_SQL,
+    "docs_simhash16": SIMHASH_SQL,
+    "emb_cosine_topk": COSINE_TOPK_SQL,
+    # emb_ivf_topk: rows-only (approximate path)
+    "multimodal_meta": MULTIMODAL_SQL,
+}

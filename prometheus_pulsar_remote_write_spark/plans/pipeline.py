@@ -1,0 +1,189 @@
+"""The reference's produce/consume dataflow as oracle-checkable batch queries.
+
+`events` stands in for the sample stream (FIXTURES.md §4): ts -> timestamp
+(epoch ms), value -> value, {__name__: event_type, k: props.k,
+user: user_id} -> labels, user_id % 10 -> tenant_id.
+
+Coverage map (SURVEY.md §2):
+  produce_flatten        B1 flatten (via nest->flatten round-trip so the
+                         multiset identity is the oracle check)
+  produce_serialize_json C1 serialization, expression tier
+  produce_partition_key  B7+B8 (exact FNV-1; rows-only -- FNV isn't
+                         ANSI-SQL; byte-parity is pytest-verified instead)
+  consume_sorted_labels  B3 label sort
+  consume_batching       D1 size-trigger batching shape (count trigger,
+                         deterministic batch ids per tenant)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.fnv import partition_key_col
+from ..functions.serializers import serialize_json_expr
+from ..operators.flatten import flatten_write_requests, nest_samples, sorted_label_entries
+from ..schema import load_tables
+
+#: shared event->sample projection (the A1+B4 edge in batch form)
+def samples_from_events(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.select(
+        (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
+            "timestamp"
+        ),
+        F.col("value"),
+        F.create_map(
+            F.lit("__name__"), F.col("event_type"),
+            F.lit("k"), F.get_json_object("props", "$.k"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("labels"),
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        F.col("event_id"),
+    )
+
+
+_SAMPLES_SQL = """
+  SELECT epoch_ms(ts) AS timestamp, value,
+         event_type, json_extract_string(props, '$.k') AS k,
+         user_id::VARCHAR AS user_str,
+         (user_id % 10)::VARCHAR AS tenant_id,
+         event_id
+  FROM events
+"""
+
+
+def produce_flatten(spark, sf_dir):
+    """Nest samples into per-tenant WriteRequests (B2), flatten back (B1).
+
+    The round-trip is the multiset identity, so the oracle is the direct
+    projection -- this checks explode/map_from_entries/collect_list
+    semantics end to end.
+    """
+    samples = samples_from_events(spark, sf_dir).drop("event_id")
+    nested = nest_samples(samples, ["tenant_id"])
+    flat = flatten_write_requests(nested, ["tenant_id"])
+    return flat.select(
+        "timestamp",
+        "value",
+        F.col("labels")["__name__"].alias("name"),
+        F.col("labels")["k"].alias("k"),
+        "tenant_id",
+    )
+
+
+PRODUCE_FLATTEN_SQL = f"""
+SELECT timestamp, value, event_type AS name, k, tenant_id
+FROM ({_SAMPLES_SQL})
+"""
+
+
+def produce_serialize_json(spark, sf_dir):
+    """C1 wire payloads (expression tier) keyed by tenant."""
+    samples = samples_from_events(spark, sf_dir)
+    return samples.select(
+        "event_id",
+        "tenant_id",
+        serialize_json_expr(
+            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+        ).alias("payload"),
+    )
+
+
+# label keys sort as __name__ < k < user (byte order); tenant_id is never
+# empty here so the tenant clause is always present.
+PRODUCE_SERIALIZE_SQL = f"""
+SELECT event_id, tenant_id,
+       '{{"value":[' ||
+       regexp_replace(regexp_replace(
+           CAST(CAST(timestamp AS DECIMAL(20,0)) / 1000 AS DECIMAL(24,3))::VARCHAR,
+           '(\\.\\d*?)0+$', '\\1'), '\\.$', '') ||
+       ',"' ||
+       regexp_replace(regexp_replace(
+           CAST(value AS DECIMAL(38,6))::VARCHAR,
+           '(\\.\\d*?)0+$', '\\1'), '\\.$', '') ||
+       '"],"metric":{{' ||
+       '"__name__":"' || event_type || '","k":"' || k || '","user":"' || user_str || '"' ||
+       '}},"tenant_id":"' || tenant_id || '"}}' AS payload
+FROM ({_SAMPLES_SQL})
+"""
+
+
+def produce_partition_key(spark, sf_dir):
+    """B7+B8: exact FNV-1 64 partition key (rows-only; pytest golden-checks
+    byte parity against the pure-Python reference implementation)."""
+    samples = samples_from_events(spark, sf_dir)
+    return samples.select(
+        "event_id",
+        partition_key_col(F.col("labels"), F.col("tenant_id")).alias("key"),
+    )
+
+
+def consume_sorted_labels(spark, sf_dir):
+    """B3: labels map -> name-sorted (name,value) entries, rendered as a
+    canonical string so the oracle can rebuild it."""
+    samples = samples_from_events(spark, sf_dir)
+    return samples.select(
+        "event_id",
+        F.array_join(
+            F.transform(
+                sorted_label_entries(F.col("labels")),
+                lambda e: F.concat_ws("=", e["name"], e["value"]),
+            ),
+            ",",
+        ).alias("sorted_labels"),
+    )
+
+
+CONSUME_SORTED_SQL = f"""
+SELECT event_id,
+       '__name__=' || event_type || ',k=' || k || ',user=' || user_str AS sorted_labels
+FROM ({_SAMPLES_SQL})
+"""
+
+
+def consume_batching(spark, sf_dir, batch_size: int = 100):
+    """D1 size-trigger shape: deterministic batch ids per tenant (arrival
+    order = event time, tiebreak event_id), batch stats per flush."""
+    samples = samples_from_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tenant_id").orderBy("timestamp", "event_id")
+    batched = samples.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+    )
+    return batched.groupBy("tenant_id", "batch_id").agg(
+        F.count("*").alias("n_samples"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+        F.round(F.sum("value"), 2).alias("batch_value"),
+    )
+
+
+CONSUME_BATCHING_SQL = f"""
+WITH numbered AS (
+  SELECT *, (row_number() OVER (PARTITION BY tenant_id ORDER BY timestamp, event_id) - 1) // 100
+            AS batch_id
+  FROM ({_SAMPLES_SQL})
+)
+SELECT tenant_id, batch_id, count(*) AS n_samples,
+       min(timestamp) AS first_ts, max(timestamp) AS last_ts,
+       round(sum(value), 2) AS batch_value
+FROM numbered GROUP BY tenant_id, batch_id
+"""
+
+
+QUERIES = {
+    "produce_flatten": produce_flatten,
+    "produce_serialize_json": produce_serialize_json,
+    "produce_partition_key": produce_partition_key,
+    "consume_sorted_labels": consume_sorted_labels,
+    "consume_batching": consume_batching,
+}
+
+ORACLES = {
+    "produce_flatten": PRODUCE_FLATTEN_SQL,
+    "produce_serialize_json": PRODUCE_SERIALIZE_SQL,
+    # produce_partition_key: rows-only (FNV-1 not expressible in ANSI SQL)
+    "consume_sorted_labels": CONSUME_SORTED_SQL,
+    "consume_batching": CONSUME_BATCHING_SQL,
+}

@@ -1,0 +1,526 @@
+"""Relational core (SURVEY.md §2.F F6): joins, aggregation, grouping sets,
+windows, sorts/top-k, set ops, scalar functions -- over the TPC-H-ish tables.
+
+Conventions shared with the DuckDB oracles:
+  - money aggregates rounded to 2 decimals, averages to 4-6, so double
+    summation-order differences across engines can't flip the hash;
+  - every LIMIT carries a total tiebreak order;
+  - timestamps leave queries as 'yyyy-MM-dd' strings or epoch BIGINTs.
+
+Plan shape notes (the 100 TB story):
+  - dimension joins (region/nation/customer/supplier/part) are broadcast:
+    at any realistic scale these stay far below the broadcast threshold
+    next to lineitem/orders, so Catalyst picks BHJ -- no shuffle of the
+    fact side; the explicit F.broadcast hints pin that choice.
+  - aggregations are partial+final hash aggregates by construction
+    (groupBy over built-in aggs); AQE coalesces post-shuffle partitions.
+  - top-k = orderBy+limit compiles to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    region, nation, cust, supp, orders, li = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    dims = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    cust, orders, li, nation = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .withColumn("c_acctbal", F.round("c_acctbal", 2))
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- joins: semi / anti -------------------------------------------------------
+
+
+def semi_join_high_quantity(spark, sf_dir):
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    big = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SEMI_SQL = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+"""
+
+
+def anti_join_customers_no_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- grouping sets -----------------------------------------------------------
+
+
+def rollup_order_counts(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def cube_lineitem_flags(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# --- windows ----------------------------------------------------------------
+
+
+def window_top3_orders_per_segment(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment", "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "rank",
+        )
+    )
+
+
+WINDOW_TOP3_SQL = """
+SELECT c_mktsegment, o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, rank
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+def window_running_revenue(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ).alias("order_seq"),
+        )
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS order_seq
+FROM orders
+WHERE o_custkey <= 100
+"""
+
+
+# --- sort / top-k ------------------------------------------------------------
+
+
+def top_parts_by_retailprice(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(15)
+        .select("p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+TOPK_SQL = """
+SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 15
+"""
+
+
+# --- set operations -----------------------------------------------------------
+
+
+def setop_nation_coverage(spark, sf_dir):
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    c_nations = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s_nations = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c_nations.intersect(s_nations).withColumn("coverage", F.lit("both"))
+    cust_only = c_nations.exceptAll(s_nations).withColumn("coverage", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+SETOP_SQL = """
+SELECT nationkey, 'both' AS coverage
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS coverage
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# --- scalar functions ----------------------------------------------------------
+
+
+def scalar_functions_showcase(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.floor(F.col("p_retailprice")).alias("price_floor"),
+        F.ceil(F.col("p_retailprice")).alias("price_ceil"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("price_sqrt"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+    )
+
+
+SCALAR_SQL = """
+SELECT p_partkey,
+       upper(p_name)                              AS name_upper,
+       length(p_name)                             AS name_len,
+       substr(p_type, 1, 5)                       AS type_prefix,
+       concat_ws('-', p_brand, p_size::VARCHAR)   AS brand_size,
+       lpad(p_partkey::VARCHAR, 8, '0')           AS key_padded,
+       abs(p_size - 25)                           AS size_dist,
+       p_size % 7                                 AS size_mod,
+       floor(p_retailprice)                       AS price_floor,
+       ceil(p_retailprice)                        AS price_ceil,
+       round(sqrt(p_retailprice), 6)              AS price_sqrt,
+       reverse(p_brand)                           AS brand_rev,
+       translate(p_type, 'aeiou', 'AEIOU')        AS type_vowels
+FROM part WHERE p_partkey <= 200
+"""
+
+
+def date_functions_showcase(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+DATEFN_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate)                                    AS yr,
+       month(o_orderdate)                                   AS mon,
+       day(o_orderdate)                                     AS dom,
+       quarter(o_orderdate)                                 AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002,
+       epoch(o_orderdate)::BIGINT                           AS epoch_sec
+FROM orders WHERE o_orderkey <= 500
+"""
+
+
+# --- aggregate stats / having / pivot -------------------------------------------
+
+
+def agg_stats_by_status(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def having_frequent_customers(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+"""
+
+
+def pivot_status_by_priority(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    # conditional aggregation rather than .pivot() so column names are
+    # explicit and identical to the oracle
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_partial"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "semi_join_high_quantity": semi_join_high_quantity,
+    "anti_join_customers_no_orders": anti_join_customers_no_orders,
+    "rollup_order_counts": rollup_order_counts,
+    "cube_lineitem_flags": cube_lineitem_flags,
+    "window_top3_orders_per_segment": window_top3_orders_per_segment,
+    "window_running_revenue": window_running_revenue,
+    "top_parts_by_retailprice": top_parts_by_retailprice,
+    "setop_nation_coverage": setop_nation_coverage,
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "date_functions_showcase": date_functions_showcase,
+    "agg_stats_by_status": agg_stats_by_status,
+    "having_frequent_customers": having_frequent_customers,
+    "pivot_status_by_priority": pivot_status_by_priority,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q10_returned_items": Q10_SQL,
+    "semi_join_high_quantity": SEMI_SQL,
+    "anti_join_customers_no_orders": ANTI_SQL,
+    "rollup_order_counts": ROLLUP_SQL,
+    "cube_lineitem_flags": CUBE_SQL,
+    "window_top3_orders_per_segment": WINDOW_TOP3_SQL,
+    "window_running_revenue": WINDOW_RUNNING_SQL,
+    "top_parts_by_retailprice": TOPK_SQL,
+    "setop_nation_coverage": SETOP_SQL,
+    "scalar_functions_showcase": SCALAR_SQL,
+    "date_functions_showcase": DATEFN_SQL,
+    "agg_stats_by_status": AGG_STATS_SQL,
+    "having_frequent_customers": HAVING_SQL,
+    "pivot_status_by_priority": PIVOT_SQL,
+}

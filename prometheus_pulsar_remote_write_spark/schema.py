@@ -13,6 +13,7 @@ The metric name is NOT a separate column: name == labels['__name__']
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: One time-series sample; the unit of data end-to-end.
@@ -101,7 +102,19 @@ def load_tables(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     no caching here -- callers decide what to persist.
     """
     names = names or TESTDATA_TABLES
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
+        # arrives as epoch-nanos. Truncate to micros (what DuckDB does) and
+        # restore TimestampType so event-time semantics stay uniform.
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                # integer `div`, NOT `/`: float division of epoch-nanos
+                # (~1.7e18 > 2^53) loses low bits and rounds the last ms
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out[name] = df
+    return out
 
 
 def register_views(spark, sf_dir: str, names: list[str] | None = None) -> None:

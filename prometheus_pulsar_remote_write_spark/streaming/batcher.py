@@ -1,0 +1,142 @@
+"""D1: per-tenant batching with the dual size-OR-delay trigger.
+
+Reference semantics (pkg/remote/write.go:27-43, 59-77, 115-180): buffer
+samples per tenant; flush a tenant's buffer when it reaches BatchSize
+(default 100) OR when its oldest sample is older than BatchMaxDelay
+(default 5 s); a 100 ms poll drives the delay check.
+
+Spark mapping: ``applyInPandasWithState`` keyed by tenant_id.
+  - size trigger: on every input chunk, emit floor(buffered/batch_size)
+    full batches and keep the remainder in state;
+  - delay trigger: a processing-time timeout set batch_max_delay_ms ahead
+    of the first buffered sample; when it fires, flush the remainder.
+
+This is strictly more parallel than the reference (its batcher is one
+single-threaded event loop; state here is per-key across executors), with
+the same per-flush grouping and ordering guarantees. State is bounded:
+at most batch_size-1 rows per tenant.
+
+For pipelines that don't need faithful mid-batch delay semantics,
+``microbatch_batches`` groups per micro-batch in one hash-shuffle --
+simpler, and the trigger interval plays the role of max delay.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_BATCH_SIZE = 100  # reference write.go:67-69
+DEFAULT_MAX_DELAY_MS = 5000
+
+#: flushed batches: one row per sample, tagged with a per-tenant batch seq
+BATCH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant_id", T.StringType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
+        T.StructField("flush_reason", T.StringType(), False),  # size | delay
+        T.StructField("timestamp", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("labels_json", T.StringType(), False),
+    ]
+)
+
+#: state: buffered samples (columnar lists) + next batch seq
+BATCH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamps", T.ArrayType(T.LongType()), True),
+        T.StructField("values", T.ArrayType(T.DoubleType()), True),
+        T.StructField("labels", T.ArrayType(T.StringType()), True),
+        T.StructField("next_seq", T.LongType(), True),
+    ]
+)
+
+
+def _make_batch_fn(batch_size: int, max_delay_ms: int):
+    def batch_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (tenant_id,) = key
+        if state.exists:
+            ts_buf, val_buf, lbl_buf, next_seq = state.get
+            ts_buf, val_buf, lbl_buf = list(ts_buf), list(val_buf), list(lbl_buf)
+        else:
+            ts_buf, val_buf, lbl_buf, next_seq = [], [], [], 0
+
+        out_rows: list[dict[str, Any]] = []
+
+        def flush(reason: str) -> None:
+            nonlocal ts_buf, val_buf, lbl_buf, next_seq
+            take = batch_size if reason == "size" else len(ts_buf)
+            for i in range(take):
+                out_rows.append(
+                    {
+                        "tenant_id": tenant_id,
+                        "batch_seq": next_seq,
+                        "flush_reason": reason,
+                        "timestamp": ts_buf[i],
+                        "value": val_buf[i],
+                        "labels_json": lbl_buf[i],
+                    }
+                )
+            ts_buf, val_buf, lbl_buf = ts_buf[take:], val_buf[take:], lbl_buf[take:]
+            next_seq += 1
+
+        if state.hasTimedOut:
+            # delay trigger (write.go:162-181): flush whatever is buffered
+            if ts_buf:
+                flush("delay")
+            state.update((ts_buf, val_buf, lbl_buf, next_seq))
+            state.remove()
+        else:
+            for pdf in pdfs:
+                ts_buf.extend(int(x) for x in pdf["timestamp"])
+                val_buf.extend(float(x) for x in pdf["value"])
+                lbl_buf.extend(str(x) for x in pdf["labels_json"])
+                while len(ts_buf) >= batch_size:  # size trigger
+                    flush("size")
+            state.update((ts_buf, val_buf, lbl_buf, next_seq))
+            if ts_buf:
+                # oldest buffered sample must flush within max_delay
+                state.setTimeoutDuration(max_delay_ms)
+
+        yield pd.DataFrame(
+            out_rows, columns=[f.name for f in BATCH_OUTPUT_SCHEMA.fields]
+        )
+
+    return batch_fn
+
+
+def stateful_batches(
+    samples: DataFrame,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    max_delay_ms: int = DEFAULT_MAX_DELAY_MS,
+) -> DataFrame:
+    """Faithful size-OR-delay batching over a streaming sample DataFrame.
+
+    Input needs columns (tenant_id, timestamp, value, labels_json).
+    """
+    return samples.groupBy("tenant_id").applyInPandasWithState(
+        _make_batch_fn(batch_size, max_delay_ms),
+        outputStructType=BATCH_OUTPUT_SCHEMA,
+        stateStructType=BATCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def microbatch_batches(batch_df: DataFrame, batch_size: int = DEFAULT_BATCH_SIZE) -> DataFrame:
+    """Per-micro-batch grouping (the simpler D1 mode): deterministic batch
+    ids per tenant within one micro-batch; the trigger interval bounds
+    delay. One hash-shuffle on tenant_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tenant_id").orderBy("timestamp", "labels_json")
+    return batch_df.withColumn(
+        "batch_seq", ((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+    )

@@ -1,0 +1,188 @@
+"""The consume pipeline (reference pkg/app/consume.go + pkg/remote/write.go)
+as a Structured Streaming job.
+
+Reference flow: Pulsar KeyShared consumer -> deserialize (skip poison with
+ack) -> per-tenant batch (size 100 OR 5 s) -> sorted-label WriteRequest ->
+snappy -> POST with X-Scope-OrgID -> ack / retry(recoverable, with global
+backpressure) / drop(unrecoverable).
+
+Spark mapping:
+  readStream(payload files)        # A3; checkpoint == ack bookkeeping
+    -> deserialize (C4)            # poison -> DLQ, stream continues (B9)
+    -> batching                    # D1 (see batcher.py)
+    -> foreachBatch(RemoteWriteSink)
+         nest_samples + encode     # B2/B3 + proto+snappy (A4)
+         POST per (tenant, batch)  # D2 fan-out
+         recoverable error  -> raise => micro-batch replayed (D5):
+                               checkpoint does not advance, intake halts
+         unrecoverable      -> DLQ file + continue (D6): ack-and-drop
+
+Per-tenant requests within a micro-batch are independent HTTP calls, so a
+1000-executor cluster fans out exactly like the reference's per-tenant
+goroutines -- but partitioned, not single-threaded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.serializers import deserialize
+from ..operators.flatten import nest_samples
+from ..sources import prompb, snappy_codec
+
+
+class RecoverableError(Exception):
+    """Maps the reference's remote.RecoverableError (HTTP 5xx / transport):
+    raising it fails the micro-batch => replay + backpressure."""
+
+
+def read_payload_stream(spark: SparkSession, in_dir: str, max_files: int = 64) -> DataFrame:
+    """A3 source: JSONL message files (as written by the produce pipeline's
+    FilePublisher; a Pulsar reader plugs in identically)."""
+    schema = "key string, payload string, tenant_id string"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files))
+        .option("recursiveFileLookup", "true")
+        .json(in_dir)
+    )
+
+
+def parse_samples(messages: DataFrame, fmt: str = "json") -> DataFrame:
+    """C4 + B9: deserialize payloads; poison rows keep payload for the DLQ."""
+    parsed = deserialize(messages, fmt, keep_cols=["payload"])
+    return parsed.withColumn(
+        "labels_json", F.to_json(F.col("labels"))
+    )
+
+
+def split_poison(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    good = parsed.filter(F.col("timestamp").isNotNull()).drop("payload")
+    poison = parsed.filter(F.col("timestamp").isNull()).select("payload")
+    return good, poison
+
+
+def build_write_request_bodies(batch_df: DataFrame) -> list:
+    """B2/B3 + A4 encode: one WriteRequest body per (tenant, batch_seq).
+
+    Returns [(tenant_id, batch_seq, body_bytes, n_samples)]; the nest and
+    label sort run distributed, only the final bodies come to the driver
+    (bounded: batch_size samples per body).
+    """
+    from ..operators.flatten import sorted_label_entries
+
+    with_labels = batch_df.withColumn(
+        "labels", F.from_json("labels_json", "map<string,string>")
+    )
+    nested = nest_samples(with_labels, ["tenant_id", "batch_seq"])
+    rows = nested.collect()
+    out = []
+    for row in rows:
+        req = {
+            "timeseries": [
+                {
+                    "labels": [{"name": l["name"], "value": l["value"]} for l in ts["labels"]],
+                    "samples": [
+                        {"value": s["value"], "timestamp": s["timestamp"]}
+                        for s in ts["samples"]
+                    ],
+                }
+                for ts in row.timeseries
+            ]
+        }
+        body = snappy_codec.compress(prompb.encode_write_request(req))
+        out.append((row.tenant_id, row.batch_seq, body, len(row.timeseries)))
+    return out
+
+
+@dataclass
+class RemoteWriteSink:
+    """A4 + D2/D5/D6: per-tenant POST with retry/DLQ semantics.
+
+    post_fn(url, body, headers) -> status_code; injectable for tests and
+    for a real `requests.post` in production. 5xx/exception => Recoverable
+    (raise, batch replays); 4xx => unrecoverable (DLQ, continue).
+    """
+
+    url: str
+    dlq_dir: str
+    post_fn: object = None
+    batch_size: int = 100
+    user_agent: str = "prometheus-pulsar-remote-write-spark/0.1.0"
+    sent: dict = field(default_factory=dict)   # tenant -> samples sent
+    failed: dict = field(default_factory=dict)  # tenant -> samples dropped
+
+    def _post(self, tenant_id: str, body: bytes) -> int:
+        headers = {
+            "Content-Encoding": "snappy",
+            "Content-Type": "application/x-protobuf",
+            "User-Agent": self.user_agent,
+        }
+        if tenant_id:
+            headers["X-Scope-OrgID"] = tenant_id  # reference write.go:83-94
+        if self.post_fn is not None:
+            return self.post_fn(self.url, body, headers)
+        import requests
+
+        return requests.post(self.url, data=body, headers=headers, timeout=30).status_code
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from .batcher import microbatch_batches
+
+        batched = microbatch_batches(batch_df, self.batch_size)
+        for tenant_id, batch_seq, body, n in build_write_request_bodies(batched):
+            try:
+                status = self._post(tenant_id, body)
+            except Exception as exc:  # transport error: recoverable
+                raise RecoverableError(str(exc))
+            if status >= 500:  # D5: recoverable -> replay micro-batch
+                raise RecoverableError(f"HTTP {status} for tenant {tenant_id!r}")
+            if status >= 400:  # D6: unrecoverable -> DLQ + continue
+                os.makedirs(self.dlq_dir, exist_ok=True)
+                name = f"tenant={tenant_id or '_none'}-epoch={epoch_id}-batch={batch_seq}.bin"
+                with open(os.path.join(self.dlq_dir, name), "wb") as fh:
+                    fh.write(body)
+                self.failed[tenant_id] = self.failed.get(tenant_id, 0) + n
+                continue
+            self.sent[tenant_id] = self.sent.get(tenant_id, 0) + n
+
+
+def run_consume_pipeline(
+    spark: SparkSession,
+    in_dir: str,
+    sink: RemoteWriteSink,
+    poison_dir: str,
+    checkpoint_dir: str | None = None,
+    fmt: str = "json",
+    trigger_once: bool = True,
+):
+    """Wire the consume stream: parse -> split poison -> sink. Returns the query."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        poison_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
+    )
+    parsed = parse_samples(read_payload_stream(spark, in_dir), fmt)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        good = batch_df.filter(F.col("timestamp").isNotNull()).drop("payload")
+        poison = batch_df.filter(F.col("timestamp").isNull()).select("payload")
+        n_poison = poison.count()
+        if n_poison:  # B9: log+ack+skip => park in DLQ, keep going
+            poison.write.mode("append").json(poison_dir)
+        sink(good, epoch_id)
+
+    writer = (
+        parsed.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()

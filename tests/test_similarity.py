@@ -1,0 +1,69 @@
+"""Similarity-search and dedup operator semantics beyond the oracle gate."""
+
+from pyspark.sql import functions as F
+
+from prometheus_pulsar_remote_write_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from prometheus_pulsar_remote_write_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+)
+from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = ivf_topk(emb, queries, n_cells=8, nprobe=3, k=3).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.match_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.match_id)
+
+    hits = total = 0
+    for qid, matches in exact_sets.items():
+        total += len(matches)
+        hits += len(matches & approx_sets.get(qid, set()))
+    recall = hits / total
+    # nprobe=3 of 8 cells should recover well over half of the exact top-3
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # every approx hit must carry the same cosine the exact path computed
+    exact_cos = {(r.query_id, r.match_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.match_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.match_id)] - r.cosine) < 1e-9
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    sigs = minhash_signatures(docs, num_hashes=8).filter(F.col("mh0").isNotNull())
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    scored = ngram_jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.7)
+    found = scored.collect()
+    # identical docs must always collide in every band
+    j_by_pair = {(r.id_a, r.id_b): r.jaccard for r in found}
+    for (a, b), j in j_by_pair.items():
+        assert 0.7 <= j <= 1.0
+    # the generator plants near-dup families; LSH at 4x2 bands catches
+    # jaccard>=0.9 pairs with prob ~1-(1-0.81)^4 > 0.998
+    assert len(found) >= 1
+
+
+def test_exact_dedup_deterministic(spark):
+    from prometheus_pulsar_remote_write_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 1), (4, "b", 2)],
+        "id int, k string, v int",
+    )
+    out = exact_dedup(df, ["k"], ["v", "id"]).collect()
+    assert {(r.k, r.id) for r in out} == {("a", 2), ("b", 3)}
