@@ -39,8 +39,10 @@ from ..sources.remote_write import decode_remote_write
 
 #: Tenant columns can ride next to each body file as a sidecar manifest;
 #: for the file-drop source we derive them from the directory layout:
-#: <root>/<tenant>/<request>.bin (empty-tenant requests land in _none/).
-TENANT_DIR_NONE = "_none"
+#: <root>/<tenant>/<request>.bin. Empty-tenant requests land in a reserved
+#: directory -- it must NOT start with '_' or '.' (Spark's file index
+#: treats those as hidden metadata, e.g. _SUCCESS, and skips them).
+TENANT_DIR_NONE = "no-tenant"
 
 
 def read_request_stream(
@@ -49,6 +51,10 @@ def read_request_stream(
     """A1 source: stream of raw remote-write bodies from a drop directory."""
     return (
         spark.readStream.format("binaryFile")
+        # binaryFile's fixed schema; streaming sources require it explicitly
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
         .option("pathGlobFilter", "*.bin")
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

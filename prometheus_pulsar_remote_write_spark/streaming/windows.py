@@ -1,0 +1,117 @@
+"""F7 streaming extensions (SURVEY.md §2.F): event-time windows with
+watermarks over the sample/event stream.
+
+The reference batches on processing time only (pkg/remote/write.go:150)
+and has no late-data handling (SURVEY.md §2.E); these operators are the
+engine's event-time upgrade. Each has a batch twin in
+plans.events_batch so the driver's DuckDB oracle covers the semantics;
+the tests assert streaming == batch on replayed data.
+
+Scale notes: watermarking bounds state; the windowed aggregations are
+partial+final hash aggs keyed by (window, event_type) -- one shuffle.
+``dropDuplicatesWithinWatermark`` keeps only the keys inside the
+watermark horizon instead of an unbounded seen-set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events table as a replayed stream (same rows the batch twins see).
+
+    Applies the identical nanos->micros timestamp normalization that
+    schema.load_tables applies on the batch side.
+    """
+    src = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(src)
+    if os.path.isfile(src):
+        # the file streaming source requires a directory; stage a symlink
+        # (testdata is read-only)
+        stage = os.path.join(
+            tempfile.gettempdir(), f"events-stream-{abs(hash(os.path.abspath(src)))}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(src), link)
+        src = stage
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(src)
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def tumbling_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts; twin: events_tumbling_hourly."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding windows (10m/5m); twin: events_sliding_10m_5m."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(ev: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Event-time session windows per user (F.session_window).
+
+    The batch lag+cumsum twin (events_sessionization) uses the same gap;
+    tests compare streaming vs batch session_window output directly.
+    """
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup bounded by the watermark horizon.
+
+    Key = (user_id, event_type, minute bucket): the streaming analog of
+    events_dedup_per_minute, with state evicted once the watermark passes
+    (no unbounded seen-set at 100 TB).
+    """
+    keyed = ev.withColumn(
+        "minute_bucket", (F.unix_timestamp("ts").cast("bigint") / 60).cast("bigint") * 60
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute_bucket"]
+    )

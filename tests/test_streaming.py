@@ -1,0 +1,399 @@
+"""Structured Streaming pipeline tests (SURVEY.md §2 A1-A4, D1-D6, F7).
+
+Mirrors the reference's integration strategy
+(integration/produce_integration_test.go, consume_integration_test.go):
+real wire bytes through the full pipeline, delivery/retry/DLQ semantics
+asserted via injected sinks -- but on local temp dirs instead of live
+Pulsar + HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_pulsar_remote_write_spark.functions.serializers import (
+    marshal_json,
+    unmarshal_json,
+)
+from prometheus_pulsar_remote_write_spark.sources import prompb, snappy_codec
+from prometheus_pulsar_remote_write_spark.streaming import windows
+from prometheus_pulsar_remote_write_spark.streaming.batcher import stateful_batches
+from prometheus_pulsar_remote_write_spark.streaming.consume import (
+    RemoteWriteSink,
+    run_consume_pipeline,
+)
+from prometheus_pulsar_remote_write_spark.streaming.produce import run_produce_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_body(path: str, series: list[tuple[dict, list[tuple[float, int]]]]) -> int:
+    """Write one snappy(proto(WriteRequest)) body; returns sample count."""
+    req = {
+        "timeseries": [
+            {
+                "labels": [{"name": k, "value": v} for k, v in lbls.items()],
+                "samples": [{"value": v, "timestamp": t} for v, t in samples],
+            }
+            for lbls, samples in series
+        ]
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(snappy_codec.compress(prompb.encode_write_request(req)))
+    return sum(len(s) for _, s in series)
+
+
+@pytest.fixture()
+def drop_dir(tmp_path):
+    d = tmp_path / "drop"
+    n = 0
+    n += _write_body(
+        str(d / "tenant-a" / "req1.bin"),
+        [
+            ({"__name__": "up", "job": "api"}, [(1.0, 1000), (0.0, 2000)]),
+            ({"__name__": "cpu", "core": "0"}, [(0.5, 1500)]),
+        ],
+    )
+    n += _write_body(
+        str(d / "no-tenant" / "req2.bin"),
+        [({"__name__": "mem", "host": "h1"}, [(42.0, 3000)])],
+    )
+    poison = d / "tenant-a" / "poison.bin"
+    poison.parent.mkdir(parents=True, exist_ok=True)
+    poison.write_bytes(b"definitely-not-snappy-proto")
+    return str(d), n  # n == 4 good samples
+
+
+def test_produce_pipeline_end_to_end(spark, drop_dir, tmp_path):
+    d, n_samples = drop_dir
+    out_dir = str(tmp_path / "out")
+    q = run_produce_pipeline(spark, d, out_dir, trigger_once=True)
+    q.awaitTermination(120)
+
+    out = spark.read.option("recursiveFileLookup", "false").json(
+        os.path.join(out_dir, "epoch=*")
+    )
+    rows = out.collect()
+    assert len(rows) == n_samples
+    by_tenant = {}
+    for r in rows:
+        by_tenant.setdefault(r["tenant_id"], []).append(r)
+        assert r["key"].startswith("hex ") and len(r["key"]) == 20
+        ts, val, labels, tenant = unmarshal_json(r["payload"])
+        assert tenant == (r["tenant_id"] or "")
+        assert "__name__" in labels
+    assert len(by_tenant.get("tenant-a", [])) == 3
+    # empty tenant: payload omits tenant_id, the column carries ""
+    none_rows = [r for r in rows if r["tenant_id"] is None or r["tenant_id"] == ""]
+    assert len(none_rows) == 1
+    assert '"tenant_id"' not in none_rows[0]["payload"]
+
+
+def _write_messages(in_dir: str, msgs: list[tuple[str, str]]) -> None:
+    """msgs: (payload, tenant_id) JSONL, the consume-path input shape."""
+    os.makedirs(in_dir, exist_ok=True)
+    with open(os.path.join(in_dir, "messages.jsonl"), "w") as fh:
+        for payload, tenant in msgs:
+            fh.write(json.dumps({"key": "k", "payload": payload, "tenant_id": tenant}) + "\n")
+
+
+def _sample_messages() -> tuple[list[tuple[str, str]], int]:
+    msgs = []
+    for i in range(7):
+        labels = {"__name__": "up", "instance": f"i{i % 2}"}
+        msgs.append((marshal_json(1000 + i, float(i), labels, "team-a"), "team-a"))
+    for i in range(3):
+        msgs.append((marshal_json(2000 + i, float(i), {"__name__": "mem"}, ""), ""))
+    msgs.append(("this is not json {", "team-a"))  # poison
+    return msgs, 10
+
+
+def test_consume_pipeline_delivers_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    msgs, n_good = _sample_messages()
+    _write_messages(in_dir, msgs)
+
+    posted = []
+
+    def post_fn(url, body, headers):
+        posted.append((headers.get("X-Scope-OrgID", ""), body))
+        return 200
+
+    sink = RemoteWriteSink(
+        url="http://sink", dlq_dir=str(tmp_path / "dlq"), post_fn=post_fn, batch_size=4
+    )
+    q = run_consume_pipeline(spark, in_dir, sink, str(tmp_path / "poison"))
+    q.awaitTermination(120)
+
+    assert sum(sink.sent.values()) == n_good
+    assert sink.sent == {"team-a": 7, "": 3}
+    # team-a: 7 samples at batch_size=4 -> 2 requests; "": 1 request
+    assert len(posted) == 3
+    total = 0
+    for org, body in posted:
+        req = prompb.decode_write_request(snappy_codec.decompress(body))
+        for ts in req["timeseries"]:
+            names = [l["name"] for l in ts["labels"]]
+            assert names == sorted(names)  # B3 label sort
+            total += len(ts["samples"])
+    assert total == n_good
+    # poison parked, stream not killed (B9)
+    poison = spark.read.json(str(tmp_path / "poison"))
+    assert poison.count() == 1
+
+
+def test_consume_unrecoverable_goes_to_dlq(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    msgs, n_good = _sample_messages()
+    _write_messages(in_dir, msgs)
+    dlq = str(tmp_path / "dlq")
+
+    sink = RemoteWriteSink(
+        url="http://sink", dlq_dir=dlq, post_fn=lambda u, b, h: 400, batch_size=100
+    )
+    q = run_consume_pipeline(spark, in_dir, sink, str(tmp_path / "poison"))
+    q.awaitTermination(120)  # D6: ack-and-drop -- the query completes
+
+    assert sum(sink.failed.values()) == n_good
+    assert not sink.sent
+    assert len(os.listdir(dlq)) == 2  # one body per tenant
+
+
+def test_consume_recoverable_replays_batch(spark, tmp_path):
+    """D5: a 5xx fails the micro-batch; rerunning from the same checkpoint
+    replays and delivers every sample (at-least-once)."""
+    in_dir = str(tmp_path / "in")
+    msgs, n_good = _sample_messages()
+    _write_messages(in_dir, msgs)
+    checkpoint = str(tmp_path / "ckpt")
+
+    bad = RemoteWriteSink(
+        url="http://sink", dlq_dir=str(tmp_path / "dlq"), post_fn=lambda u, b, h: 503
+    )
+    q = run_consume_pipeline(
+        spark, in_dir, bad, str(tmp_path / "poison"), checkpoint_dir=checkpoint
+    )
+    with pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert "RecoverableError" in str(exc_info.value) or "503" in str(exc_info.value)
+    assert not bad.sent
+
+    good = RemoteWriteSink(
+        url="http://sink", dlq_dir=str(tmp_path / "dlq"), post_fn=lambda u, b, h: 200
+    )
+    q2 = run_consume_pipeline(
+        spark, in_dir, good, str(tmp_path / "poison"), checkpoint_dir=checkpoint
+    )
+    q2.awaitTermination(120)
+    assert sum(good.sent.values()) == n_good
+
+
+def _samples_stream(spark, tmp_path, rows):
+    in_dir = str(tmp_path / "samples")
+    os.makedirs(in_dir, exist_ok=True)
+    with open(os.path.join(in_dir, "part0.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = "tenant_id string, timestamp long, value double, labels_json string"
+    return spark.readStream.schema(schema).json(in_dir)
+
+
+def test_stateful_batcher_size_and_delay_triggers(spark, tmp_path):
+    """D1 dual trigger: full batches flush on size; the under-size remainder
+    flushes on delay. availableNow keeps running micro-batches until pending
+    processing-time timers fire, so both paths complete in one run."""
+    rows = [
+        {"tenant_id": "a", "timestamp": i, "value": float(i), "labels_json": "{}"}
+        for i in range(250)
+    ] + [
+        {"tenant_id": "b", "timestamp": i, "value": float(i), "labels_json": "{}"}
+        for i in range(30)
+    ]
+    stream = _samples_stream(spark, tmp_path, rows)
+    batched = stateful_batches(stream, batch_size=100, max_delay_ms=3_000)
+    q = (
+        batched.writeStream.format("memory")
+        .queryName("batcher_size")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM batcher_size").collect()
+    by_tenant = {}
+    for r in out:
+        by_tenant.setdefault(r["tenant_id"], []).append(r)
+    a_rows = by_tenant.get("a", [])
+    assert len(a_rows) == 250
+    reasons = {r["batch_seq"]: r["flush_reason"] for r in a_rows}
+    assert reasons == {0: "size", 1: "size", 2: "delay"}
+    sizes = {}
+    for r in a_rows:
+        sizes[r["batch_seq"]] = sizes.get(r["batch_seq"], 0) + 1
+    assert sizes == {0: 100, 1: 100, 2: 50}
+    # batches preserve arrival order per tenant
+    seq0 = sorted(r["timestamp"] for r in a_rows if r["batch_seq"] == 0)
+    assert seq0 == list(range(100))
+    # tenant b never reached batch_size: one delay flush with all 30
+    b_rows = by_tenant.get("b", [])
+    assert len(b_rows) == 30
+    assert all(r["flush_reason"] == "delay" and r["batch_seq"] == 0 for r in b_rows)
+
+
+def test_stateful_batcher_delay_trigger(spark, tmp_path):
+    """D1 delay trigger: an under-size buffer flushes after max_delay."""
+    rows = [
+        {"tenant_id": "a", "timestamp": i, "value": float(i), "labels_json": "{}"}
+        for i in range(30)
+    ]
+    stream = _samples_stream(spark, tmp_path, rows)
+    batched = stateful_batches(stream, batch_size=100, max_delay_ms=2_000)
+    q = (
+        batched.writeStream.format("memory")
+        .queryName("batcher_delay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        out = []
+        while time.time() < deadline:
+            out = spark.sql("SELECT * FROM batcher_delay").collect()
+            if out:
+                break
+            time.sleep(1)
+        assert len(out) == 30
+        assert all(r["flush_reason"] == "delay" for r in out)
+        assert {r["batch_seq"] for r in out} == {0}
+    finally:
+        q.stop()
+
+
+def _run_to_memory(df, name, tmp_path):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """F7: watermarked tumbling agg over the replayed events stream equals
+    the batch twin the DuckDB oracle checks."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_tumbling_hourly,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.tumbling_counts(ev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events_tumbling_hourly(spark, SF).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly, and most windows must have closed
+    assert streamed
+    assert len(streamed) >= len(batch) - 25
+    for k, v in streamed.items():
+        assert batch[k] == v
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """F7: dropDuplicatesWithinWatermark keeps one row per key (replay)."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_dedup_per_minute,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    dedup = windows.dedup_within_watermark(ev).select(
+        "user_id", "event_type", "minute_bucket"
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM dedup_stream")
+    batch = events_dedup_per_minute(spark, SF)
+    assert streamed.count() == batch.count()
+    keys_s = {
+        (r["user_id"], r["event_type"], r["minute_bucket"]) for r in streamed.collect()
+    }
+    keys_b = {
+        (r["user_id"], r["event_type"], r["minute_bucket"]) for r in batch.collect()
+    }
+    assert keys_s == keys_b
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """F7: session_window streaming == session_window batch on replay."""
+    ev_stream = windows.read_events_stream(spark, SF)
+    agg = windows.session_counts(ev_stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM sessions")
+
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    ev_batch = load_tables(spark, SF, ["events"])["events"]
+    batch = (
+        ev_batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    s_rows = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in streamed.collect()
+    }
+    b_rows = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in batch.collect()
+    }
+    assert s_rows  # sessions were emitted
+    for k, v in s_rows.items():
+        assert b_rows[k] == v
