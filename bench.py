@@ -36,7 +36,9 @@ HEADLINE = [
     "consume_batching",
     "docs_token_stats",
     "docs_neardup_pairs",
+    "docs_fingerprints",
     "emb_cosine_topk",
+    "emb_neardup_lsh",
 ]
 
 

@@ -19,8 +19,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -44,6 +46,13 @@ def norm_expr(a: Column) -> Column:
 
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+#: Higher-order array functions are interpreted, not codegen'd -- so for
+#: pairwise work, compute each row's norm ONCE (scalar column carried
+#: through the join; the join barrier stops projection-collapse from
+#: inlining it back) and pay a single dot_expr per pair:
+#: cosine = dot(a, b) / (norm_a * norm_b).
 
 
 def cosine_topk(
@@ -77,6 +86,162 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def _hyperplane_signs(dim: int, n_bits: int, seed: str = "lsh") -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 (no RNG state;
+    reproducible in any engine that has md5, incl. the DuckDB oracle)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def signlsh_bits(vec: Column, signs: list[list[int]]) -> list[Column]:
+    """Random-hyperplane (SimHash) bits: sign of <vec, r_j> per plane."""
+    return [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(s) for s in plane]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in signs
+    ]
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    bands: int = 2,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """F2 embedding near-dup: sign-LSH band buckets prune the O(n^2) pair
+    space; exact cosine filters the candidates.
+
+    Same shape as MinHash LSH for text (dedup.lsh_candidate_pairs): unpivot
+    docs x bands -> equi-join on (band, bucket) -> exact re-check. At 100 TB
+    the corpus shuffles once on the bucket key instead of self-joining.
+    Hyperplanes are md5-derived constants, so the DuckDB oracle computes
+    byte-identical buckets.
+    """
+    import numpy as np
+
+    signs = _hyperplane_signs(dim, bands * bits_per_band)
+    bits = signlsh_bits(F.col(vec_col), signs)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(band_entries).alias("band"),
+    ).select(id_col, vec_col, "band.band_id", "band.bucket")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs inside one (band, bucket) group, vectorized (BLAS);
+        # bucket sizes are bounded by signature selectivity, so this is
+        # the small dense core of the problem, not an O(n^2) global scan
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_to)
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]})
+
+    return (
+        banded.groupBy("band_id", "bucket")
+        .applyInPandas(_score_bucket, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact O(n^2) cosine threshold-join -- the recall baseline for
+    embedding_neardup_pairs (pytest asserts LSH recall against this).
+
+    Vectorized: the corpus is broadcast as one numpy matrix; each Arrow
+    batch multiplies against it (BLAS) instead of evaluating interpreted
+    per-pair array expressions (~50x faster at 2k vectors). The broadcast
+    bounds scale -- that's inherent to an exact all-pairs baseline; the
+    production path at 100 TB is embedding_neardup_pairs (LSH), with this
+    operator run on samples for recall measurement. Block-partitioned
+    multiply is the extension point if the full exact join is ever needed.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _pairs(batches):
+        all_ids, all_mat, all_norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(q_ids) == 0:
+                yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+                continue
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = (q_mat @ all_mat.T) / np.outer(q_norms, all_norms)
+            sims = np.round(sims, round_to)
+            ii, jj = np.nonzero((sims >= threshold) & (q_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": q_ids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(_pairs, out_schema)
 
 
 def ivf_assign(

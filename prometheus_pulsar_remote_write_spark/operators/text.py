@@ -115,6 +115,54 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred)
 
 
+#: BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs --
+#: the regex family GPT-style tokenizers apply before byte-pair merging.
+#: Plain ASCII classes only, so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish pre-tokens (whole-match regexp_extract_all)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def char_kgram_hashes_col(text: Column, k: int = 8) -> Column:
+    """Rolling char k-gram hash sequence (md5 stands in for Karp-Rabin:
+    same selectivity, byte-identical in the DuckDB oracle)."""
+    n = F.length(text)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(text.substr(i, F.lit(k))),
+        )
+    )
+
+
+def winnow_from_hashes_col(hashes: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): min hash of each w-window
+    of the rolling hash sequence, distinct + sorted = the fingerprint set.
+
+    Takes a *materialized* hash-array column (not the raw expression) so
+    the k-gram hashes are computed once per row, not once per window.
+    """
+    n_windows = F.size(hashes) - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(hashes, j, w))
+    )
+    return F.when(n_windows < 1, F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(mins))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Attach a ``fingerprints`` column: winnowed k-gram document sketch."""
+    return df.withColumn("__kgram_hashes", char_kgram_hashes_col(F.col(text_col), k)).withColumn(
+        "fingerprints", winnow_from_hashes_col(F.col("__kgram_hashes"), w)
+    ).drop("__kgram_hashes")
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash fingerprint from md5 nibbles of distinct tokens.
 

@@ -19,13 +19,22 @@ from ..operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
-from ..operators.similarity import cosine_topk, ivf_topk
+from ..operators.similarity import (
+    _hyperplane_signs,
+    cosine_pairs_exact,
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
 from ..operators.text import (
+    BPE_TOKEN_RE,
     LANG_MARKERS,
+    bpe_tokens_col,
     language_id,
     quality_features,
     simhash16,
     tokens_col,
+    winnow_fingerprints,
 )
 from ..schema import load_tables
 
@@ -253,6 +262,135 @@ def emb_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3)
 
 
+def emb_neardup_lsh(spark, sf_dir):
+    """F2 (embeddings): sign-LSH banded candidates -> exact cosine >= 0.42.
+
+    The synthetic embeddings have no true near-dups (max pairwise cosine
+    ~0.51), so the threshold sits where the data has matter; recall of the
+    LSH path on genuinely-near vectors is pytest-asserted
+    (tests/test_similarity.py)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return embedding_neardup_pairs(emb, threshold=0.42, bands=2, bits_per_band=4)
+
+
+def emb_neardup_exact(spark, sf_dir):
+    """Exact O(n^2) cosine threshold-join baseline for emb_neardup_lsh."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return cosine_pairs_exact(emb, threshold=0.42)
+
+
+def _signs_sql_literal(plane: list[int]) -> str:
+    return "[" + ",".join(str(s) for s in plane) + "]"
+
+
+def _emb_neardup_lsh_sql(threshold: float = 0.42, bands: int = 2, bits_per_band: int = 4) -> str:
+    signs = _hyperplane_signs(64, bands * bits_per_band)
+    bit_exprs = [
+        f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in signs
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_id, "
+        + " || ".join(bit_exprs[b * bits_per_band : (b + 1) * bits_per_band])
+        + " AS bucket FROM e"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+           AS cosine
+FROM cand
+WHERE round(list_dot_product(va, vb)
+            / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+      >= {threshold}
+"""
+
+
+EMB_NEARDUP_LSH_SQL = _emb_neardup_lsh_sql()
+
+EMB_NEARDUP_EXACT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= 0.42
+"""
+
+
+# --- F4 extensions: BPE-ish tokens, winnowing fingerprints -----------------------
+
+
+def docs_bpe_token_stats(spark, sf_dir):
+    """Token counting with the BPE-ish pre-tokenizer regex vs whitespace."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bpe = bpe_tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.filter(bpe, lambda t: t.rlike("^[0-9]+$"))).alias("n_number_tokens"),
+        F.round(
+            F.size(bpe).cast("double") / F.size(tokens_col(F.col("text"))), 4
+        ).alias("bpe_per_word"),
+    )
+
+
+DOCS_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))            AS n_bpe_tokens,
+       len(tk)                                                    AS n_ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{BPE_TOKEN_RE}'),
+                       t -> regexp_full_match(t, '[0-9]+')))      AS n_number_tokens,
+       round(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::DOUBLE / len(tk), 4)
+                                                                  AS bpe_per_word
+FROM ({_TOKS_SQL})
+"""
+
+
+def docs_fingerprints(spark, sf_dir):
+    """Winnowed k-gram document fingerprints (k=8 chars, window 4)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return winnow_fingerprints(docs).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints"
+    )
+
+
+DOCS_FINGERPRINTS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 8 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, length(text) - 6),
+                                  i -> md5(substr(text, i, 8)))
+         END AS hs
+  FROM documents
+)
+SELECT doc_id,
+       len(fp) AS n_fingerprints, fp AS fingerprints
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(hs) < 4 THEN []::VARCHAR[]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(1, len(hs) - 2),
+                     j -> list_min(hs[j:j+3]))))
+         END AS fp
+  FROM h
+)
+"""
+
+
 # --- F5: multimodal ------------------------------------------------------------------
 
 
@@ -308,6 +446,10 @@ QUERIES = {
     "docs_simhash16": docs_simhash16,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_neardup_lsh": emb_neardup_lsh,
+    "emb_neardup_exact": emb_neardup_exact,
+    "docs_bpe_token_stats": docs_bpe_token_stats,
+    "docs_fingerprints": docs_fingerprints,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -321,5 +463,9 @@ ORACLES = {
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     # emb_ivf_topk: rows-only (approximate path)
+    "emb_neardup_lsh": EMB_NEARDUP_LSH_SQL,
+    "emb_neardup_exact": EMB_NEARDUP_EXACT_SQL,
+    "docs_bpe_token_stats": DOCS_BPE_SQL,
+    "docs_fingerprints": DOCS_FINGERPRINTS_SQL,
     "multimodal_meta": MULTIMODAL_SQL,
 }

@@ -117,6 +117,7 @@ class RemoteWriteSink:
     user_agent: str = "prometheus-pulsar-remote-write-spark/0.1.0"
     sent: dict = field(default_factory=dict)   # tenant -> samples sent
     failed: dict = field(default_factory=dict)  # tenant -> samples dropped
+    metrics: object = None  # optional operators.metrics.DeliveryMetrics
 
     def _post(self, tenant_id: str, body: bytes) -> int:
         headers = {
@@ -137,11 +138,21 @@ class RemoteWriteSink:
 
         batched = microbatch_batches(batch_df, self.batch_size)
         for tenant_id, batch_seq, body, n in build_write_request_bodies(batched):
+            if self.metrics is not None:
+                self.metrics.count_received(tenant_id, n)
             try:
-                status = self._post(tenant_id, body)
+                if self.metrics is not None:
+                    with self.metrics.time_send():
+                        status = self._post(tenant_id, body)
+                else:
+                    status = self._post(tenant_id, body)
             except Exception as exc:  # transport error: recoverable
+                if self.metrics is not None:
+                    self.metrics.count_retry()
                 raise RecoverableError(str(exc))
             if status >= 500:  # D5: recoverable -> replay micro-batch
+                if self.metrics is not None:
+                    self.metrics.count_retry()
                 raise RecoverableError(f"HTTP {status} for tenant {tenant_id!r}")
             if status >= 400:  # D6: unrecoverable -> DLQ + continue
                 os.makedirs(self.dlq_dir, exist_ok=True)
@@ -149,8 +160,12 @@ class RemoteWriteSink:
                 with open(os.path.join(self.dlq_dir, name), "wb") as fh:
                     fh.write(body)
                 self.failed[tenant_id] = self.failed.get(tenant_id, 0) + n
+                if self.metrics is not None:
+                    self.metrics.count_failed(tenant_id, n)
                 continue
             self.sent[tenant_id] = self.sent.get(tenant_id, 0) + n
+            if self.metrics is not None:
+                self.metrics.count_sent(tenant_id, n)
 
 
 def run_consume_pipeline(

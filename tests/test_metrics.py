@@ -1,0 +1,111 @@
+"""A6 observability: observe() metrics, streaming listener, delivery counters
+(reference pkg/metrics/metrics.go:20-59, metric families per tenant)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from prometheus_pulsar_remote_write_spark.operators.metrics import (
+    DURATION_BUCKETS,
+    DeliveryMetrics,
+    MetricsListener,
+    observe_samples,
+)
+
+
+def test_observe_samples_batch(spark):
+    df = spark.createDataFrame(
+        [(1000, 1.0, "a"), (2000, 2.0, "a"), (3000, 4.0, "b")],
+        "timestamp long, value double, tenant_id string",
+    )
+    observed, obs = observe_samples(df)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_samples"] == 3
+    assert got["n_tenants"] == 2
+    assert got["sum_value"] == 7.0
+    assert (got["min_ts"], got["max_ts"]) == (1000, 3000)
+
+
+def test_metrics_listener_streaming(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "p.jsonl"), "w") as fh:
+        for i in range(25):
+            fh.write(json.dumps({"timestamp": i, "value": 1.0, "tenant_id": "t"}) + "\n")
+    listener = MetricsListener()
+    l = listener.as_listener()
+    spark.streams.addListener(l)
+    try:
+        stream = spark.readStream.schema("timestamp long, value double, tenant_id string").json(in_dir)
+        observed, _ = observe_samples(stream)
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.totals()["n_samples"] < 25:
+            time.sleep(0.5)
+        totals = listener.totals()
+        assert totals["n_samples"] == 25
+        assert totals["num_input_rows"] == 25
+    finally:
+        spark.streams.removeListener(l)
+
+
+def test_delivery_metrics_counters_and_histogram():
+    m = DeliveryMetrics()
+    m.count_received("a", 10)
+    m.count_sent("a", 7)
+    m.count_failed("a", 3)
+    m.count_retry()
+    m.observe_duration(0.004)   # first bucket
+    m.observe_duration(0.3)     # <= 0.5 bucket
+    m.observe_duration(99.0)    # overflow bucket
+    snap = m.snapshot()
+    assert snap["received"] == {"a": 10}
+    assert snap["sent"] == {"a": 7}
+    assert snap["failed"] == {"a": 3}
+    assert snap["retries"] == 1
+    hist = snap["send_duration"]
+    assert hist["count"] == 3
+    assert hist["buckets"][0] == 1
+    assert hist["buckets"][DURATION_BUCKETS.index(0.5)] == 1
+    assert hist["buckets"][-1] == 1
+
+
+def test_sink_records_delivery_metrics(spark, tmp_path):
+    """RemoteWriteSink feeds the per-tenant counters + duration histogram."""
+    from prometheus_pulsar_remote_write_spark.streaming.consume import (
+        RemoteWriteSink,
+        run_consume_pipeline,
+    )
+    from tests.test_streaming import _sample_messages, _write_messages
+
+    in_dir = str(tmp_path / "in")
+    msgs, n_good = _sample_messages()
+    _write_messages(in_dir, msgs)
+    metrics = DeliveryMetrics()
+    statuses = iter([400] + [200] * 10)
+
+    sink = RemoteWriteSink(
+        url="http://x",
+        dlq_dir=str(tmp_path / "dlq"),
+        post_fn=lambda u, b, h: next(statuses),
+        batch_size=100,
+        metrics=metrics,
+    )
+    q = run_consume_pipeline(spark, in_dir, sink, str(tmp_path / "poison"))
+    q.awaitTermination(120)
+    snap = metrics.snapshot()
+    assert sum(snap["received"].values()) == n_good
+    assert sum(snap["sent"].values()) + sum(snap["failed"].values()) == n_good
+    assert snap["send_duration"]["count"] == 2  # one POST per tenant batch
+    assert snap["retries"] == 0

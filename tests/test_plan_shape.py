@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions: the 100 TB story, checked in CI.
+
+Catalyst must pick the plans the engine is designed around -- broadcast
+joins for dimension tables, pushed-down filters and pruned columns at the
+parquet scan, TakeOrderedAndProject for top-k, partial+final hash
+aggregation. A regression here is a silent 100x at scale even when results
+stay correct (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_pulsar_remote_write_spark.plans import relational
+from prometheus_pulsar_remote_write_spark.schema import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dimension_joins_broadcast(spark):
+    """q3/q5/q10: every dimension join must be a broadcast hash join --
+    no shuffle of the fact side against small dims."""
+    for q in (relational.q3_shipping_priority, relational.q5_local_supplier_volume,
+              relational.q10_returned_items):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, f"{q.__name__} lost its broadcast join"
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = _plan(relational.semi_join_high_quantity(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    anti = _plan(relational.anti_join_customers_no_orders(spark, SF_SMOKE))
+    assert "LeftAnti" in anti
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """q1's shipdate filter must reach the scan as a pushed filter, and the
+    scan must prune to the query's columns (no full-width read)."""
+    plan = _formatted(relational.q1_pricing_summary(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # ReadSchema must NOT include unused wide columns like l_comment
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_comment" not in read_schema[0]
+    assert "l_quantity" in read_schema[0]
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit compiles to TakeOrderedAndProject, not a global sort."""
+    plan = _plan(relational.top_parts_by_retailprice(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort stage
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """q1 must plan a two-phase hash aggregation (map-side partial combine)."""
+    plan = _plan(relational.q1_pricing_summary(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_no_cartesian_products_in_catalog(spark):
+    """No catalog query may degenerate into a cartesian product."""
+    from prometheus_pulsar_remote_write_spark.plans import catalog
+
+    for name, fn in catalog.QUERIES.items():
+        if name in ("emb_cosine_topk", "emb_ivf_topk"):
+            # query x corpus scoring is an intentional broadcast nested loop
+            continue
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """The q1 aggregation pipeline stays inside whole-stage codegen.
+
+    AQE defers physical finalization, so the codegen wrappers only show in
+    the explain output with adaptive planning off; runtime behavior is the
+    same (AQE re-plans stage boundaries, not operator codegen)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _formatted(relational.q1_pricing_summary(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "[codegen id : 1]" in plan
+    # filter, project and partial agg fused into the SAME codegen stage
+    for op in ("Filter", "Project", "HashAggregate"):
+        assert f"{op} [codegen id : 1]" in plan, f"{op} fell out of stage-1 codegen"

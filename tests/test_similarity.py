@@ -58,6 +58,43 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert len(found) >= 1
 
 
+def test_signlsh_neardup_recall_on_planted_dups(spark):
+    """Sign-LSH must recover nearly all genuinely-near pairs (cos >= 0.98).
+
+    The synthetic embeddings table has no true near-dups (max pairwise
+    cosine ~0.51), so plant some: 40 base vectors, each with a perturbed
+    copy at cosine ~0.99."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        cosine_pairs_exact,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        dup = v + rng.normal(scale=0.05, size=64)  # cosine ~0.99
+        rows.append((1000 + i, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = cosine_pairs_exact(emb, threshold=0.98).collect()
+    true_pairs = {(r.id_a, r.id_b) for r in exact}
+    assert len(true_pairs) >= 35  # most perturbed copies stay above 0.98
+
+    lsh = embedding_neardup_pairs(
+        emb, threshold=0.98, bands=4, bits_per_band=4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in lsh}
+    assert found <= true_pairs  # exact re-check: no false positives
+    recall = len(found & true_pairs) / len(true_pairs)
+    # P(collide in a 4-bit band) at cos .99 ~ 0.955^4 ~ .83;
+    # 4 bands -> 1-(1-.83)^4 > 0.999
+    assert recall >= 0.9, f"sign-LSH recall too low: {recall:.2f}"
+
+
 def test_exact_dedup_deterministic(spark):
     from prometheus_pulsar_remote_write_spark.operators.dedup import exact_dedup
 
