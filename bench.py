@@ -51,6 +51,12 @@ def main() -> None:
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else -1.0
     spark = get_spark(app_name="bench")
+    # warm the JVM + Python worker pool so timings measure queries, not
+    # first-job session start-up (codegen compiler, executor threads, Arrow)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -276,6 +276,62 @@ def labels_json_expr(labels: Column) -> Column:
     )
 
 
+def rfc3339_expr(timestamp_ms: Column) -> Column:
+    """RFC3339Nano UTC rendering of epoch-ms as an expression: fractional
+    seconds trimmed of trailing zeros, omitted entirely when 0 (Go
+    time.RFC3339Nano; reference serializers.go:69-80)."""
+    base = F.date_format(F.timestamp_millis(timestamp_ms), "yyyy-MM-dd'T'HH:mm:ss")
+    ms = F.pmod(timestamp_ms, F.lit(1000))
+    frac = F.when(ms == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("."),
+            F.regexp_replace(F.lpad(ms.cast(T.StringType()), 3, "0"), "0+$", ""),
+        )
+    )
+    return F.concat(base, frac, F.lit("Z"))
+
+
+def serialize_json_compat_expr(
+    timestamp: Column, value: Column, labels: Column, tenant_id: Column
+) -> Column:
+    """C2-shaped payload as a pure expression (keys in Go map-marshal sort
+    order: labels < name < tenant_id < timestamp < value). Non-empty tenant
+    only -- the empty-tenant omission branch lives in the UDF tier."""
+    return F.concat(
+        F.lit('{"labels":'),
+        labels_json_expr(labels),
+        F.lit(',"name":"'),
+        F.coalesce(labels["__name__"], F.lit("")),
+        F.lit('","tenant_id":"'),
+        tenant_id,
+        F.lit('","timestamp":"'),
+        rfc3339_expr(timestamp),
+        F.lit('","value":"'),
+        go_float_expr(value),
+        F.lit('"}'),
+    )
+
+
+def serialize_avro_json_expr(
+    timestamp: Column, value: Column, labels: Column, tenant_id: Column
+) -> Column:
+    """C3-shaped payload as a pure expression: the C2 fields in Avro default-
+    schema declaration order, tenant_id always present (schema default '')."""
+    return F.concat(
+        F.lit('{"timestamp":"'),
+        rfc3339_expr(timestamp),
+        F.lit('","value":"'),
+        go_float_expr(value),
+        F.lit('","name":"'),
+        F.coalesce(labels["__name__"], F.lit("")),
+        F.lit('","labels":'),
+        labels_json_expr(labels),
+        F.lit(',"tenant_id":"'),
+        F.coalesce(tenant_id, F.lit("")),
+        F.lit('"}'),
+    )
+
+
 def serialize_json_expr(
     timestamp: Column, value: Column, labels: Column, tenant_id: Column
 ) -> Column:

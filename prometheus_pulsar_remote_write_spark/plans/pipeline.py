@@ -20,8 +20,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.fnv import partition_key_col
-from ..functions.serializers import serialize_json_expr
+from ..functions.serializers import (
+    serialize_avro_json_expr,
+    serialize_json_compat_expr,
+    serialize_json_expr,
+)
 from ..operators.flatten import flatten_write_requests, nest_samples, sorted_label_entries
+from ..operators.skew import salted_agg
 from ..schema import load_tables
 
 #: shared event->sample projection (the A1+B4 edge in batch form)
@@ -108,6 +113,92 @@ FROM ({_SAMPLES_SQL})
 """
 
 
+#: RFC3339Nano fragment shared by the C2/C3 oracles: '.' + trimmed ms, or ''
+_RFC_SQL = """strftime(make_timestamp((timestamp // 1000) * 1000000), '%Y-%m-%dT%H:%M:%S')
+       || (CASE WHEN timestamp % 1000 = 0 THEN ''
+                ELSE '.' || regexp_replace(lpad((timestamp % 1000)::VARCHAR, 3, '0'), '0+$', '')
+           END) || 'Z'"""
+
+_VALUE_SQL = """regexp_replace(regexp_replace(
+           CAST(value AS DECIMAL(38,6))::VARCHAR,
+           '(\\.\\d*?)0+$', '\\1'), '\\.$', '')"""
+
+# NB: single braces -- this constant is substituted INTO f-strings (brace
+# escaping applies to the template's own text, not substituted values)
+_LABELS_SQL = """'{"__name__":"' || event_type || '","k":"' || k || '","user":"' || user_str || '"}'"""
+
+
+def produce_serialize_compat(spark, sf_dir):
+    """C2 json-compat wire payloads (expression tier)."""
+    samples = samples_from_events(spark, sf_dir)
+    return samples.select(
+        "event_id",
+        serialize_json_compat_expr(
+            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+        ).alias("payload"),
+    )
+
+
+PRODUCE_COMPAT_SQL = f"""
+SELECT event_id,
+       '{{"labels":' || {_LABELS_SQL} ||
+       ',"name":"' || event_type ||
+       '","tenant_id":"' || tenant_id ||
+       '","timestamp":"' || {_RFC_SQL} ||
+       '","value":"' || {_VALUE_SQL} || '"}}' AS payload
+FROM ({_SAMPLES_SQL})
+"""
+
+
+def produce_serialize_avro(spark, sf_dir):
+    """C3 avro-json-compat wire payloads (expression tier; default schema
+    field order, tenant_id always present)."""
+    samples = samples_from_events(spark, sf_dir)
+    return samples.select(
+        "event_id",
+        serialize_avro_json_expr(
+            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+        ).alias("payload"),
+    )
+
+
+PRODUCE_AVRO_SQL = f"""
+SELECT event_id,
+       '{{"timestamp":"' || {_RFC_SQL} ||
+       '","value":"' || {_VALUE_SQL} ||
+       '","name":"' || event_type ||
+       '","labels":' || {_LABELS_SQL} ||
+       ',"tenant_id":"' || tenant_id || '"}}' AS payload
+FROM ({_SAMPLES_SQL})
+"""
+
+
+def consume_salted_tenant_totals(spark, sf_dir):
+    """Per-tenant totals via the two-phase salted aggregation (the skewed-
+    tenant scale path; result identical to a direct groupBy)."""
+    samples = samples_from_events(spark, sf_dir)
+    out = salted_agg(
+        samples,
+        ["tenant_id"],
+        {
+            "n_samples": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "min_ts": ("min", "timestamp"),
+            "max_ts": ("max", "timestamp"),
+        },
+        salt_on="event_id",
+        n_salts=16,
+    )
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
+CONSUME_SALTED_SQL = f"""
+SELECT tenant_id, count(event_id) AS n_samples, round(sum(value), 2) AS total_value,
+       min(timestamp) AS min_ts, max(timestamp) AS max_ts
+FROM ({_SAMPLES_SQL}) GROUP BY tenant_id
+"""
+
+
 def produce_partition_key(spark, sf_dir):
     """B7+B8: exact FNV-1 64 partition key (rows-only; pytest golden-checks
     byte parity against the pure-Python reference implementation)."""
@@ -175,15 +266,21 @@ FROM numbered GROUP BY tenant_id, batch_id
 QUERIES = {
     "produce_flatten": produce_flatten,
     "produce_serialize_json": produce_serialize_json,
+    "produce_serialize_compat": produce_serialize_compat,
+    "produce_serialize_avro": produce_serialize_avro,
     "produce_partition_key": produce_partition_key,
     "consume_sorted_labels": consume_sorted_labels,
     "consume_batching": consume_batching,
+    "consume_salted_tenant_totals": consume_salted_tenant_totals,
 }
 
 ORACLES = {
     "produce_flatten": PRODUCE_FLATTEN_SQL,
     "produce_serialize_json": PRODUCE_SERIALIZE_SQL,
+    "produce_serialize_compat": PRODUCE_COMPAT_SQL,
+    "produce_serialize_avro": PRODUCE_AVRO_SQL,
     # produce_partition_key: rows-only (FNV-1 not expressible in ANSI SQL)
     "consume_sorted_labels": CONSUME_SORTED_SQL,
     "consume_batching": CONSUME_BATCHING_SQL,
+    "consume_salted_tenant_totals": CONSUME_SALTED_SQL,
 }

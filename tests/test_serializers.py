@@ -178,3 +178,34 @@ def test_serialize_json_expr_matches_udf(spark):
     ).collect()
     for r in out:
         assert r.exact == r.expr
+
+
+def test_serialize_compat_avro_expr_match_udf(spark):
+    """C2/C3 expression tiers agree with the golden-byte UDF tier on
+    bounded-precision, non-empty-tenant data (the catalog envelope)."""
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        serialize_avro_json_expr,
+        serialize_col,
+        serialize_json_compat_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1704067798778, 185.22, {"__name__": "error", "k": "87"}, "13"),
+        (1000, 456.0, {"__name__": "foo", "labelfoo": "label-bar"}, "fake"),
+        (123450, 0.25, {"__name__": "m", "a": "b"}, "t1"),
+        (1704067200000, 7.5, {"__name__": "whole_second"}, "t2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp long, value double, labels map<string,string>, tenant_id string"
+    )
+    args = (F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id"))
+    out = df.select(
+        serialize_col("json-compat").alias("compat_exact"),
+        serialize_json_compat_expr(*args).alias("compat_expr"),
+        serialize_col("avro-json-compat").alias("avro_exact"),
+        serialize_avro_json_expr(*args).alias("avro_expr"),
+    ).collect()
+    for r in out:
+        assert r.compat_exact == r.compat_expr
+        assert r.avro_exact == r.avro_expr
