@@ -22,6 +22,7 @@ for module in (relational, events_batch, pipeline, docs_vectors):
 
 
 def flagship(spark, sf_dir):
-    """Produce-pipeline flagship (filled by plans.pipeline; placeholder is
-    the densest relational query until then)."""
-    return relational.q1_pricing_summary(spark, sf_dir)
+    """Produce-pipeline flagship: the reference's whole produce semantics
+    (A1 event ingest -> B4 tenant -> B1 sample projection -> C1 JSON wire
+    payloads) as one DataFrame query."""
+    return pipeline.produce_serialize_json(spark, sf_dir)

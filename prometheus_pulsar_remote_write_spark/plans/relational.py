@@ -485,6 +485,271 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- TPC-H-shaped additions (adapted to the synthetic columns) ----------------
+
+
+def q4_priority_with_returns(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated count by priority (semi join)."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: single-table filtered aggregate; fully pushed-down scan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim join."""
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+                / F.sum(disc_price),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING, top-N result.
+
+    Spark plan: lineitem aggregates first (partial+final hash agg), the
+    surviving keys join orders (small side after the filter -> AQE can
+    broadcast), customer is broadcast."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (tests predicate
+    normalization; the common l_partkey = p_partkey conjunct stays the
+    equi-join key so Catalyst still picks a hash join)."""
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def groupingsets_order_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): three chosen groupings."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+GROUPINGSETS_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus))
+"""
+
+
+def correlated_above_brand_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape: parts priced >= brand avg + 50.
+
+    Decorrelated the way an optimizer would: grouped brand averages
+    (25 rows) broadcast-joined back to part -- one scan + one BHJ, no
+    per-row subquery execution."""
+    (part,) = _t(spark, sf_dir, "part")
+    brand_avg = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), F.col("p_brand") == F.col("b_brand"))
+        .filter(F.col("p_retailprice") >= F.col("brand_avg") + 50)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.round("brand_avg", 4).alias("brand_avg"),
+        )
+    )
+
+
+CORRELATED_SQL = """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice,
+       round(brand_avg, 4) AS brand_avg
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+) WHERE p_retailprice >= brand_avg + 50
+"""
+
+
+# --- array / json scalar functions -------------------------------------------
+
+
+def array_functions_showcase(spark, sf_dir):
+    """Array-function surface over array<float> embeddings: size/element_at/
+    min/max, lambda transform+aggregate (sum), lambda filter (count>0) --
+    all JVM-side higher-order functions, no UDFs."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.filter(F.col("vec_id") <= 200).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sum_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+ARRAYFN_SQL = """
+SELECT vec_id,
+       len(embedding)                                              AS dim,
+       round(embedding[1]::DOUBLE, 6)                              AS first_val,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS sum_val,
+       round(list_max(embedding)::DOUBLE, 6)                       AS max_val,
+       round(list_min(embedding)::DOUBLE, 6)                       AS min_val,
+       len(list_filter(embedding, x -> x > 0))                     AS n_pos
+FROM embeddings WHERE vec_id <= 200
+"""
+
+
+def json_functions_showcase(spark, sf_dir):
+    """JSON path extraction + construction over events.props."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") <= 2000).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("j"),
+    )
+
+
+JSONFN_SQL = """
+SELECT event_id,
+       json_extract(props, '$.k')::INT AS k,
+       to_json(struct_pack(t := event_type, u := user_id)) AS j
+FROM events WHERE event_id <= 2000
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -503,6 +768,15 @@ QUERIES = {
     "agg_stats_by_status": agg_stats_by_status,
     "having_frequent_customers": having_frequent_customers,
     "pivot_status_by_priority": pivot_status_by_priority,
+    "q4_priority_with_returns": q4_priority_with_returns,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q19_disjunctive_join": q19_disjunctive_join,
+    "groupingsets_order_revenue": groupingsets_order_revenue,
+    "correlated_above_brand_avg": correlated_above_brand_avg,
+    "array_functions_showcase": array_functions_showcase,
+    "json_functions_showcase": json_functions_showcase,
 }
 
 ORACLES = {
@@ -523,4 +797,13 @@ ORACLES = {
     "agg_stats_by_status": AGG_STATS_SQL,
     "having_frequent_customers": HAVING_SQL,
     "pivot_status_by_priority": PIVOT_SQL,
+    "q4_priority_with_returns": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_volume_orders": Q18_SQL,
+    "q19_disjunctive_join": Q19_SQL,
+    "groupingsets_order_revenue": GROUPINGSETS_SQL,
+    "correlated_above_brand_avg": CORRELATED_SQL,
+    "array_functions_showcase": ARRAYFN_SQL,
+    "json_functions_showcase": JSONFN_SQL,
 }
