@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from ..functions.fnv import partition_key_col
 from ..functions.serializers import (
+    deserialize,
     serialize_avro_json_expr,
+    serialize_col,
     serialize_json_compat_expr,
     serialize_json_expr,
 )
@@ -199,6 +201,37 @@ FROM ({_SAMPLES_SQL}) GROUP BY tenant_id
 """
 
 
+def consume_deserialize_roundtrip(spark, sf_dir):
+    """C2 marshal -> C4 compat unmarshal as an inverse pair (the UDF
+    byte-parity tier; reference pkg/pulsar/serializers.go:35-61).
+
+    The oracle is the identity projection, so any drift in RFC3339Nano
+    formatting, Go float round-tripping, or the B6 __name__ backfill
+    flips the value hash."""
+    samples = samples_from_events(spark, sf_dir)
+    wire = samples.select(
+        serialize_col(
+            "json-compat",
+            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id"),
+        ).alias("payload")
+    )
+    back = deserialize(wire, "json-compat")
+    return back.filter(F.col("timestamp").isNotNull()).select(
+        "timestamp",
+        "value",
+        F.col("labels")["__name__"].alias("name"),
+        F.col("labels")["k"].alias("k"),
+        F.col("labels")["user"].alias("user_str"),
+        "tenant_id",
+    )
+
+
+CONSUME_DESERIALIZE_SQL = f"""
+SELECT timestamp, value, event_type AS name, k, user_str, tenant_id
+FROM ({_SAMPLES_SQL})
+"""
+
+
 def produce_partition_key(spark, sf_dir):
     """B7+B8: exact FNV-1 64 partition key (rows-only; pytest golden-checks
     byte parity against the pure-Python reference implementation)."""
@@ -272,6 +305,7 @@ QUERIES = {
     "consume_sorted_labels": consume_sorted_labels,
     "consume_batching": consume_batching,
     "consume_salted_tenant_totals": consume_salted_tenant_totals,
+    "consume_deserialize_roundtrip": consume_deserialize_roundtrip,
 }
 
 ORACLES = {
@@ -283,4 +317,5 @@ ORACLES = {
     "consume_sorted_labels": CONSUME_SORTED_SQL,
     "consume_batching": CONSUME_BATCHING_SQL,
     "consume_salted_tenant_totals": CONSUME_SALTED_SQL,
+    "consume_deserialize_roundtrip": CONSUME_DESERIALIZE_SQL,
 }
