@@ -387,8 +387,8 @@ SELECT p_partkey,
        lpad(p_partkey::VARCHAR, 8, '0')           AS key_padded,
        abs(p_size - 25)                           AS size_dist,
        p_size % 7                                 AS size_mod,
-       floor(p_retailprice)                       AS price_floor,
-       ceil(p_retailprice)                        AS price_ceil,
+       floor(p_retailprice)::BIGINT               AS price_floor,
+       ceil(p_retailprice)::BIGINT                AS price_ceil,
        round(sqrt(p_retailprice), 6)              AS price_sqrt,
        reverse(p_brand)                           AS brand_rev,
        translate(p_type, 'aeiou', 'AEIOU')        AS type_vowels
@@ -478,9 +478,9 @@ def pivot_status_by_priority(spark, sf_dir):
 
 PIVOT_SQL = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
 FROM orders GROUP BY o_orderpriority
 """
 

@@ -102,6 +102,12 @@ def load_tables(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     no caching here -- callers decide what to persist.
     """
     names = names or TESTDATA_TABLES
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark rejects
+    # outright unless this legacy flag is on. It is runtime-settable, and the
+    # driver hands us a session it built itself, so set it here -- not only in
+    # our own get_spark() -- or every events-based query fails with
+    # PARQUET_TYPE_ILLEGAL on a foreign session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -46,13 +46,17 @@ BATCH_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-#: state: buffered samples (columnar lists) + next batch seq
+#: state: buffered samples (columnar lists) + next batch seq + the flush
+#: deadline (epoch ms) fixed when the buffer first became non-empty --
+#: mirrors the reference's deadlinePerTenantID (write.go:35-43, 146-157),
+#: which is created once per buffer lifetime, NOT refreshed per arrival.
 BATCH_STATE_SCHEMA = T.StructType(
     [
         T.StructField("timestamps", T.ArrayType(T.LongType()), True),
         T.StructField("values", T.ArrayType(T.DoubleType()), True),
         T.StructField("labels", T.ArrayType(T.StringType()), True),
         T.StructField("next_seq", T.LongType(), True),
+        T.StructField("deadline_ms", T.LongType(), True),
     ]
 )
 
@@ -63,15 +67,15 @@ def _make_batch_fn(batch_size: int, max_delay_ms: int):
     ) -> Iterator[pd.DataFrame]:
         (tenant_id,) = key
         if state.exists:
-            ts_buf, val_buf, lbl_buf, next_seq = state.get
+            ts_buf, val_buf, lbl_buf, next_seq, deadline = state.get
             ts_buf, val_buf, lbl_buf = list(ts_buf), list(val_buf), list(lbl_buf)
         else:
-            ts_buf, val_buf, lbl_buf, next_seq = [], [], [], 0
+            ts_buf, val_buf, lbl_buf, next_seq, deadline = [], [], [], 0, None
 
         out_rows: list[dict[str, Any]] = []
 
         def flush(reason: str) -> None:
-            nonlocal ts_buf, val_buf, lbl_buf, next_seq
+            nonlocal ts_buf, val_buf, lbl_buf, next_seq, deadline
             take = batch_size if reason == "size" else len(ts_buf)
             for i in range(take):
                 out_rows.append(
@@ -86,13 +90,17 @@ def _make_batch_fn(batch_size: int, max_delay_ms: int):
                 )
             ts_buf, val_buf, lbl_buf = ts_buf[take:], val_buf[take:], lbl_buf[take:]
             next_seq += 1
+            # flushed samples owned the deadline; any remainder starts a
+            # fresh buffer lifetime below
+            deadline = None
 
         if state.hasTimedOut:
-            # delay trigger (write.go:162-181): flush whatever is buffered
+            # delay trigger (write.go:162-181): flush whatever is buffered.
+            # update -- never remove -- so next_seq survives; removing state
+            # here would restart batch_seq at 0 for the tenant.
             if ts_buf:
                 flush("delay")
-            state.update((ts_buf, val_buf, lbl_buf, next_seq))
-            state.remove()
+            state.update((ts_buf, val_buf, lbl_buf, next_seq, None))
         else:
             for pdf in pdfs:
                 ts_buf.extend(int(x) for x in pdf["timestamp"])
@@ -100,10 +108,15 @@ def _make_batch_fn(batch_size: int, max_delay_ms: int):
                 lbl_buf.extend(str(x) for x in pdf["labels_json"])
                 while len(ts_buf) >= batch_size:  # size trigger
                     flush("size")
-            state.update((ts_buf, val_buf, lbl_buf, next_seq))
+            now = state.getCurrentProcessingTimeMs()
+            if ts_buf and deadline is None:
+                # deadline is fixed when the buffer transitions from empty
+                # (reference write.go:146-157); a steady trickle must NOT
+                # push it back, or the flush is postponed indefinitely
+                deadline = now + max_delay_ms
+            state.update((ts_buf, val_buf, lbl_buf, next_seq, deadline))
             if ts_buf:
-                # oldest buffered sample must flush within max_delay
-                state.setTimeoutDuration(max_delay_ms)
+                state.setTimeoutDuration(max(int(deadline - now), 1))
 
         yield pd.DataFrame(
             out_rows, columns=[f.name for f in BATCH_OUTPUT_SCHEMA.fields]

@@ -98,6 +98,9 @@ def build_write_request_bodies(batch_df: DataFrame) -> list:
         }
         body = snappy_codec.compress(prompb.encode_write_request(req))
         out.append((row.tenant_id, row.batch_seq, body, len(row.timeseries)))
+    # deterministic POST order so a partially-failed attempt settles the
+    # same prefix on every replay
+    out.sort(key=lambda t: (t[0], t[1]))
     return out
 
 
@@ -118,6 +121,19 @@ class RemoteWriteSink:
     sent: dict = field(default_factory=dict)   # tenant -> samples sent
     failed: dict = field(default_factory=dict)  # tenant -> samples dropped
     metrics: object = None  # optional operators.metrics.DeliveryMetrics
+    ledger_dir: str | None = None  # settled-batch markers; default under dlq_dir
+
+    def _ledger(self) -> str:
+        return self.ledger_dir or os.path.join(self.dlq_dir, "_sent_ledger")
+
+    def _marker(self, epoch_id: int, tenant_id: str, batch_seq) -> str:
+        name = f"epoch={epoch_id}-tenant={tenant_id or '_none'}-batch={batch_seq}"
+        return os.path.join(self._ledger(), name)
+
+    def _settle(self, epoch_id: int, tenant_id: str, batch_seq) -> None:
+        os.makedirs(self._ledger(), exist_ok=True)
+        with open(self._marker(epoch_id, tenant_id, batch_seq), "w"):
+            pass
 
     def _post(self, tenant_id: str, body: bytes) -> int:
         headers = {
@@ -138,6 +154,14 @@ class RemoteWriteSink:
 
         batched = microbatch_batches(batch_df, self.batch_size)
         for tenant_id, batch_seq, body, n in build_write_request_bodies(batched):
+            # A replayed micro-batch (after a RecoverableError aborted a
+            # previous attempt) must not re-POST batches that already got a
+            # 2xx or were DLQ'd: the reference only retains un-acked samples
+            # (write.go:208-236). batch_seq is deterministic per epoch
+            # (row_number over a stable sort), so the marker identifies the
+            # same batch across attempts.
+            if os.path.exists(self._marker(epoch_id, tenant_id, batch_seq)):
+                continue
             if self.metrics is not None:
                 self.metrics.count_received(tenant_id, n)
             try:
@@ -162,10 +186,12 @@ class RemoteWriteSink:
                 self.failed[tenant_id] = self.failed.get(tenant_id, 0) + n
                 if self.metrics is not None:
                     self.metrics.count_failed(tenant_id, n)
+                self._settle(epoch_id, tenant_id, batch_seq)  # ack-and-drop
                 continue
             self.sent[tenant_id] = self.sent.get(tenant_id, 0) + n
             if self.metrics is not None:
                 self.metrics.count_sent(tenant_id, n)
+            self._settle(epoch_id, tenant_id, batch_seq)
 
 
 def run_consume_pipeline(

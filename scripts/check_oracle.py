@@ -43,13 +43,6 @@ def _norm_cell(v):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
     return v
 
 
@@ -61,12 +54,17 @@ def _rows_sortable(rows):
 
 
 def _cells_equal(a, b):
-    if isinstance(a, float) and isinstance(b, (float, int)):
+    # TYPE-STRICT, like the driver's value-hash: an int64 on one side and a
+    # float/Decimal on the other hashes differently even when numerically
+    # equal (bit us in round 1 on floor()/ceil() and sum(CASE...)).
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, float):
         if math.isinf(a) or math.isinf(b):
             return a == b
-        return abs(a - float(b)) <= 1e-9 * max(1.0, abs(a), abs(float(b)))
-    if isinstance(b, float) and isinstance(a, int):
-        return _cells_equal(float(a), b)
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     return a == b
 
 

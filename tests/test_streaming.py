@@ -162,7 +162,8 @@ def test_consume_unrecoverable_goes_to_dlq(spark, tmp_path):
 
     assert sum(sink.failed.values()) == n_good
     assert not sink.sent
-    assert len(os.listdir(dlq)) == 2  # one body per tenant
+    bodies = [f for f in os.listdir(dlq) if f.endswith(".bin")]
+    assert len(bodies) == 2  # one body per tenant
 
 
 def test_consume_recoverable_replays_batch(spark, tmp_path):
@@ -397,3 +398,141 @@ def test_streaming_session_windows(spark, tmp_path):
     assert s_rows  # sessions were emitted
     for k, v in s_rows.items():
         assert b_rows[k] == v
+
+
+# --- batcher deadline semantics (fake state; no streaming machinery) ---------
+
+
+class _FakeState:
+    """Just enough of GroupState for _make_batch_fn: injectable clock."""
+
+    def __init__(self, now_ms: int = 0):
+        self.exists = False
+        self._val = None
+        self.hasTimedOut = False
+        self.now_ms = now_ms
+        self.timeout_set = None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+        self.exists = True
+
+    def remove(self):
+        self._val = None
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+
+def _feed(fn, state, n, t0=0):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "timestamp": [t0 + i for i in range(n)],
+            "value": [float(i) for i in range(n)],
+            "labels_json": ["{}"] * n,
+        }
+    )
+    return pd.concat(list(fn(("team-a",), iter([pdf]), state)), ignore_index=True)
+
+
+def test_batcher_trickle_does_not_postpone_deadline():
+    """Reference fixes the flush deadline when the buffer is first created
+    (write.go deadlinePerTenantID); a steady sub-batch-size trickle must not
+    re-arm the full delay on every arrival."""
+    from prometheus_pulsar_remote_write_spark.streaming.batcher import _make_batch_fn
+
+    fn = _make_batch_fn(batch_size=100, max_delay_ms=5000)
+    state = _FakeState(now_ms=0)
+    _feed(fn, state, 1)
+    assert state.timeout_set == 5000  # first sample: full delay
+
+    state.now_ms = 3000
+    _feed(fn, state, 1)
+    assert state.timeout_set == 2000  # NOT re-armed to 5000
+
+    state.now_ms = 4900
+    _feed(fn, state, 1)
+    assert state.timeout_set == 100
+
+    # past-due deadline still arms a positive (immediate) timeout
+    state.now_ms = 6000
+    _feed(fn, state, 1)
+    assert state.timeout_set == 1
+
+
+def test_batcher_seq_survives_delay_flush():
+    """state.remove() after a delay flush would restart batch_seq at 0; the
+    seq must keep increasing across buffer lifetimes."""
+    import pandas as pd
+
+    from prometheus_pulsar_remote_write_spark.streaming.batcher import _make_batch_fn
+
+    fn = _make_batch_fn(batch_size=10, max_delay_ms=5000)
+    state = _FakeState(now_ms=0)
+    _feed(fn, state, 3)
+
+    state.hasTimedOut = True
+    out = pd.concat(list(fn(("team-a",), iter([]), state)), ignore_index=True)
+    assert list(out["batch_seq"].unique()) == [0]
+    assert set(out["flush_reason"]) == {"delay"}
+    assert state.exists  # kept, not removed
+
+    state.hasTimedOut = False
+    state.now_ms = 10_000
+    out2 = _feed(fn, state, 10)
+    assert list(out2["batch_seq"].unique()) == [1]  # continues, not reset
+    assert state.timeout_set is not None  # empty buffer after size flush
+    # new buffer lifetime: deadline re-initialized from now
+    _, _, _, next_seq, deadline = state.get
+    assert next_seq == 2
+    assert deadline is None  # size flush emptied the buffer
+
+
+def test_sink_replay_skips_settled_batches(spark, tmp_path):
+    """D5 replay must not re-POST tenant batches that already got a 2xx in a
+    failed attempt of the same epoch (reference write.go:208-236 keeps only
+    un-acked samples)."""
+    in_dir = str(tmp_path / "in")
+    msgs, n_good = _sample_messages()
+    _write_messages(in_dir, msgs)
+    checkpoint = str(tmp_path / "ckpt")
+    dlq = str(tmp_path / "dlq")
+
+    calls = []
+
+    def flaky_post(url, body, headers):
+        org = headers.get("X-Scope-OrgID", "")
+        calls.append(org)
+        # bodies POST in (tenant, seq) order: "" first, then team-a.
+        # First attempt: "" gets a 200, team-a gets a 503 -> replay.
+        if org == "":
+            return 200
+        return 503
+
+    sink = RemoteWriteSink(url="http://s", dlq_dir=dlq, post_fn=flaky_post, batch_size=100)
+    q = run_consume_pipeline(spark, in_dir, sink, str(tmp_path / "poison"), checkpoint_dir=checkpoint)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()  # micro-batch failed -> will replay
+
+    ok = RemoteWriteSink(url="http://s", dlq_dir=dlq, post_fn=lambda u, b, h: 200, batch_size=100)
+    q2 = run_consume_pipeline(spark, in_dir, ok, str(tmp_path / "poison"), checkpoint_dir=checkpoint)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    # replay delivered ONLY the unsettled team-a batch; the settled ""
+    # batch was not re-POSTed (no duplicate delivery)
+    assert ok.sent == {"team-a": 7}
+    assert sink.sent == {"": 3}
+    assert calls.count("") == 1  # exactly one POST for the settled tenant
