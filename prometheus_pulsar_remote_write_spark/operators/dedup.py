@@ -172,3 +172,114 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    sig_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate join + exact Hamming filter.
+
+    Splitting a ``sig_bits`` fingerprint into ``bands`` equal slices
+    guarantees (pigeonhole) that any pair within Hamming distance
+    ``bands - 1`` agrees on at least one whole band, so the candidate set
+    from the per-band equi-join is lossless for ``max_hamming <= bands-1``.
+    The join shuffles on (band_id, band_value) -- never O(n^2) -- and the
+    final ``bit_count(a XOR b)`` check is one codegen'd expression.
+
+    16-bit signatures keep the DuckDB oracle exact; production would use
+    64-bit simhash with 8 bands -- the plan shape is identical.
+    """
+    assert sig_bits % bands == 0 and max_hamming <= bands - 1
+    width = sig_bits // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col(sig_col), b * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, sig_col, "band.band_id", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{sig_col}").alias("sig_a"),
+            F.col(f"r.{sig_col}").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_index_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup WITHOUT LSH: inverted-index set join.
+
+    explode(shingles) -> self-equi-join on the shingle -> count common
+    shingles per pair -> jaccard = common / (|A| + |B| - common). Only
+    pairs sharing >= 1 shingle ever materialize, so the work is
+    sum_s df(s)^2 over shingle document-frequencies -- the standard
+    set-similarity-join bound -- instead of n^2. All shuffles are
+    equi-joins on shingle/id keys Catalyst plans as hash joins; at 100 TB
+    add a document-frequency cap on boilerplate shingles (candidate
+    recall is preserved for any pair that shares one sub-cap shingle).
+    """
+    sets = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    counts = sets.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    common = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

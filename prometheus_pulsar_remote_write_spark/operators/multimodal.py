@@ -105,3 +105,55 @@ def decode_media(
             yield out
 
     return df.mapInPandas(_decode, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "media",
+    frame_bytes: int = 64,
+    every_nth: int = 4,
+) -> DataFrame:
+    """Frame sampling for video/audio payloads (decode stand-in).
+
+    Treats the binary payload as a sequence of ``frame_bytes`` chunks
+    ("frames"), keeps every ``every_nth`` one, and emits per-row
+    (n_frames, n_sampled, frame_checksums). A real codec would replace
+    the chunking with actual frame extraction; the Arrow batch shape,
+    output schema, and partition behavior (narrow stage, no shuffle) are
+    exactly what the real thing needs.
+    """
+    import hashlib
+
+    keep_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        keep_fields
+        + [
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("n_sampled", T.IntegerType(), True),
+            T.StructField("frame_checksums", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    keep = [f.name for f in keep_fields]
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            n_frames, n_sampled, checksums = [], [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                nf = (len(data) + frame_bytes - 1) // frame_bytes
+                picked = [
+                    hashlib.md5(
+                        data[i * frame_bytes : (i + 1) * frame_bytes]
+                    ).hexdigest()
+                    for i in range(0, nf, every_nth)
+                ]
+                n_frames.append(nf)
+                n_sampled.append(len(picked))
+                checksums.append(picked)
+            out["n_frames"] = pd.array(n_frames, dtype="Int32")
+            out["n_sampled"] = pd.array(n_sampled, dtype="Int32")
+            out["frame_checksums"] = checksums
+            yield out
+
+    return df.mapInPandas(_sample, out_schema)

@@ -163,14 +163,16 @@ def winnow_fingerprints(
     ).drop("__kgram_hashes")
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash fingerprint from md5 nibbles of distinct tokens.
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint (<= 32 bits) from md5 nibbles of distinct tokens.
 
     For bit i, sum +1/-1 over tokens according to whether the i-th hex
     nibble of md5(token) is >= '8'; bit set iff the sum is positive.
     md5 is available and byte-identical in both Spark and DuckDB, which
-    makes this near-dup fingerprint oracle-checkable.
+    makes this near-dup fingerprint oracle-checkable. md5 has 32 hex
+    nibbles, so bits <= 32.
     """
+    assert 1 <= bits <= 32
     toks = F.array_distinct(tokens_col(text))
     bit_vals = [
         F.when(
@@ -181,11 +183,15 @@ def simhash16(text: Column) -> Column:
                 + F.when(F.substring(F.md5(t), i + 1, 1) >= "8", 1).otherwise(-1),
             )
             > 0,
-            F.lit(1 << (15 - i)),
-        ).otherwise(F.lit(0))
-        for i in range(16)
+            F.lit(1 << (bits - 1 - i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
     ]
     total = bit_vals[0]
     for b in bit_vals[1:]:
         total = total + b
     return total
+
+
+def simhash16(text: Column) -> Column:
+    return simhash(text, 16)

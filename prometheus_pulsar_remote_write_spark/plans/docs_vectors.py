@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from ..operators import multimodal
 from ..operators.dedup import (
     exact_dedup,
+    jaccard_index_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_band_pairs,
 )
 from ..operators.similarity import (
     _hyperplane_signs,
@@ -32,6 +34,7 @@ from ..operators.text import (
     bpe_tokens_col,
     language_id,
     quality_features,
+    simhash,
     simhash16,
     tokens_col,
     winnow_fingerprints,
@@ -210,11 +213,11 @@ def docs_simhash16(spark, sf_dir):
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = 16) -> str:
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(dtk, t -> substr(md5(t), {i + 1}, 1) >= '8'))"
-        f" - len(dtk) > 0 THEN {1 << (15 - i)} ELSE 0 END)"
-        for i in range(16)
+        f" - len(dtk) > 0 THEN {1 << (bits - 1 - i)}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
     )
     return f"""
 SELECT doc_id, {terms} AS simhash
@@ -223,6 +226,54 @@ FROM (SELECT doc_id, list_distinct(tk) AS dtk FROM ({_TOKS_SQL}))
 
 
 SIMHASH_SQL = _simhash_sql()
+
+
+def docs_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: 32-bit fingerprint, 8-bit band join,
+    Hamming <= 2 filter (16 bits is too coarse on a small shared
+    vocabulary -- everything collides)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sigs = docs.select("doc_id", simhash(F.col("text"), 32).alias("simhash"))
+    return simhash_band_pairs(sigs, sig_bits=32, bands=4, max_hamming=2)
+
+
+SIMHASH_NEARDUP_SQL = f"""
+WITH sigs AS ({_simhash_sql(32)}),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {b} AS band_id, (simhash // {1 << (8 * b)}) % 256 AS band_val FROM sigs"
+      for b in range(4)
+  )}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sig_a, r.simhash AS sig_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+"""
+
+
+def docs_jaccard_index_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard dedup via inverted-index set join (no LSH)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return jaccard_index_pairs(docs, threshold=0.7)
+
+
+JACCARD_INDEX_SQL = f"""
+WITH sh AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.7
+"""
 
 
 # --- F3: similarity search --------------------------------------------------------
@@ -436,6 +487,32 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 """
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Video/audio frame-sampling plumbing: binary payload -> every-4th
+    64-byte frame checksum via Arrow-batched mapInPandas (decode stubbed,
+    batch shape real)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "UTF-8"), media_type="video/mp4"
+    )
+    sampled = multimodal.sample_frames(with_media, frame_bytes=64, every_nth=4)
+    return sampled.select("doc_id", "n_frames", "n_sampled", "frame_checksums")
+
+
+# documents.text is ASCII, so byte offsets == char offsets and the chunking
+# is exactly reproducible with substr over the text column.
+FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       nf::INT                                        AS n_frames,
+       len(range(0, nf, 4))::INT                      AS n_sampled,
+       list_transform(range(0, nf, 4),
+                      i -> md5(substr(text, (i * 64 + 1)::INT, 64))) AS frame_checksums
+FROM (SELECT doc_id, text,
+             (length(text) + 63) // 64 AS nf
+      FROM documents)
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_token_stats": docs_token_stats,
@@ -451,6 +528,9 @@ QUERIES = {
     "docs_bpe_token_stats": docs_bpe_token_stats,
     "docs_fingerprints": docs_fingerprints,
     "multimodal_meta": multimodal_meta,
+    "docs_simhash_neardup": docs_simhash_neardup,
+    "docs_jaccard_index_pairs": docs_jaccard_index_pairs,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -468,4 +548,7 @@ ORACLES = {
     "docs_bpe_token_stats": DOCS_BPE_SQL,
     "docs_fingerprints": DOCS_FINGERPRINTS_SQL,
     "multimodal_meta": MULTIMODAL_SQL,
+    "docs_simhash_neardup": SIMHASH_NEARDUP_SQL,
+    "docs_jaccard_index_pairs": JACCARD_INDEX_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
 }
