@@ -195,3 +195,43 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
 def simhash16(text: Column) -> Column:
     return simhash(text, 16)
+
+
+def winnow_fingerprints_batch(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """Arrow-batched winnowing: one pass per document in a pandas UDF.
+
+    Byte-identical to ``winnow_fingerprints`` (same k-gram md5s, same
+    window-min + distinct + sort -- parity is pytest-asserted), but the
+    expression tier re-slices the hash array per window under the
+    interpreter while this hashes each k-gram exactly once per document.
+    Narrow stage, no shuffle; scales with input partitions.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("fingerprints", T.ArrayType(T.StringType()), True)]
+    )
+
+    def _winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col]:
+                s = text or ""
+                if len(s) < k:
+                    fps.append([])
+                    continue
+                hs = [md5(s[i : i + k].encode()).hexdigest() for i in range(len(s) - k + 1)]
+                if len(hs) < w:
+                    fps.append([])
+                    continue
+                fps.append(sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)}))
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
+
+    return df.select(id_col, text_col).mapInPandas(_winnow, out_schema)

@@ -37,9 +37,17 @@ from ..operators.text import (
     simhash,
     simhash16,
     tokens_col,
-    winnow_fingerprints,
+    winnow_fingerprints_batch,
 )
 from ..schema import load_tables
+
+def _docs_spread(spark, sf_dir):
+    """documents, repartitioned to all cores: the testdata parquet is one
+    row group (unsplittable scan), and the per-doc hashing stages are
+    CPU-bound -- a tiny shuffle buys full parallelism."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
 
 _TOKS_SQL = """
   SELECT doc_id, lang, source, n_chars, text,
@@ -168,7 +176,7 @@ LANGID_SQL = _langid_sql()
 
 
 def docs_minhash_signatures(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_spread(spark, sf_dir)
     sigs = minhash_signatures(docs, num_hashes=N_MINHASH)
     # docs shorter than the shingle width have no signature
     return sigs.filter(F.col("mh0").isNotNull())
@@ -179,7 +187,7 @@ MINHASH_SQL = f"SELECT * FROM ({_SIGS_SQL})"
 
 def docs_neardup_pairs(spark, sf_dir):
     """Banded MinHash LSH candidates filtered by exact shingle Jaccard."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_spread(spark, sf_dir)
     sigs = minhash_signatures(docs, num_hashes=N_MINHASH).filter(
         F.col("mh0").isNotNull()
     )
@@ -209,7 +217,7 @@ WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
 
 
 def docs_simhash16(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_spread(spark, sf_dir)
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
@@ -232,7 +240,7 @@ def docs_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: 32-bit fingerprint, 8-bit band join,
     Hamming <= 2 filter (16 bits is too coarse on a small shared
     vocabulary -- everything collides)."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_spread(spark, sf_dir)
     sigs = docs.select("doc_id", simhash(F.col("text"), 32).alias("simhash"))
     return simhash_band_pairs(sigs, sig_bits=32, bands=4, max_hamming=2)
 
@@ -258,7 +266,7 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
 
 def docs_jaccard_index_pairs(spark, sf_dir):
     """Exact n-gram Jaccard dedup via inverted-index set join (no LSH)."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = _docs_spread(spark, sf_dir)
     return jaccard_index_pairs(docs, threshold=0.7)
 
 
@@ -412,9 +420,12 @@ FROM ({_TOKS_SQL})
 
 
 def docs_fingerprints(spark, sf_dir):
-    """Winnowed k-gram document fingerprints (k=8 chars, window 4)."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return winnow_fingerprints(docs).select(
+    """Winnowed k-gram document fingerprints (k=8 chars, window 4).
+
+    Arrow-batched path; parity with the expression-tier
+    ``winnow_fingerprints`` is pytest-asserted."""
+    docs = _docs_spread(spark, sf_dir)
+    return winnow_fingerprints_batch(docs).select(
         "doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints"
     )
 

@@ -34,6 +34,11 @@ from ..schema import load_tables
 #: shared event->sample projection (the A1+B4 edge in batch form)
 def samples_from_events(spark, sf_dir):
     ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # NOTE: no repartition here even though the single-row-group testdata
+    # scan cannot split -- the sample projection/serialization is cheap
+    # codegen'd expression work, and a 1M-row shuffle costs more than the
+    # lost parallelism (measured: +0.8s on produce_serialize_json at
+    # sf0.1). CPU-heavy Python stages (docs hashing) DO repartition.
     return ev.select(
         (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
             "timestamp"
@@ -66,8 +71,15 @@ def produce_flatten(spark, sf_dir):
     projection -- this checks explode/map_from_entries/collect_list
     semantics end to end.
     """
-    samples = samples_from_events(spark, sf_dir).drop("event_id")
-    nested = nest_samples(samples, ["tenant_id"])
+    samples = samples_from_events(spark, sf_dir)
+    # nest per BOUNDED chunk, like the reference's per-flush batches
+    # (write.go:67-69: <= BatchSize samples per WriteRequest) -- nesting a
+    # whole tenant would collect_list 10% of the table into one row and cap
+    # parallelism at the tenant count
+    chunked = samples.withColumn("chunk", (F.col("event_id") % 256).cast("int")).drop(
+        "event_id"
+    )
+    nested = nest_samples(chunked, ["tenant_id", "chunk"])
     flat = flatten_write_requests(nested, ["tenant_id"])
     return flat.select(
         "timestamp",

@@ -104,3 +104,48 @@ def test_exact_dedup_deterministic(spark):
     )
     out = exact_dedup(df, ["k"], ["v", "id"]).collect()
     assert {(r.k, r.id) for r in out} == {("a", 2), ("b", 3)}
+
+
+def test_winnow_batch_matches_expression_tier(spark):
+    """winnow_fingerprints_batch must be byte-identical to the
+    expression-tier winnow_fingerprints (same k-gram md5s, window mins)."""
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_batch,
+    )
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])[
+        "documents"
+    ].limit(50)
+    expr = {
+        r.doc_id: r.fingerprints
+        for r in winnow_fingerprints(docs).select("doc_id", "fingerprints").collect()
+    }
+    batch = {
+        r.doc_id: r.fingerprints
+        for r in winnow_fingerprints_batch(docs).collect()
+    }
+    assert expr == batch and len(expr) == 50
+
+
+def test_simhash_band_pairs_lossless_for_small_hamming(spark):
+    """Pigeonhole: banded candidates must equal the brute-force pair set
+    for hamming <= bands-1."""
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.operators.dedup import simhash_band_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 0b1010_0110_1100_0011), (2, 0b1010_0110_1100_0001),  # d=1
+         (3, 0b1010_0110_0000_0011),                               # d(1,3)=2
+         (4, 0b0101_1001_0011_1100)],                              # far
+        "doc_id int, simhash long",
+    )
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs(sigs, sig_bits=16, bands=4, max_hamming=3).collect()
+    }
+    assert out == {(1, 2): 1, (1, 3): 2, (2, 3): 3}
