@@ -1,0 +1,140 @@
+"""Custom Python DataSource tests (SURVEY.md §2.A A1/A2): the
+remote_write_blobs source and message_bus sink drive the same wire bytes
+as the file-based pipelines, via spark.read/readStream/write/writeStream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from prometheus_pulsar_remote_write_spark.operators.flatten import flatten_write_requests
+from prometheus_pulsar_remote_write_spark.sources import datasource, prompb, snappy_codec
+from prometheus_pulsar_remote_write_spark.sources.remote_write import decode_remote_write
+
+
+def _spool_body(path: str, n_samples: int) -> None:
+    req = {
+        "timeseries": [
+            {
+                "labels": [{"name": "__name__", "value": "up"}, {"name": "i", "value": str(i)}],
+                "samples": [{"value": float(i), "timestamp": 1000 + i}],
+            }
+            for i in range(n_samples)
+        ]
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(snappy_codec.compress(prompb.encode_write_request(req)))
+
+
+def test_blob_source_batch_read_and_decode(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    _spool_body(os.path.join(spool, "team-a", "req1.bin"), 3)
+    _spool_body(os.path.join(spool, "team-a", "req2.bin"), 2)
+    _spool_body(os.path.join(spool, "team-b", "req3.bin"), 4)
+
+    datasource.register(spark)
+    raw = spark.read.format("remote_write_blobs").option("path", spool).load()
+    assert raw.count() == 3
+    tenants = {r.tenant_dir for r in raw.select("tenant_dir").collect()}
+    assert tenants == {"team-a", "team-b"}
+
+    decoded = decode_remote_write(raw, body_col="content", keep_cols=["tenant_dir"])
+    samples = flatten_write_requests(decoded, ["tenant_dir"])
+    per_tenant = {
+        r.tenant_dir: r.n
+        for r in samples.groupBy("tenant_dir").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_tenant == {"team-a": 5, "team-b": 4}
+
+
+def test_blob_source_streaming_picks_up_new_files(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    _spool_body(os.path.join(spool, "team-a", "req1.bin"), 2)
+
+    datasource.register(spark)
+    stream = (
+        spark.readStream.format("remote_write_blobs").option("path", spool).load()
+    )
+    q = (
+        stream.select("path", "tenant_dir", F.length("content").alias("n_bytes"))
+        .writeStream.format("memory")
+        .queryName("blobs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM blobs").count() >= 1:
+                break
+            time.sleep(0.5)
+        assert spark.sql("SELECT * FROM blobs").count() == 1
+
+        # a newly spooled body must arrive in a later micro-batch
+        _spool_body(os.path.join(spool, "team-b", "req2.bin"), 1)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM blobs").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM blobs").collect()
+        assert len(rows) == 2
+        assert {r.tenant_dir for r in rows} == {"team-a", "team-b"}
+        assert all(r.n_bytes > 0 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_message_bus_batch_write_commit_visibility(spark, tmp_path):
+    out = str(tmp_path / "bus")
+    datasource.register(spark)
+    df = spark.createDataFrame(
+        [("k1", "p1", "a"), ("k2", "p2", "b"), ("k3", "p3", "a")],
+        "key string, payload string, tenant_id string",
+    ).repartition(2)
+    df.write.format("message_bus").option("path", out).mode("append").save()
+
+    files = os.listdir(out)
+    assert files and all(not f.startswith("_staged") for f in files)
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert {(r["key"], r["payload"], r["tenant_id"]) for r in rows} == {
+        ("k1", "p1", "a"),
+        ("k2", "p2", "b"),
+        ("k3", "p3", "a"),
+    }
+
+
+def test_message_bus_stream_write(spark, tmp_path):
+    out = str(tmp_path / "bus")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "in.jsonl"), "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"key": f"k{i}", "payload": f"p{i}", "tenant_id": "t"}) + "\n")
+
+    datasource.register(spark)
+    stream = spark.readStream.schema("key string, payload string, tenant_id string").json(src)
+    q = (
+        stream.writeStream.format("message_bus")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = []
+    for f in os.listdir(out):
+        assert not f.startswith("_staged")
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert {r["key"] for r in rows} == {f"k{i}" for i in range(5)}
