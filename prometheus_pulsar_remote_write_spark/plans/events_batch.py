@@ -160,12 +160,155 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_asof_attribution(spark, sf_dir):
+    """As-of join: each purchase event gets the latest view event by the
+    same user at-or-before the purchase time (attribution semantics).
+    Union-tag + per-user sort plan -- see operators/asof.py; the oracle is
+    DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="view_ts",
+        right_cols=["view_event_id", "view_ts"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_s"),
+        F.round("value", 2).alias("purchase_value"),
+        "view_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")).alias("view_age_s"),
+    )
+
+
+ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       epoch_ms(p.ts) // 1000 AS purchase_s,
+       round(p.value, 2) AS purchase_value,
+       v.view_event_id,
+       epoch_ms(p.ts) // 1000 - epoch_ms(v.view_ts) // 1000 AS view_age_s
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
+
+def events_range_join_conversions(spark, sf_dir):
+    """Banded range join: purchases by the same user within 30 minutes
+    AFTER a signup (conversion pairs). operators/asof.py range_join; the
+    oracle is the plain inequality join (fine at oracle scale)."""
+    from ..operators.asof import range_join
+
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("signup_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = range_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        left_time="signup_ts",
+        right_time="purchase_ts",
+        lower_s=0,
+        upper_s=1800,
+    )
+    return pairs.select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("delay_s"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+           FROM events WHERE event_type = 'signup'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT signup_id, purchase_id, s.user_id,
+       epoch_ms(purchase_ts) // 1000 - epoch_ms(signup_ts) // 1000 AS delay_s
+FROM s JOIN p ON s.user_id = p.user_id
+WHERE epoch_ms(purchase_ts) // 1000 - epoch_ms(signup_ts) // 1000 BETWEEN 0 AND 1800
+"""
+
+
+def events_multires_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: one pass produces minute,
+    hour, and day aggregates via GROUPING SETS over aligned buckets (the
+    continuous-aggregate pattern; partial aggregation is map-side, one
+    shuffle for all three resolutions)."""
+    ev = _events(spark, sf_dir)
+    ep = F.unix_timestamp("ts")
+    bucketed = ev.select(
+        (F.floor(ep / 60) * 60).alias("minute_b"),
+        (F.floor(ep / 3600) * 3600).alias("hour_b"),
+        (F.floor(ep / 86400) * 86400).alias("day_b"),
+        "event_type",
+        "value",
+    )
+    return (
+        bucketed.groupingSets(
+            [["minute_b"], ["hour_b"], ["day_b"]],
+            "minute_b",
+            "hour_b",
+            "day_b",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("minute_b", F.lit(-1)).alias("minute_b"),
+            F.coalesce("hour_b", F.lit(-1)).alias("hour_b"),
+            F.coalesce("day_b", F.lit(-1)).alias("day_b"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+MULTIRES_SQL = """
+WITH b AS (
+  SELECT (epoch_ms(ts) // 1000 // 60) * 60 AS minute_b,
+         (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_b,
+         (epoch_ms(ts) // 1000 // 86400) * 86400 AS day_b,
+         value
+  FROM events
+)
+SELECT coalesce(minute_b, -1) AS minute_b, coalesce(hour_b, -1) AS hour_b,
+       coalesce(day_b, -1) AS day_b,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM b GROUP BY GROUPING SETS ((minute_b), (hour_b), (day_b))
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessionization": events_sessionization,
     "events_dedup_per_minute": events_dedup_per_minute,
     "events_type_value_buckets": events_type_value_buckets,
+    "events_asof_attribution": events_asof_attribution,
+    "events_range_join_conversions": events_range_join_conversions,
+    "events_multires_rollup": events_multires_rollup,
 }
 
 ORACLES = {
@@ -174,4 +317,7 @@ ORACLES = {
     "events_sessionization": SESSION_SQL,
     "events_dedup_per_minute": DEDUP_MINUTE_SQL,
     "events_type_value_buckets": VALUE_BUCKETS_SQL,
+    "events_asof_attribution": ASOF_SQL,
+    "events_range_join_conversions": RANGE_JOIN_SQL,
+    "events_multires_rollup": MULTIRES_SQL,
 }
