@@ -77,9 +77,13 @@ def produce_transform(
     """Body blobs -> (key, payload, tenant_id) wire messages.
 
     Pure transformation (works on batch or streaming DataFrames alike --
-    tests run it both ways)."""
+    tests run it both ways). Bodies that already carry a ``tenant_id``
+    column (e.g. from the remote_write_blobs custom source) keep it;
+    otherwise the tenant derives from the file path."""
+    if "tenant_id" not in bodies.columns:
+        bodies = bodies.withColumn("tenant_id", tenant_from_path(F.col("path")))
     decoded = decode_remote_write(
-        bodies.withColumn("tenant_id", tenant_from_path(F.col("path"))),
+        bodies,
         body_col="content",
         keep_cols=["tenant_id"],
     )
@@ -129,6 +133,51 @@ def run_produce_pipeline(
     publisher = publisher or FilePublisher(out_dir)
     writer = (
         messages.writeStream.foreachBatch(publisher)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
+
+
+def run_produce_pipeline_datasource(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    serializer_format: str = "json",
+    trigger_once: bool = True,
+):
+    """The produce pipeline on the CUSTOM data sources end to end:
+    ``remote_write_blobs`` streaming source (A1) -> produce_transform ->
+    ``message_bus`` streaming sink (A2, staged parts made visible only on
+    epoch commit = the reference's Flush)."""
+    from ..sources import datasource as custom_ds
+
+    custom_ds.register(spark)
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
+    )
+    bodies = (
+        spark.readStream.format("remote_write_blobs")
+        .option("path", drop_dir)
+        .load()
+        .withColumn(
+            "tenant_id",
+            F.when(
+                F.col("tenant_dir").isNull()
+                | (F.col("tenant_dir") == TENANT_DIR_NONE),
+                F.lit(""),
+            ).otherwise(F.col("tenant_dir")),
+        )
+    )
+    messages = produce_transform(bodies, serializer_format)
+    writer = (
+        messages.writeStream.format("message_bus")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
