@@ -227,3 +227,126 @@ def run_consume_pipeline(
     else:
         writer = writer.trigger(processingTime="1 second")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Executor-side delivery (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+#: per-worker singleton HTTP session (A5 connection reuse: the reference
+#: keeps ONE shared producer/consumer per process, CHANGELOG.md:20-21 --
+#: the Spark idiom is one client per executor python worker, created
+#: lazily and reused across partitions/micro-batches).
+_WORKER_CLIENTS: dict = {}
+
+
+def worker_client(url: str):
+    client = _WORKER_CLIENTS.get(url)
+    if client is None:
+        import requests
+
+        client = requests.Session()
+        _WORKER_CLIENTS[url] = client
+    return client
+
+
+def post_batches_distributed(
+    batch_df: DataFrame,
+    url: str,
+    user_agent: str = "prometheus-pulsar-remote-write-spark/0.1.0",
+    post_fn=None,
+    batch_size: int = 100,
+) -> list:
+    """D2 fan-out on EXECUTORS: encode + POST each (tenant, batch) inside
+    the partition that holds it; only small per-batch status rows return
+    to the driver.
+
+    This is the scale path: the driver-side ``RemoteWriteSink.__call__``
+    collects bodies (fine at batch_size x tenants, the reference's own
+    working set), but at 1000-executor scale delivery must happen where
+    the data is. ``post_fn`` must be picklable; default is a per-worker
+    singleton ``requests.Session`` (A5 connection reuse).
+
+    Returns [(tenant_id, batch_seq, status, n_samples)] sorted; callers
+    apply the same D5/D6 policy as the driver-side sink.
+    """
+    from ..operators.flatten import sorted_label_entries  # noqa: F401 (doc xref)
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..operators.flatten import nest_samples
+
+    with_labels = batch_df.withColumn(
+        "labels", F.from_json("labels_json", "map<string,string>")
+    )
+    nested = nest_samples(with_labels, ["tenant_id", "batch_seq"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tenant_id", T.StringType()),
+            T.StructField("batch_seq", T.LongType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+
+    def _post_partition(batches):
+        for pdf in batches:
+            rows = []
+            for tenant_id, batch_seq, timeseries in zip(
+                pdf["tenant_id"], pdf["batch_seq"], pdf["timeseries"]
+            ):
+                req = {
+                    "timeseries": [
+                        {
+                            "labels": [
+                                {"name": l["name"], "value": l["value"]}
+                                for l in ts["labels"]
+                            ],
+                            "samples": [
+                                {"value": s["value"], "timestamp": s["timestamp"]}
+                                for s in ts["samples"]
+                            ],
+                        }
+                        for ts in timeseries
+                    ]
+                }
+                body = snappy_codec.compress(prompb.encode_write_request(req))
+                headers = {
+                    "Content-Encoding": "snappy",
+                    "Content-Type": "application/x-protobuf",
+                    "User-Agent": user_agent,
+                }
+                if tenant_id:
+                    headers["X-Scope-OrgID"] = tenant_id
+                try:
+                    if post_fn is not None:
+                        status = post_fn(url, body, headers)
+                    else:
+                        status = worker_client(url).post(
+                            url, data=body, headers=headers, timeout=30
+                        ).status_code
+                except Exception:
+                    status = 599  # transport error -> recoverable
+                rows.append((tenant_id, int(batch_seq), int(status), len(timeseries)))
+            yield pd.DataFrame(
+                rows, columns=["tenant_id", "batch_seq", "status", "n_samples"]
+            )
+
+    statuses = nested.mapInPandas(_post_partition, out_schema).collect()
+    return sorted((r.tenant_id, r.batch_seq, r.status, r.n_samples) for r in statuses)
+
+
+def apply_delivery_policy(statuses: list) -> tuple[int, list]:
+    """D5/D6 on distributed-post results: raise RecoverableError on any
+    5xx/transport status (micro-batch replays), return
+    (n_delivered_samples, dlq'd (tenant, batch_seq) list) otherwise."""
+    recoverable = [s for s in statuses if s[2] >= 500]
+    if recoverable:
+        t, b, code, _ = recoverable[0]
+        raise RecoverableError(f"HTTP {code} for tenant {t!r} batch {b}")
+    delivered = sum(n for _, _, code, n in statuses if code < 400)
+    dlq = [(t, b) for t, b, code, _ in statuses if 400 <= code < 500]
+    return delivered, dlq

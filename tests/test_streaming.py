@@ -536,3 +536,83 @@ def test_sink_replay_skips_settled_batches(spark, tmp_path):
     assert ok.sent == {"team-a": 7}
     assert sink.sent == {"": 3}
     assert calls.count("") == 1  # exactly one POST for the settled tenant
+
+
+# --- executor-side delivery (post_batches_distributed) -----------------------
+
+
+def test_distributed_post_delivers_all_batches(spark, tmp_path, monkeypatch):
+    from prometheus_pulsar_remote_write_spark.streaming.batcher import (
+        microbatch_batches,
+    )
+    from prometheus_pulsar_remote_write_spark.streaming.consume import (
+        apply_delivery_policy,
+        post_batches_distributed,
+    )
+
+    post_dir = str(tmp_path / "posts")
+
+    def recording_post(url, body, headers):
+        # closure: cloudpickle ships it by value to executors
+        import hashlib
+        import os as _os
+
+        _os.makedirs(post_dir, exist_ok=True)
+        name = hashlib.md5(body).hexdigest()
+        org = headers.get("X-Scope-OrgID", "_none")
+        with open(_os.path.join(post_dir, f"{org}-{name}"), "wb") as fh:
+            fh.write(body)
+        return 200
+
+    rows = [
+        ("team-a", 1000 + i, float(i), json.dumps({"__name__": "up", "i": str(i)}))
+        for i in range(7)
+    ] + [("", 2000 + i, float(i), json.dumps({"__name__": "mem"})) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "tenant_id string, timestamp long, value double, labels_json string"
+    )
+    batched = microbatch_batches(df, batch_size=4)
+    statuses = post_batches_distributed(
+        batched, url="http://sink", post_fn=recording_post
+    )
+    delivered, dlq = apply_delivery_policy(statuses)
+    assert delivered == 10 and dlq == []
+    # team-a: 7 samples @4 -> 2 batches; "": 3 -> 1 batch
+    assert len(statuses) == 3
+    posts = os.listdir(post_dir)
+    assert len(posts) == 3
+
+    # posted bodies decode back to valid sorted-label WriteRequests
+    total = 0
+    for name in posts:
+        with open(os.path.join(post_dir, name), "rb") as fh:
+            req = prompb.decode_write_request(snappy_codec.decompress(fh.read()))
+        for ts in req["timeseries"]:
+            labels = [l["name"] for l in ts["labels"]]
+            assert labels == sorted(labels)
+            total += len(ts["samples"])
+    assert total == 10
+
+
+def test_distributed_post_5xx_raises_recoverable(spark):
+    from prometheus_pulsar_remote_write_spark.streaming.batcher import (
+        microbatch_batches,
+    )
+    from prometheus_pulsar_remote_write_spark.streaming.consume import (
+        RecoverableError,
+        apply_delivery_policy,
+        post_batches_distributed,
+    )
+
+    def post_503(url, body, headers):
+        return 503
+
+    df = spark.createDataFrame(
+        [("t", 1, 1.0, "{}")],
+        "tenant_id string, timestamp long, value double, labels_json string",
+    )
+    statuses = post_batches_distributed(
+        microbatch_batches(df, 100), url="http://sink", post_fn=post_503
+    )
+    with pytest.raises(RecoverableError):
+        apply_delivery_policy(statuses)
