@@ -992,6 +992,332 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: cheapest supplier per part (min-per-group subquery joined
+    back, then dim joins). The testdata has no partsupp, so the part-supplier
+    cost relation is derived from lineitem unit prices -- the query shape
+    (aggregate -> per-group min -> equality join back -> dim broadcast ->
+    top-k) is Q2's. Reference has no joins at all (SURVEY §2.E); this is
+    the F6 analytics surface."""
+    part, supp, nation, li = _t(spark, sf_dir, "part", "supplier", "nation", "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost")
+    )
+    min_cost = ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(part.filter((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM ps
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size <= 10 AND p_type = 'SMALL'
+  AND unit_cost = (SELECT min(unit_cost) FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """Q9 shape: profit by (nation, year) over a part-name-filtered 5-table
+    join. No partsupp => supply cost proxied by 60% of the part's retail
+    price; the join/agg topology (LIKE-filtered part dim, supplier->nation,
+    order-year grouping) is Q9's."""
+    part, supp, nation, orders, li = _t(
+        spark, sf_dir, "part", "supplier", "nation", "orders", "lineitem"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_part_value(spark, sf_dir):
+    """Q11 shape: per-part inventory value restricted to one nation's
+    suppliers, kept only when above a fraction of the global total (scalar
+    subquery in HAVING -> broadcast cross join of a 1-row aggregate)."""
+    supp, nation, li = _t(spark, sf_dir, "supplier", "nation", "lineitem")
+    national = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .withColumn("val", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    per_part = national.groupBy("l_partkey").agg(F.round(F.sum("val"), 2).alias("value"))
+    total = national.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+Q11_SQL = """
+WITH national AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT l_partkey, round(sum(val), 2) AS value
+FROM national
+GROUP BY l_partkey
+HAVING round(sum(val), 2) > (SELECT sum(val) * 0.001 FROM national)
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
+def q12_late_shipment_priority(spark, sf_dir):
+    """Q12 shape: conditional two-way counts of late shipments per class.
+    No l_commitdate/l_receiptdate in the testdata => "late" is shipping
+    more than 60 days after the order date; the CASE-sum split between
+    critical and other priorities is Q12's."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.when(critical, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~critical, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q16_supplier_count_by_part(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part attribute triple, with a
+    NOT-IN supplier exclusion (anti join). The excluded set is negative-
+    balance suppliers (stand-in for Q16's 'Customer Complaints' comment
+    scan -- the testdata has no comment columns)."""
+    part, supp, li = _t(spark, sf_dir, "part", "supplier", "lineitem")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & (~F.col("p_type").startswith("PROMO"))
+                    & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 20
+"""
+
+
+def q20_excess_shippers(spark, sf_dir):
+    """Q20 shape: nested aggregate-of-aggregate + semi join. Suppliers whose
+    1996 shipped quantity of a 'red%' part exceeds 1.5x the per-part average
+    across suppliers (stand-in for availqty > half of shipped, which needs
+    partsupp), surfaced through a left-semi join onto supplier."""
+    part, supp, li = _t(spark, sf_dir, "part", "supplier", "lineitem")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_per_part = sp.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    qualifying = (
+        sp.join(F.broadcast(avg_per_part), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("qty") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sp
+  WHERE qty > 1.5 * (SELECT avg(qty) FROM sp sp2 WHERE sp2.l_partkey = sp.l_partkey)
+)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: EXISTS + NOT-EXISTS self-joins on lineitem. Late = shipped
+    >90 days after the order date (no receipt/commit dates in testdata).
+    Counts, per supplier, finalized orders where that supplier was late,
+    another supplier participated, and no other supplier was late."""
+    supp, orders, li = _t(spark, sf_dir, "supplier", "orders", "lineitem")
+    lateness = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(lateness)
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).dropDuplicates()
+    late_others = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(lateness)
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+        )
+        .dropDuplicates()
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1026,6 +1352,13 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_dormant_rich_customers": q22_dormant_rich_customers,
     "agg_percentiles_by_status": agg_percentiles_by_status,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_part_value": q11_important_part_value,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1062,4 +1395,11 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q22_dormant_rich_customers": Q22_SQL,
     "agg_percentiles_by_status": PERCENTILES_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q11_important_part_value": Q11_SQL,
+    "q12_late_shipment_priority": Q12_SQL,
+    "q16_supplier_count_by_part": Q16_SQL,
+    "q20_excess_shippers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
 }
