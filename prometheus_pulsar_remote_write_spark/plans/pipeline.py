@@ -8,8 +8,8 @@ Coverage map (SURVEY.md §2):
   produce_flatten        B1 flatten (via nest->flatten round-trip so the
                          multiset identity is the oracle check)
   produce_serialize_json C1 serialization, expression tier
-  produce_partition_key  B7+B8 (exact FNV-1; rows-only -- FNV isn't
-                         ANSI-SQL; byte-parity is pytest-verified instead)
+  produce_partition_key  B7+B8 (exact FNV-1; DuckDB oracle folds the hash
+                         with list_reduce over HUGEINT modular arithmetic)
   consume_sorted_labels  B3 label sort
   consume_batching       D1 size-trigger batching shape (count trigger,
                          deterministic batch ids per tenant)
@@ -245,13 +245,72 @@ FROM ({_SAMPLES_SQL})
 
 
 def produce_partition_key(spark, sf_dir):
-    """B7+B8: exact FNV-1 64 partition key (rows-only; pytest golden-checks
-    byte parity against the pure-Python reference implementation)."""
+    """B7+B8: exact FNV-1 64 partition key (reference
+    pkg/pulsar/serializers.go:91-114), byte-parity checked two ways:
+    pytest golden tests against the pure-Python implementation, and a
+    full DuckDB oracle that folds FNV-1 with ``list_reduce`` over
+    HUGEINT modular arithmetic (the testdata key material is ASCII, so
+    byte == codepoint)."""
     samples = samples_from_events(spark, sf_dir)
     return samples.select(
         "event_id",
         partition_key_col(F.col("labels"), F.col("tenant_id")).alias("key"),
     )
+
+
+# FNV-1 64 (multiply then xor) folded over the sorted-label byte string:
+# h := ((h * prime) mod 2^64) xor byte. HUGEINT (int128) holds the
+# 64-bit x 40-bit product; the key material is ASCII (verified), so
+# ord(char) == the UTF-8 byte. Label order '__name__' < 'k' < 'user' is
+# the bytewise sort the reference uses.
+PRODUCE_PARTITION_KEY_SQL = f"""
+SELECT event_id,
+       'hex ' || lower(lpad(to_hex(list_reduce(
+         list_prepend(14695981039346656037::HUGEINT,
+           list_transform(range(1, length(keystr) + 1),
+                          i -> ord(substr(keystr, i, 1))::HUGEINT)),
+         (acc, b) -> xor((acc * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT, b)
+       )::UBIGINT), 16, '0')) AS key
+FROM (
+  SELECT event_id,
+         '__name__' || event_type || 'k' || k || 'user' || user_str
+         || tenant_id AS keystr
+  FROM ({_SAMPLES_SQL})
+)
+"""
+
+
+def produce_label_map_ops(spark, sf_dir):
+    """Map-function surface over the labels column (the reference's only
+    dynamic type, SURVEY §1.2): map_keys/map_values/map_filter/
+    map_contains_key/element_at/size -- the building blocks of B6 backfill
+    and B7 replica projection. The oracle recomputes each derivation from
+    the raw event columns, so it checks Spark's map semantics against
+    ground truth rather than another map implementation."""
+    samples = samples_from_events(spark, sf_dir)
+    non_user = F.map_filter(F.col("labels"), lambda k, v: k != F.lit("user"))
+    return samples.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys("labels")), ",").alias("label_keys"),
+        F.size("labels").cast("bigint").alias("n_labels"),
+        F.element_at("labels", "__name__").alias("name"),
+        F.map_contains_key("labels", "user").alias("has_user"),
+        F.array_join(F.array_sort(F.map_values(non_user)), ",").alias("non_user_values"),
+        F.size(non_user).cast("bigint").alias("n_non_user"),
+    )
+
+
+PRODUCE_LABEL_MAP_SQL = f"""
+SELECT event_id,
+       '__name__,k,user' AS label_keys,
+       3::BIGINT AS n_labels,
+       event_type AS name,
+       true AS has_user,
+       array_to_string(list_sort([event_type, k]), ',') AS non_user_values,
+       2::BIGINT AS n_non_user
+FROM ({_SAMPLES_SQL})
+"""
 
 
 def consume_sorted_labels(spark, sf_dir):
@@ -314,6 +373,7 @@ QUERIES = {
     "produce_serialize_compat": produce_serialize_compat,
     "produce_serialize_avro": produce_serialize_avro,
     "produce_partition_key": produce_partition_key,
+    "produce_label_map_ops": produce_label_map_ops,
     "consume_sorted_labels": consume_sorted_labels,
     "consume_batching": consume_batching,
     "consume_salted_tenant_totals": consume_salted_tenant_totals,
@@ -325,7 +385,8 @@ ORACLES = {
     "produce_serialize_json": PRODUCE_SERIALIZE_SQL,
     "produce_serialize_compat": PRODUCE_COMPAT_SQL,
     "produce_serialize_avro": PRODUCE_AVRO_SQL,
-    # produce_partition_key: rows-only (FNV-1 not expressible in ANSI SQL)
+    "produce_partition_key": PRODUCE_PARTITION_KEY_SQL,
+    "produce_label_map_ops": PRODUCE_LABEL_MAP_SQL,
     "consume_sorted_labels": CONSUME_SORTED_SQL,
     "consume_batching": CONSUME_BATCHING_SQL,
     "consume_salted_tenant_totals": CONSUME_SALTED_SQL,

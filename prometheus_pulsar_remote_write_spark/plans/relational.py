@@ -313,6 +313,40 @@ WHERE o_custkey <= 100
 """
 
 
+def window_lead_lag_ntile(spark, sf_dir):
+    """Offset + distribution window functions (lead/lag/ntile/percent_rank/
+    cume_dist/first_value/dense_rank) over per-customer order history; the
+    total (o_orderdate, o_orderkey) order makes every value deterministic."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.filter(F.col("o_custkey") <= 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+WINDOW_LEADLAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       dense_rank() OVER w AS drank
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # --- sort / top-k ------------------------------------------------------------
 
 
@@ -1359,6 +1393,7 @@ QUERIES = {
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_shippers": q20_excess_shippers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "window_lead_lag_ntile": window_lead_lag_ntile,
 }
 
 ORACLES = {
@@ -1402,4 +1437,5 @@ ORACLES = {
     "q16_supplier_count_by_part": Q16_SQL,
     "q20_excess_shippers": Q20_SQL,
     "q21_waiting_suppliers": Q21_SQL,
+    "window_lead_lag_ntile": WINDOW_LEADLAG_SQL,
 }
