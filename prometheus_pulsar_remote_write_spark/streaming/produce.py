@@ -114,6 +114,63 @@ class FilePublisher:
         )
 
 
+class FanoutError(Exception):
+    """Raised when one or more writers fail; carries their names
+    (the reference's joined error listing failed writers,
+    pkg/app/produce.go:166-180)."""
+
+    def __init__(self, failed: dict[str, Exception]):
+        self.failed = failed
+        names = ", ".join(sorted(failed))
+        super().__init__(f"failed to write to: {names}")
+
+
+class FanoutPublisher:
+    """D4: write every micro-batch to ALL configured writers concurrently,
+    then join per-writer errors (reference pkg/app/produce.go:150-181 --
+    goroutine per writer, WaitGroup, errors joined into one 500).
+
+    Each writer runs in its own thread against a persisted batch (the
+    batch plan is materialized once, not recomputed per writer). If any
+    writer fails, FanoutError names the failures and the micro-batch is
+    not committed -> Spark replays it; writers that succeeded will see the
+    replay again, the same at-least-once contract as the reference (a 500
+    makes Prometheus resend to every writer, including the ones that
+    already stored the data)."""
+
+    def __init__(self, writers: dict[str, object]):
+        self.writers = dict(writers)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import threading
+
+        batch_df.persist()
+        try:
+            batch_df.count()  # materialize once before the writer fan-out
+            errors: dict[str, Exception] = {}
+            lock = threading.Lock()
+
+            def _run(name: str, writer) -> None:
+                try:
+                    writer(batch_df, epoch_id)
+                except Exception as exc:  # noqa: BLE001 -- joined below
+                    with lock:
+                        errors[name] = exc
+
+            threads = [
+                threading.Thread(target=_run, args=(name, writer), daemon=True)
+                for name, writer in self.writers.items()
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errors:
+                raise FanoutError(errors)
+        finally:
+            batch_df.unpersist()
+
+
 def run_produce_pipeline(
     spark: SparkSession,
     drop_dir: str,

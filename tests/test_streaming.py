@@ -27,7 +27,12 @@ from prometheus_pulsar_remote_write_spark.streaming.consume import (
     RemoteWriteSink,
     run_consume_pipeline,
 )
-from prometheus_pulsar_remote_write_spark.streaming.produce import run_produce_pipeline
+from prometheus_pulsar_remote_write_spark.streaming.produce import (
+    FanoutError,
+    FanoutPublisher,
+    FilePublisher,
+    run_produce_pipeline,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -93,6 +98,41 @@ def test_produce_pipeline_end_to_end(spark, drop_dir, tmp_path):
     none_rows = [r for r in rows if r["tenant_id"] is None or r["tenant_id"] == ""]
     assert len(none_rows) == 1
     assert '"tenant_id"' not in none_rows[0]["payload"]
+
+
+def test_produce_fanout_all_writers_and_error_join(spark, drop_dir, tmp_path):
+    """D4: every writer gets the batch; failures are joined with names
+    (reference pkg/app/produce.go:150-181)."""
+    d, n_samples = drop_dir
+    out_a = str(tmp_path / "writer-a")
+    out_b = str(tmp_path / "writer-b")
+
+    # happy path: both writers receive the full batch
+    pub = FanoutPublisher({"a": FilePublisher(out_a), "b": FilePublisher(out_b)})
+    q = run_produce_pipeline(
+        spark, d, str(tmp_path / "unused"), publisher=pub, trigger_once=True,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    for out in (out_a, out_b):
+        got = spark.read.json(os.path.join(out, "epoch=*")).count()
+        assert got == n_samples
+
+    # one writer failing -> FanoutError naming it; the good writer already
+    # published (at-least-once on replay, as in the reference's 500 path)
+    def bad_writer(batch_df, epoch_id):
+        raise RuntimeError("broker down")
+
+    out_c = str(tmp_path / "writer-c")
+    failing = FanoutPublisher({"good": FilePublisher(out_c), "bad": bad_writer})
+    q2 = run_produce_pipeline(
+        spark, d, str(tmp_path / "unused2"), publisher=failing, trigger_once=True,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception) as excinfo:
+        q2.awaitTermination(120)
+    assert "failed to write to: bad" in str(excinfo.value)
+    assert spark.read.json(os.path.join(out_c, "epoch=*")).count() == n_samples
 
 
 def _write_messages(in_dir: str, msgs: list[tuple[str, str]]) -> None:
