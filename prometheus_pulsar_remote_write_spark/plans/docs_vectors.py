@@ -314,11 +314,52 @@ SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= 3
 
 
 def emb_ivf_topk(spark, sf_dir):
-    """IVF approximate top-3 (rows-only: the scale path; recall vs the
-    exact baseline is asserted in tests/test_similarity.py)."""
+    """IVF approximate top-3: the scale path. The index is deterministic
+    (centroids = 8 lowest-id vectors, assignment by cosine rounded to 9
+    places with cell-id tiebreak), so the oracle replays the exact same
+    index construction and probe in SQL -- a full value-hash check of an
+    ANN plan. Recall vs the exact baseline is additionally asserted in
+    tests/test_similarity.py."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3)
+
+
+IVF_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+               cent.cell ASC) AS r
+    FROM e CROSS JOIN cent) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, cent.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+               cent.cell ASC) AS r
+    FROM q CROSS JOIN cent) WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS match_id,
+         round(list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4)
+             AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, match_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored) WHERE rank <= 3
+"""
 
 
 def emb_neardup_lsh(spark, sf_dir):
@@ -553,7 +594,7 @@ ORACLES = {
     "docs_neardup_pairs": NEARDUP_SQL,
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
-    # emb_ivf_topk: rows-only (approximate path)
+    "emb_ivf_topk": IVF_TOPK_SQL,
     "emb_neardup_lsh": EMB_NEARDUP_LSH_SQL,
     "emb_neardup_exact": EMB_NEARDUP_EXACT_SQL,
     "docs_bpe_token_stats": DOCS_BPE_SQL,
