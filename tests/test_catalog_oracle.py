@@ -32,9 +32,9 @@ ORACLES = entry_mod.oracle_sql()
 
 def test_every_query_has_callable():
     assert len(QUERIES) >= 30
-    missing_oracle = set(QUERIES) - set(ORACLES)
-    # only genuinely non-SQL-expressible ops may skip the oracle
-    assert missing_oracle <= {"produce_partition_key", "emb_ivf_topk"}
+    # every query has a full value-hash oracle (since round 2 even the
+    # FNV partition key and the deterministic IVF index are SQL-replayed)
+    assert set(QUERIES) == set(ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
