@@ -53,6 +53,11 @@ def _rows_sortable(rows):
     )
 
 
+#: STRICT_FLOAT=1 compares floats bit-exactly, as the driver's value-hash
+#: does; the default keeps a 1e-9 relative tolerance for quick local runs.
+STRICT_FLOAT = os.environ.get("STRICT_FLOAT", "") not in ("", "0")
+
+
 def _cells_equal(a, b):
     # TYPE-STRICT, like the driver's value-hash: an int64 on one side and a
     # float/Decimal on the other hashes differently even when numerically
@@ -62,6 +67,8 @@ def _cells_equal(a, b):
     if isinstance(a, float):
         if math.isinf(a) or math.isinf(b):
             return a == b
+        if STRICT_FLOAT:
+            return a == b or (math.isnan(a) and math.isnan(b))
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     if isinstance(a, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))

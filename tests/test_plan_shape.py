@@ -79,6 +79,36 @@ def test_no_cartesian_products_in_catalog(spark):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def test_new_tpch_shapes_plan_strategies(spark):
+    """Round-2 TPC-H shapes pick the intended physical strategies."""
+    # q16: NOT-IN exclusion must be a broadcast anti join, and the distinct
+    # aggregation must be multi-phase (partial distinct map-side)
+    plan16 = _plan(relational.q16_supplier_count_by_part(spark, SF_SMOKE))
+    assert "LeftAnti" in plan16 and "Broadcast" in plan16
+    assert plan16.count("HashAggregate") >= 2
+    # q21: the lineitem self-join is fact-to-fact -- sort-merge (or a
+    # broadcast chosen by AQE at this tiny SF), but never a nested loop
+    plan21 = _plan(relational.q21_waiting_suppliers(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan21
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    # q2: min-per-part subquery joined back with every dim broadcast
+    plan2 = _plan(relational.q2_min_cost_supplier(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan2
+    # q12: two-phase conditional aggregation after an equi join
+    plan12 = _plan(relational.q12_late_shipment_priority(spark, SF_SMOKE))
+    assert plan12.count("HashAggregate") >= 2
+
+
+def test_offset_window_single_shuffle(spark):
+    """window_lead_lag_ntile: all window functions share ONE partition key,
+    so the plan must contain exactly one exchange (plus AQE reads)."""
+    plan = _plan(relational.window_lead_lag_ntile(spark, SF_SMOKE))
+    import re
+
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert exchanges == 1, f"expected 1 shuffle, saw {exchanges}"
+
+
 def test_whole_stage_codegen_on_hot_path(spark):
     """The q1 aggregation pipeline stays inside whole-stage codegen.
 
