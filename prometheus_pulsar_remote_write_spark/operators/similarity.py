@@ -266,6 +266,76 @@ def ivf_assign(
     )
 
 
+def persist_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as parquet partitioned by cell.
+
+    This is the 100 TB serving layout: probing nprobe cells becomes a
+    partition-pruned scan (Catalyst turns the ``cell IN (...)`` filter
+    into PartitionFilters, so only nprobe/n_cells of the files are even
+    opened). Centroids ride along in a `_centroids` subdir."""
+    centroids = corpus.orderBy(id_col).limit(n_cells)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k over a persisted IVF index (see persist_ivf_index).
+
+    The probe filter is a partition-level predicate on the index scan --
+    at scale this is the difference between reading nprobe cells and
+    re-scoring the whole corpus."""
+    cent = spark.read.parquet(f"{index_path}/_centroids")
+    assigned = spark.read.parquet(index_path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)),
+        F.asc("cell"),
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "query_vec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("match_id"),
+            F.round(cosine_expr(F.col("query_vec"), F.col(vec_col)), round_to).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

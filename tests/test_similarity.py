@@ -10,6 +10,8 @@ from prometheus_pulsar_remote_write_spark.operators.dedup import (
 from prometheus_pulsar_remote_write_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    ivf_topk_indexed,
+    persist_ivf_index,
 )
 from prometheus_pulsar_remote_write_spark.schema import load_tables
 
@@ -43,7 +45,26 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(exact_cos[(r.query_id, r.match_id)] - r.cosine) < 1e-9
 
 
-def test_minhash_lsh_finds_planted_neardups(spark):
+def test_persisted_ivf_index_matches_inline_and_prunes(spark, tmp_path):
+    """The cell-partitioned index returns exactly what the inline IVF
+    computes, and the probe reaches the scan as a partition-level
+    predicate (static or dynamic pruning), so only nprobe of n_cells
+    directories are read -- the 100 TB serving layout."""
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf-index")
+    persist_ivf_index(emb, idx, n_cells=8)
+
+    indexed = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=3)
+    inline = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3)
+    got = sorted(tuple(r) for r in indexed.collect())
+    want = sorted(tuple(r) for r in inline.collect())
+    assert got == want and len(got) == 15
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cell" in plan
+    ), "probe filter did not reach the index scan as partition pruning"
     docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
     sigs = minhash_signatures(docs, num_hashes=8).filter(F.col("mh0").isNotNull())
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
