@@ -10,6 +10,7 @@ is pytest-asserted) and produce_partition_key (FNV, in plans.pipeline).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import multimodal
@@ -96,6 +97,62 @@ FROM (
                             ORDER BY doc_id) AS rn
   FROM ({_TOKS_SQL})
 ) WHERE rn = 1
+"""
+
+
+def docs_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling -- the training-data way to subsample:
+    a multiplicative hash of the stable id picks ~10%, reproducibly across
+    engines/runs/partitionings (unlike df.sample, whose RNG is
+    partition-dependent and not oracle-replayable). At 100 TB the same
+    predicate pushes to the scan and needs no shuffle at all."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        docs.withColumn("bucket", (h % 100).cast("bigint"))
+        .filter(F.col("bucket") < 10)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+DOCS_HASH_SAMPLE_SQL = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
+GROUP BY source, lang
+"""
+
+
+def docs_training_order(spark, sf_dir):
+    """Deterministic global shuffle into training shards: shard = hash
+    mod N, position = rank of the hash within the shard. One shuffle on
+    shard (bounded by N writers at scale); the hash order breaks any
+    source/time locality in the corpus, which is the point of shuffling
+    training data."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("shard", (F.col("h") % 8).cast("bigint"))
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "source", "shard", "position")
+    )
+
+
+DOCS_TRAINING_ORDER_SQL = """
+SELECT doc_id, source, shard, position
+FROM (
+  SELECT doc_id, source, h, h % 8 AS shard,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS position
+  FROM (SELECT doc_id, source,
+               (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents)
+)
 """
 
 
@@ -567,6 +624,8 @@ FROM (SELECT doc_id, text,
 
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_hash_sample": docs_hash_sample,
+    "docs_training_order": docs_training_order,
     "docs_token_stats": docs_token_stats,
     "docs_lang_profile": docs_lang_profile,
     "docs_language_id": docs_language_id,
@@ -587,6 +646,8 @@ QUERIES = {
 
 ORACLES = {
     "docs_exact_dedup": DOCS_DEDUP_SQL,
+    "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
+    "docs_training_order": DOCS_TRAINING_ORDER_SQL,
     "docs_token_stats": TOKEN_STATS_SQL,
     "docs_lang_profile": LANG_PROFILE_SQL,
     "docs_language_id": LANGID_SQL,
