@@ -300,8 +300,67 @@ FROM b GROUP BY GROUPING SETS ((minute_b), (hour_b), (day_b))
 """
 
 
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered-stage funnel: per user, first 'view', first 'click' strictly
+    after it, first 'purchase' strictly after that; reports per-stage user
+    counts. Each stage is a user-cardinality aggregate (shuffles bounded
+    by |users|, not |events|), and each later stage joins the previous
+    stage's tiny per-user aggregate broadcast-side -- the pattern holds at
+    100 TB because stage results only shrink."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n")).select(F.lit(1).cast("bigint").alias("stage"), F.lit("view").alias("event_type"), "n")
+        .unionAll(s2.agg(F.count("*").alias("n")).select(F.lit(2).cast("bigint").alias("stage"), F.lit("click").alias("event_type"), "n"))
+        .unionAll(s3.agg(F.count("*").alias("n")).select(F.lit(3).cast("bigint").alias("stage"), F.lit("purchase").alias("event_type"), "n"))
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS stage, 'view' AS event_type,     count(*) AS n FROM s1
+UNION ALL
+SELECT 2::BIGINT AS stage, 'click' AS event_type,    count(*) AS n FROM s2
+UNION ALL
+SELECT 3::BIGINT AS stage, 'purchase' AS event_type, count(*) AS n FROM s3
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "events_funnel_conversion": events_funnel_conversion,
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessionization": events_sessionization,
     "events_dedup_per_minute": events_dedup_per_minute,
@@ -313,6 +372,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_hourly": TUMBLING_SQL,
+    "events_funnel_conversion": FUNNEL_SQL,
     "events_sliding_10m_5m": SLIDING_SQL,
     "events_sessionization": SESSION_SQL,
     "events_dedup_per_minute": DEDUP_MINUTE_SQL,
