@@ -3,9 +3,9 @@ MinHash LSH near-dup, SimHash, text analysis, language ID, similarity
 search, multimodal plumbing.
 
 Hash-dependent operators use md5 (byte-identical in Spark and DuckDB), so
-even MinHash/SimHash get full value-level oracles. The only rows-only
-entries are emb_ivf_topk (approximate path; recall vs the exact baseline
-is pytest-asserted) and produce_partition_key (FNV, in plans.pipeline).
+even MinHash/SimHash get full value-level oracles; since round 2 the
+deterministic IVF index is SQL-replayed too (and the FNV partition key in
+plans.pipeline), so every entry has a full value-hash oracle.
 """
 
 from __future__ import annotations
@@ -270,6 +270,28 @@ SELECT id_a, id_b,
 FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
       / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+"""
+
+
+def docs_neardup_dedup(spark, sf_dir):
+    """Near-dup DEDUP (not just pair listing): drop every document that is
+    the higher-id member of a >=0.7-Jaccard MinHash-LSH pair, keeping the
+    lowest id of each near-dup family -- the greedy canonical-keep a
+    training pipeline applies. The drop set is a tiny distinct projection
+    of the pair stream, so the anti join broadcasts at any corpus size."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    drop = docs_neardup_pairs(spark, sf_dir).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+DEDUP_NEARDUP_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_SQL}))
 """
 
 
@@ -631,6 +653,7 @@ QUERIES = {
     "docs_language_id": docs_language_id,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_neardup_pairs": docs_neardup_pairs,
+    "docs_neardup_dedup": docs_neardup_dedup,
     "docs_simhash16": docs_simhash16,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
@@ -653,6 +676,7 @@ ORACLES = {
     "docs_language_id": LANGID_SQL,
     "docs_minhash_signatures": MINHASH_SQL,
     "docs_neardup_pairs": NEARDUP_SQL,
+    "docs_neardup_dedup": DEDUP_NEARDUP_SQL,
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_ivf_topk": IVF_TOPK_SQL,
