@@ -644,6 +644,221 @@ FROM (SELECT doc_id, text,
 """
 
 
+# --- F2 completion: transitive dup families (connected components) -----------
+
+
+def docs_dup_families(spark, sf_dir):
+    """Resolve the near-dup pair stream to CONNECTED COMPONENTS: A~B and
+    B~C collapse to one family even when A~C was never emitted as a pair.
+    Spark side iterates min-label propagation to fixpoint (one shuffle per
+    round, O(diameter) rounds -- the scalable formulation); the oracle
+    computes the same fixpoint ("min reachable doc_id") via a recursive
+    CTE, exact at oracle scale. Family size rides along so a pipeline can
+    cap or inspect families."""
+    from ..operators.graph import connected_components
+
+    pairs = docs_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("component").agg(F.count("*").alias("family_size"))
+    return (
+        labels.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("family"),
+            "family_size",
+        )
+    )
+
+
+DUP_FAMILIES_SQL = f"""
+WITH RECURSIVE pairs AS ({NEARDUP_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, peer) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.peer FROM edges e JOIN reach r ON e.dst = r.node
+),
+fam AS (
+  SELECT node AS doc_id, min(peer) AS family FROM reach GROUP BY node
+)
+SELECT doc_id, family, count(*) OVER (PARTITION BY family) AS family_size
+FROM fam
+"""
+
+
+# --- F4 completion: TF-IDF top terms ------------------------------------------
+
+
+def docs_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. The idf is quantized to an integer
+    micro-idf (floor(ln((N+1)/(df+1)) * 1e6)) so scoring and ranking are
+    integer-exact across engines -- the determinism trick production
+    feature stores use; ln() itself differs by 1 ulp between Spark and
+    DuckDB (measured), so raw-double scores could not hash-match.
+
+    Plan shape at scale: explode -> two hash aggregations (term counts,
+    then doc frequency) -> one join on term (AQE picks broadcast when the
+    vocabulary is small) -> per-doc top-k window. No Python in the path."""
+    docs = _docs_spread(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_micro",
+            F.floor(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) * 1e6).cast("long"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("idf_micro")).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "idf_micro", "score", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+term AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         floor(ln((n.n_docs + 1) / (dfreq.df + 1)) * 1e6)::BIGINT AS idf_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, idf_micro,
+       (tf * idf_micro)::BIGINT AS score, rank
+FROM (
+  SELECT *, (tf * idf_micro) AS s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY (tf * idf_micro) DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --- F3 completion: k-means (fixed-seed Lloyd's, 2 iterations) ----------------
+
+
+def emb_kmeans_assign(spark, sf_dir):
+    """One full Lloyd's round over the embedding corpus: assign to the 8
+    deterministic seed centroids (lowest vec_id), recompute centroids as
+    cluster means, re-assign. This is the iterative-algorithm class (the
+    k-means loop IVF training runs); two fixed iterations keep it
+    SQL-replayable while the Spark code is the general loop body.
+
+    Float determinism: per-row distances are sequential folds (F.aggregate
+    / list_reduce, same order both engines) rounded to 9 places for
+    ordering; the centroid mean folds member vectors in vec_id order
+    (sort_array(collect_list) -> zip_with fold), so the sum is
+    order-deterministic too. At scale the sorted-fold mean becomes a
+    two-level tree aggregation and determinism relaxes to tolerance, but
+    assignment -- the operator's output -- is integer."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dim = 64
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(vecs, cents):
+        scored = vecs.join(F.broadcast(cents))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc(F.round(sqdist(F.col("v"), F.col("cv")), 9)), F.asc("cluster")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+
+    cent0 = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    a1 = assign(e, cent0)
+    zeros = F.array([F.lit(0.0)] * dim)
+    cent1 = (
+        a1.groupBy("cluster")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cluster",
+            F.transform(
+                F.aggregate(
+                    "members",
+                    zeros,
+                    lambda acc, m: F.zip_with(acc, m["v"], lambda s, x: s + x),
+                ),
+                lambda s: s / F.col("n"),
+            ).alias("cv"),
+        )
+    )
+    a2 = assign(e, cent1).select(
+        "vec_id", F.col("cluster").alias("cluster2")
+    )
+    return (
+        a1.select("vec_id", F.col("cluster").alias("cluster1"))
+        .join(a2, "vec_id")
+    )
+
+
+def _kmeans_sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, cent0.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_kmeans_sqdist_sql('e.v', 'cent0.cv')}, 9) ASC,
+                      cent0.cluster ASC) AS r
+    FROM e CROSS JOIN cent0) WHERE r = 1
+),
+cent1 AS (
+  SELECT cluster,
+         list_transform(
+           list_reduce(list(v ORDER BY vec_id),
+                       (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])),
+           s -> s / count(*)) AS cv
+  FROM a1 GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cluster AS cluster2 FROM (
+    SELECT a1.vec_id, cent1.cluster,
+           row_number() OVER (PARTITION BY a1.vec_id
+             ORDER BY round({_kmeans_sqdist_sql('a1.v', 'cent1.cv')}, 9) ASC,
+                      cent1.cluster ASC) AS r
+    FROM a1 CROSS JOIN cent1) WHERE r = 1
+)
+SELECT a1.vec_id, a1.cluster AS cluster1, a2.cluster2
+FROM a1 JOIN a2 USING (vec_id)
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_hash_sample": docs_hash_sample,
@@ -654,8 +869,11 @@ QUERIES = {
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_neardup_pairs": docs_neardup_pairs,
     "docs_neardup_dedup": docs_neardup_dedup,
+    "docs_dup_families": docs_dup_families,
+    "docs_tfidf_topterms": docs_tfidf_topterms,
     "docs_simhash16": docs_simhash16,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_kmeans_assign": emb_kmeans_assign,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_neardup_lsh": emb_neardup_lsh,
     "emb_neardup_exact": emb_neardup_exact,
@@ -677,8 +895,11 @@ ORACLES = {
     "docs_minhash_signatures": MINHASH_SQL,
     "docs_neardup_pairs": NEARDUP_SQL,
     "docs_neardup_dedup": DEDUP_NEARDUP_SQL,
+    "docs_dup_families": DUP_FAMILIES_SQL,
+    "docs_tfidf_topterms": TFIDF_SQL,
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
+    "emb_kmeans_assign": KMEANS_SQL,
     "emb_ivf_topk": IVF_TOPK_SQL,
     "emb_neardup_lsh": EMB_NEARDUP_LSH_SQL,
     "emb_neardup_exact": EMB_NEARDUP_EXACT_SQL,

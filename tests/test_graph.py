@@ -1,0 +1,43 @@
+"""Connected-components (dup-family) operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_pulsar_remote_write_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df, "id_a", "id_b").collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_chain_collapses_transitively(spark):
+    # A-B, B-C, C-D: one family labeled by the min id, though A-D never paired
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_stay_disjoint(spark):
+    got = _cc(spark, [(10, 11), (20, 21), (21, 22), (30, 31)])
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    # higher-id first: propagation still reaches the min label
+    got = _cc(spark, [(5, 1), (9, 5), (2, 9)])
+    assert set(got.values()) == {1}
+
+
+def test_long_path_converges_past_one_round(spark):
+    # a 9-hop path needs several propagation rounds; fixpoint must still
+    # label every node with the global min
+    edges = [(i, i + 1) for i in range(9)]
+    got = _cc(spark, edges)
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_triangle_with_pendant(spark):
+    got = _cc(spark, [(3, 4), (4, 5), (3, 5), (5, 6)])
+    assert got == {3: 3, 4: 3, 5: 3, 6: 3}
