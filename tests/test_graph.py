@@ -41,3 +41,34 @@ def test_long_path_converges_past_one_round(spark):
 def test_triangle_with_pendant(spark):
     got = _cc(spark, [(3, 4), (4, 5), (3, 5), (5, 6)])
     assert got == {3: 3, 4: 3, 5: 3, 6: 3}
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    # a batch of adversarial-ish random graphs vs a driver-side union-find
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randrange(5, 40)
+        m = rng.randrange(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        got = _cc(spark, edges)
+        want = _union_find_components(edges)
+        assert got == want, f"trial {trial}: {sorted(edges)}"

@@ -170,3 +170,42 @@ def test_simhash_band_pairs_lossless_for_small_hamming(spark):
         for r in simhash_band_pairs(sigs, sig_bits=16, bands=4, max_hamming=3).collect()
     }
     assert out == {(1, 2): 1, (1, 3): 2, (2, 3): 3}
+
+
+def test_kmeans_assignment_matches_numpy(spark):
+    """emb_kmeans_assign's final assignment must equal a driver-side numpy
+    replay of the same two Lloyd's iterations (seeds = 8 lowest vec_id)."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        emb_kmeans_assign,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.vec_id: (r.cluster1, r.cluster2)
+        for r in emb_kmeans_assign(spark, sf_dir).collect()
+    }
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    seeds = ids[:8]
+    C = X[:8].copy()
+
+    def assign(C, cluster_ids):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # round-to-9 + lowest-cluster-id tiebreak, as the operator orders
+        d2r = np.round(d2, 9)
+        best = np.argmin(d2r, axis=1)  # argmin takes first (lowest index==lowest id)
+        return cluster_ids[best]
+
+    a1 = assign(C, seeds)
+    C1 = np.array([X[a1 == s].mean(axis=0) for s in seeds])
+    a2 = assign(C1, seeds)
+    want = {int(i): (int(c1), int(c2)) for i, c1, c2 in zip(ids, a1, a2)}
+    assert got == want
