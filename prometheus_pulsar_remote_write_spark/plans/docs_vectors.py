@@ -706,8 +706,11 @@ def docs_tfidf_topterms(spark, sf_dir):
     docs = _docs_spread(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # n_docs and df both derive from tf, not from the raw token stream:
+    # Catalyst reuses the (doc_id, term) aggregation exchange for both
+    # branches instead of scanning + exploding documents a second time.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
@@ -730,7 +733,7 @@ WITH toks AS ({_TOKS_SQL}),
 term AS (SELECT doc_id, unnest(tk) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
          floor(ln((n.n_docs + 1) / (dfreq.df + 1)) * 1e6)::BIGINT AS idf_micro
