@@ -35,6 +35,7 @@ HEADLINE = [
     "produce_serialize_json",
     "consume_batching",
     "docs_token_stats",
+    "docs_curation_pipeline",
     "docs_neardup_pairs",
     "docs_fingerprints",
     "emb_cosine_topk",

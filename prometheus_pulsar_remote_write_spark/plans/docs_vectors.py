@@ -690,6 +690,60 @@ FROM fam
 """
 
 
+# --- End-to-end corpus curation (F1+F2+F4 composed) ---------------------------
+
+
+def docs_curation_pipeline(spark, sf_dir):
+    """The full training-data curation funnel in ONE declarative plan:
+    quality scoring -> threshold filter -> exact prefix dedup (keep lowest
+    doc_id) -> near-dup family drop (MinHash-LSH id_b members). This is
+    the composition a 100 TB corpus actually runs nightly; expressing it
+    as one DataFrame lets Catalyst pipeline the narrow stages and share
+    the documents scan, instead of materializing between steps.
+
+    The near-dup drop set is computed on the FULL corpus (families are a
+    corpus property, not a survivor property) and is tiny, so the anti
+    join broadcasts."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    feats = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    kept = docs.join(feats, "doc_id").filter(
+        (F.col("quality_score") >= 0.72) & (F.col("n_tokens") >= 15)
+    )
+    keyed = kept.withColumn(
+        "prefix_key", F.md5(F.array_join(F.slice(tokens_col(F.col("text")), 1, 5), " "))
+    )
+    deduped = exact_dedup(keyed, ["prefix_key"], ["doc_id"])
+    drop = (
+        docs_neardup_pairs(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return deduped.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_tokens", "quality_score"
+    )
+
+
+CURATION_SQL = f"""
+WITH stats AS ({TOKEN_STATS_SQL}),
+kept AS (
+  SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.quality_score, d.text
+  FROM stats s JOIN documents d USING (doc_id)
+  WHERE s.quality_score >= 0.72 AND s.n_tokens >= 15
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT k.*, row_number() OVER (
+             PARTITION BY md5(array_to_string(
+               list_filter(string_split(text, ' '), t -> len(t) > 0)[1:5], ' '))
+             ORDER BY doc_id) AS rn
+    FROM kept k) WHERE rn = 1
+)
+SELECT doc_id, lang, source, n_tokens, quality_score
+FROM deduped
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_SQL}))
+"""
+
+
 # --- F4 completion: TF-IDF top terms ------------------------------------------
 
 
@@ -873,6 +927,7 @@ QUERIES = {
     "docs_neardup_pairs": docs_neardup_pairs,
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_dup_families": docs_dup_families,
+    "docs_curation_pipeline": docs_curation_pipeline,
     "docs_tfidf_topterms": docs_tfidf_topterms,
     "docs_simhash16": docs_simhash16,
     "emb_cosine_topk": emb_cosine_topk,
@@ -899,6 +954,7 @@ ORACLES = {
     "docs_neardup_pairs": NEARDUP_SQL,
     "docs_neardup_dedup": DEDUP_NEARDUP_SQL,
     "docs_dup_families": DUP_FAMILIES_SQL,
+    "docs_curation_pipeline": CURATION_SQL,
     "docs_tfidf_topterms": TFIDF_SQL,
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
