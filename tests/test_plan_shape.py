@@ -125,3 +125,42 @@ def test_whole_stage_codegen_on_hot_path(spark):
     # filter, project and partial agg fused into the SAME codegen stage
     for op in ("Filter", "Project", "HashAggregate"):
         assert f"{op} [codegen id : 1]" in plan, f"{op} fell out of stage-1 codegen"
+
+
+def test_curation_pipeline_broadcasts_drop_set(spark):
+    """The near-dup drop set is tiny: its anti join must broadcast, and the
+    quality filter must evaluate without a shuffle before the dedup window."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        docs_curation_pipeline,
+    )
+
+    plan = _plan(docs_curation_pipeline(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Every k-means iteration joins the corpus against k centroids --
+    that side must broadcast (the loop never shuffles the corpus)."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        emb_kmeans_assign,
+    )
+
+    plan = _plan(emb_kmeans_assign(spark, SF_SMOKE))
+    # both assignment passes: corpus x centroids with BuildRight broadcast
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") >= 2
+    # the only shuffles are the per-vector windows and the k-sized groupBy;
+    # the corpus must never be exchanged for a centroid join
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_tfidf_prunes_documents_scan(spark):
+    """TF-IDF reads only doc_id + text from documents -- the scan must not
+    drag the full row width through the explode."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        docs_tfidf_topterms,
+    )
+
+    plan = _formatted(docs_tfidf_topterms(spark, SF_SMOKE))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema
+    assert all("source" not in l and "n_chars" not in l for l in read_schema)
