@@ -1,0 +1,75 @@
+"""Lake layout for the sample stream: how 100 TB of samples should land.
+
+The reference hands samples to downstream systems (Pulsar topic keyed by
+the FNV partition key; Cortex remote-write per tenant) and keeps nothing
+-- reference pkg/pulsar/serializers.go:91-114 chooses the partition key
+exactly so one series always lands on one partition. A Spark-native
+engine persists the same stream as a queryable lake, and the layout IS
+the performance model:
+
+- **Partition by (tenant_id, day)**: every operational query starts with
+  a tenant + time-range predicate; directory-level partition pruning
+  turns those into file skips before any I/O (Catalyst shows them as
+  PartitionFilters). This mirrors the reference's per-tenant isolation.
+- **Bucket by series key within a partition**: the per-series access
+  pattern (the reason for the reference's FNV key) becomes a co-located
+  join/agg: two tables bucketed on the same key with the same bucket
+  count join with NO Exchange on either side.
+
+Both claims are asserted in tests/test_lake.py, not just stated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_lake_columns(samples: DataFrame) -> DataFrame:
+    """Derive the physical layout columns: day from the ms timestamp and
+    the series colocation key (xxhash64 tier of B8; JVM-side)."""
+    from ..functions.fnv import colocation_key_col
+
+    return samples.withColumn(
+        "day", F.to_date(F.timestamp_millis(F.col("timestamp")))
+    ).withColumn("series_key", colocation_key_col(F.col("labels"), F.col("tenant_id")))
+
+
+def write_samples_lake(samples: DataFrame, path: str) -> None:
+    """Persist the flattened sample stream partitioned by (tenant_id, day).
+
+    Partition columns are low-cardinality by design: tenants x days, not
+    series. Series-level locality comes from sorting within files, which
+    also gives parquet run-length/delta encoding its best shot."""
+    (
+        with_lake_columns(samples)
+        .repartition("tenant_id", "day")
+        .sortWithinPartitions("series_key", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("tenant_id", "day")
+        .parquet(path)
+    )
+
+
+def read_samples_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Read the lake back; tenant/day predicates prune at directory level."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) by a key.
+
+    Joins/aggregations between tables bucketed on the same key with the
+    same bucket count skip the shuffle entirely -- the physical plan has
+    no Exchange on either side. This is how the hot series<->metadata
+    join should run at 100 TB."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
