@@ -784,6 +784,34 @@ FROM events WHERE event_id <= 2000
 """
 
 
+def variant_functions_showcase(spark, sf_dir):
+    """Spark 4 VARIANT over events.props: parse once into the binary
+    semi-structured type, path-extract with try_variant_get, aggregate.
+    At scale this is the modern shape for ragged JSON: parse_json runs
+    once per row at ingest, every downstream path access is a cheap typed
+    probe into the variant encoding instead of a string re-parse."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long").alias("k"),
+    )
+    return k.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+VARIANTFN_SQL = """
+SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+       sum(k) AS sum_k, round(avg(k), 4) AS avg_k
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+GROUP BY event_type
+"""
+
+
 
 # --- TPC-H shapes, round 2 (q7/q8/q13/q15/q17/q22 adapted to the synthetic
 # columns; no partsupp table exists, so supplycost-dependent queries use
@@ -1379,6 +1407,7 @@ QUERIES = {
     "correlated_above_brand_avg": correlated_above_brand_avg,
     "array_functions_showcase": array_functions_showcase,
     "json_functions_showcase": json_functions_showcase,
+    "variant_functions_showcase": variant_functions_showcase,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -1423,6 +1452,7 @@ ORACLES = {
     "correlated_above_brand_avg": CORRELATED_SQL,
     "array_functions_showcase": ARRAYFN_SQL,
     "json_functions_showcase": JSONFN_SQL,
+    "variant_functions_showcase": VARIANTFN_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q13_order_count_distribution": Q13_SQL,
