@@ -56,6 +56,37 @@ def read_samples_lake(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def stream_samples_to_lake(
+    samples: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Land a STREAMING flattened sample stream in the lake layout.
+
+    Uses the native parquet file sink (not foreachBatch): its
+    _spark_metadata transaction log makes the append exactly-once across
+    replays -- a replayed micro-batch's files are recorded once, so the
+    lake never double-counts a sample even though the wire side is
+    at-least-once. Streaming appends cannot sort within files (global
+    sort is unsupported on append streams); series-key file ordering is
+    the job of periodic compaction rewriting closed (tenant, day)
+    partitions with ``write_samples_lake``.
+
+    Returns the started StreamingQuery.
+    """
+    writer = (
+        with_lake_columns(samples)
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("tenant_id", "day")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -69,15 +69,13 @@ def tenant_from_path(path_col):
     return F.when(parent == TENANT_DIR_NONE, F.lit("")).otherwise(parent)
 
 
-def produce_transform(
-    bodies: DataFrame,
-    serializer_format: str = "json",
-    replica_labels: list[str] | None = None,
-) -> DataFrame:
-    """Body blobs -> (key, payload, tenant_id) wire messages.
+def flat_sample_stream(bodies: DataFrame) -> DataFrame:
+    """Body blobs -> flattened (timestamp, value, labels, tenant_id) rows.
 
-    Pure transformation (works on batch or streaming DataFrames alike --
-    tests run it both ways). Bodies that already carry a ``tenant_id``
+    The shared front half of the produce path (A1 decode -> B4 tenant ->
+    B1 flatten), before any serialization: the wire publisher and the
+    lake sink both consume this. Pure transformation -- works on batch or
+    streaming DataFrames alike. Bodies that already carry a ``tenant_id``
     column (e.g. from the remote_write_blobs custom source) keep it;
     otherwise the tenant derives from the file path."""
     if "tenant_id" not in bodies.columns:
@@ -88,7 +86,16 @@ def produce_transform(
         keep_cols=["tenant_id"],
     )
     good = decoded.filter(F.col("decode_error").isNull())
-    flat = flatten_write_requests(good, ["tenant_id"])
+    return flatten_write_requests(good, ["tenant_id"])
+
+
+def produce_transform(
+    bodies: DataFrame,
+    serializer_format: str = "json",
+    replica_labels: list[str] | None = None,
+) -> DataFrame:
+    """Body blobs -> (key, payload, tenant_id) wire messages."""
+    flat = flat_sample_stream(bodies)
     return flat.select(
         partition_key_col(
             F.col("labels"), F.col("tenant_id"), replica_labels
