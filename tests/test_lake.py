@@ -152,3 +152,53 @@ def test_streaming_lake_sink_exactly_once(spark, tmp_path):
     # replay over the same checkpoint: nothing new lands
     run_once()
     assert spark.read.parquet(lake).count() == n
+
+
+def test_compaction_sorts_and_preserves_rows(spark, tmp_path):
+    """Compacting a streamed (tenant, day) partition must keep every row
+    and leave files internally sorted by (series_key, timestamp)."""
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        compact_lake_partition,
+        stream_samples_to_lake,
+    )
+    from prometheus_pulsar_remote_write_spark.streaming.produce import (
+        flat_sample_stream,
+        read_request_stream,
+    )
+    from tests.test_streaming import _write_body
+
+    drop = tmp_path / "drop"
+    n = 0
+    for i in range(3):  # several requests -> several small files
+        n += _write_body(
+            str(drop / "tenant-a" / f"req{i}.bin"),
+            [
+                ({"__name__": "up", "job": f"j{i}"}, [(1.0, 1000 + i), (2.0, 5000 + i)]),
+                ({"__name__": "cpu", "core": str(i)}, [(0.5, 3000 + i)]),
+            ],
+        )
+    lake = str(tmp_path / "lake")
+    q = stream_samples_to_lake(
+        flat_sample_stream(read_request_stream(spark, str(drop), max_files_per_trigger=1)),
+        lake,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    part = f"{lake}/tenant_id=tenant-a/day=1970-01-01"
+    import glob
+
+    before = spark.read.parquet(part).collect()
+    assert len(glob.glob(f"{part}/*.parquet")) > 1  # streamed as small files
+
+    compact_lake_partition(spark, lake, "tenant-a", "1970-01-01", n_files=1)
+
+    files = glob.glob(f"{part}/*.parquet")
+    assert len(files) == 1
+    after = spark.read.parquet(part)
+    assert after.count() == len(before) == n
+    # file-internal order: reading the single file back preserves row order
+    rows = spark.read.parquet(files[0]).collect()
+    keys = [(r.series_key, r.timestamp) for r in rows]
+    assert keys == sorted(keys)
+    # the whole lake still reads consistently after the metadata-log drop
+    assert spark.read.parquet(lake).count() == n
