@@ -367,6 +367,71 @@ FROM numbered GROUP BY tenant_id, batch_id
 """
 
 
+def consume_rate_5m(spark, sf_dir):
+    """PromQL-flavored rate()/increase() per (tenant, series) per 5-minute
+    window over the sample stream -- the query a Prometheus user actually
+    asks of this data. first/last are extracted via struct min/max on the
+    unique (timestamp, event_id) order, so ONE hash aggregation produces
+    everything: no window-function shuffle, no self-join. rate uses only
+    first/last/subtract/divide -- bit-deterministic, no order-dependent
+    float summation. (Plain last-first increase; no PromQL window-edge
+    extrapolation or counter-reset logic -- values here are gauges.)"""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 300000) * 300").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        "value",
+    )
+    agg = s.groupBy("window_start", "tenant_id", "name").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("timestamp", "event_id", "value")).alias("f"),
+        F.max(F.struct("timestamp", "event_id", "value")).alias("l"),
+    )
+    increase = F.col("l.value") - F.col("f.value")
+    span_s = (F.col("l.timestamp") - F.col("f.timestamp")) / 1000.0
+    return agg.select(
+        "window_start",
+        "tenant_id",
+        "name",
+        "n",
+        F.col("f.value").alias("first_val"),
+        F.col("l.value").alias("last_val"),
+        increase.alias("increase"),
+        F.when(span_s > 0, increase / span_s).alias("rate_per_s"),
+    )
+
+
+CONSUME_RATE_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 300000) * 300 AS window_start, tenant_id,
+         event_type AS name, timestamp, event_id, value
+  FROM ({_SAMPLES_SQL})
+),
+sel AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY window_start, tenant_id, name
+                            ORDER BY timestamp, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY window_start, tenant_id, name
+                            ORDER BY timestamp DESC, event_id DESC) AS rn_d
+  FROM s
+)
+SELECT window_start, tenant_id, name, count(*) AS n,
+       max(CASE WHEN rn_a = 1 THEN value END) AS first_val,
+       max(CASE WHEN rn_d = 1 THEN value END) AS last_val,
+       max(CASE WHEN rn_d = 1 THEN value END)
+         - max(CASE WHEN rn_a = 1 THEN value END) AS increase,
+       CASE WHEN max(timestamp) > min(timestamp)
+            THEN (max(CASE WHEN rn_d = 1 THEN value END)
+                  - max(CASE WHEN rn_a = 1 THEN value END))
+                 / ((max(timestamp) - min(timestamp)) / 1000.0)
+       END AS rate_per_s
+FROM sel GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "produce_flatten": produce_flatten,
     "produce_serialize_json": produce_serialize_json,
@@ -378,6 +443,7 @@ QUERIES = {
     "consume_batching": consume_batching,
     "consume_salted_tenant_totals": consume_salted_tenant_totals,
     "consume_deserialize_roundtrip": consume_deserialize_roundtrip,
+    "consume_rate_5m": consume_rate_5m,
 }
 
 ORACLES = {
@@ -391,4 +457,5 @@ ORACLES = {
     "consume_batching": CONSUME_BATCHING_SQL,
     "consume_salted_tenant_totals": CONSUME_SALTED_SQL,
     "consume_deserialize_roundtrip": CONSUME_DESERIALIZE_SQL,
+    "consume_rate_5m": CONSUME_RATE_SQL,
 }
