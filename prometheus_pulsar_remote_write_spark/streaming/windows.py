@@ -102,6 +102,47 @@ def session_counts(ev: DataFrame, gap: str = "30 minutes", watermark: str = "1 h
     )
 
 
+def sample_rate_5m(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked streaming twin of plans.pipeline.consume_rate_5m:
+    PromQL-style per-series rate/increase per 5-minute event-time window.
+
+    first/last ride a struct min/max over the unique (timestamp,
+    event_id) order, so the streaming state per open window is two
+    structs + a count -- O(1) per (window, tenant, series) key, evicted
+    at the watermark."""
+    s = ev.select(
+        "ts",
+        (
+            F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")
+        ).alias("timestamp"),
+        F.col("event_type").alias("name"),
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        "event_id",
+        "value",
+    )
+    agg = (
+        s.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "tenant_id", "name")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct("timestamp", "event_id", "value")).alias("f"),
+            F.max(F.struct("timestamp", "event_id", "value")).alias("l"),
+        )
+    )
+    increase = F.col("l.value") - F.col("f.value")
+    span_s = (F.col("l.timestamp") - F.col("f.timestamp")) / 1000.0
+    return agg.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        "tenant_id",
+        "name",
+        "n",
+        F.col("f.value").alias("first_val"),
+        F.col("l.value").alias("last_val"),
+        increase.alias("increase"),
+        F.when(span_s > 0, increase / span_s).alias("rate_per_s"),
+    )
+
+
 def dedup_within_watermark(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup bounded by the watermark horizon.
 

@@ -656,3 +656,38 @@ def test_distributed_post_5xx_raises_recoverable(spark):
     )
     with pytest.raises(RecoverableError):
         apply_delivery_policy(statuses)
+
+
+def test_streaming_rate_matches_batch(spark, tmp_path):
+    """F7 + PromQL rate: the watermarked streaming rate equals the batch
+    twin the DuckDB oracle checks, on every watermark-closed window."""
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import consume_rate_5m
+
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.sample_rate_5m(ev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate5m")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["window_start"], r["tenant_id"], r["name"]): (
+            r["n"], r["first_val"], r["last_val"], r["increase"], r["rate_per_s"]
+        )
+        for r in spark.sql("SELECT * FROM rate5m").collect()
+    }
+    batch = {
+        (r["window_start"], r["tenant_id"], r["name"]): (
+            r["n"], r["first_val"], r["last_val"], r["increase"], r["rate_per_s"]
+        )
+        for r in consume_rate_5m(spark, SF).collect()
+    }
+    assert streamed
+    # append mode withholds only still-open windows at the stream's end
+    assert len(streamed) >= len(batch) - 60
+    for k, v in streamed.items():
+        assert batch[k] == v, k
