@@ -34,6 +34,7 @@ HEADLINE = [
     "produce_flatten",
     "produce_serialize_json",
     "consume_batching",
+    "consume_rate_5m",
     "docs_token_stats",
     "docs_curation_pipeline",
     "docs_neardup_pairs",

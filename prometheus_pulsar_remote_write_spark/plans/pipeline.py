@@ -13,6 +13,8 @@ Coverage map (SURVEY.md §2):
   consume_sorted_labels  B3 label sort
   consume_batching       D1 size-trigger batching shape (count trigger,
                          deterministic batch ids per tenant)
+  consume_rate_5m        PromQL-style per-series 5m rate/increase (gauge
+                         semantics; streaming twin windows.sample_rate_5m)
 """
 
 from __future__ import annotations
