@@ -15,6 +15,10 @@ Coverage map (SURVEY.md §2):
                          deterministic batch ids per tenant)
   consume_rate_5m        PromQL-style per-series 5m rate/increase (gauge
                          semantics; streaming twin windows.sample_rate_5m)
+  consume_label_cardinality  per-(tenant, label) distinct-value report (the
+                         series-cardinality-explosion ops query)
+  consume_histogram_quantile PromQL histogram_quantile estimation from
+                         le-bucket counts (one hash agg, no sort)
 """
 
 from __future__ import annotations
@@ -369,6 +373,122 @@ FROM numbered GROUP BY tenant_id, batch_id
 """
 
 
+def consume_label_cardinality(spark, sf_dir):
+    """Label-cardinality report: per (tenant, label name), how many
+    distinct values and what share of samples carry the label -- THE ops
+    query against series-cardinality explosions (the blast radius the
+    reference's per-tenant key isolation exists to contain). One explode
+    of the label map, one aggregation; countDistinct rewrites to a
+    partial-agg expand under the hood, so it scales like any hash agg."""
+    samples = samples_from_events(spark, sf_dir)
+    lbl = samples.select(
+        "tenant_id", "event_id", F.explode("labels").alias("label_name", "label_value")
+    )
+    return lbl.groupBy("tenant_id", "label_name").agg(
+        F.countDistinct("label_value").alias("n_values"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+CONSUME_CARDINALITY_SQL = f"""
+WITH lbl AS (
+  SELECT tenant_id, event_id, u.name AS label_name, u.value AS label_value
+  FROM ({_SAMPLES_SQL}),
+       UNNEST([
+         struct_pack(name := '__name__', value := event_type),
+         struct_pack(name := 'k',        value := k),
+         struct_pack(name := 'user',     value := user_str)
+       ]) AS t(u)
+)
+SELECT tenant_id, label_name,
+       count(DISTINCT label_value) AS n_values,
+       count(*) AS n_samples
+FROM lbl GROUP BY tenant_id, label_name
+"""
+
+
+#: histogram bucket upper bounds (le-style, +Inf implicit)
+_HIST_BOUNDS = [5.0, 10.0, 20.0, 50.0, 100.0]
+
+
+def consume_histogram_quantile(spark, sf_dir):
+    """PromQL histogram_quantile() shape: cumulative le-bucket counts per
+    (tenant, series) in one aggregation, then p50/p90 by linear
+    interpolation inside the target bucket -- exactly Prometheus's
+    estimation rule, including the highest-finite-bound clamp when the
+    quantile lands in the +Inf bucket. Bucket counts are integers and the
+    interpolation uses only fixed bounds + counts, so the result is
+    bit-deterministic. At scale this is ONE partial+final hash agg over
+    the sample stream; no sort, no percentile state."""
+    samples = samples_from_events(spark, sf_dir)
+    les = [
+        F.sum(F.when(F.col("value") <= b, 1).otherwise(0)).alias(f"le{i}")
+        for i, b in enumerate(_HIST_BOUNDS)
+    ]
+    agg = samples.groupBy(
+        "tenant_id", F.col("labels")["__name__"].alias("name")
+    ).agg(*les, F.count("*").alias("total"))
+    cums = F.array(*[F.col(f"le{i}").cast("double") for i in range(len(_HIST_BOUNDS))])
+    barr = F.array(*[F.lit(b) for b in _HIST_BOUNDS])
+
+    def quantile(phi: float):
+        target = F.lit(phi) * F.col("total")
+        idx = F.size(F.filter(cums, lambda c: c < target))
+        safe = F.greatest(idx, F.lit(1))  # guard: branches evaluate eagerly
+        lo = F.when(idx == 0, F.lit(0.0)).otherwise(F.element_at(barr, safe))
+        cprev = F.when(idx == 0, F.lit(0.0)).otherwise(F.element_at(cums, safe))
+        hi = F.element_at(barr, F.least(idx + 1, F.lit(len(_HIST_BOUNDS))))
+        cnt = F.element_at(cums, F.least(idx + 1, F.lit(len(_HIST_BOUNDS)))) - cprev
+        interp = lo + (hi - lo) * (target - cprev) / cnt
+        return F.when(idx >= len(_HIST_BOUNDS), F.lit(_HIST_BOUNDS[-1])).otherwise(
+            interp
+        )
+
+    return agg.select(
+        "tenant_id",
+        "name",
+        "total",
+        quantile(0.5).alias("p50_est"),
+        quantile(0.9).alias("p90_est"),
+    )
+
+
+def _hist_q_sql(phi: str, n: int) -> str:
+    i = f"i_{phi.replace('.', '_')}"
+    lo = f"(CASE WHEN {i} = 0 THEN 0.0 ELSE barr[{i}] END)"
+    cprev = f"(CASE WHEN {i} = 0 THEN 0.0 ELSE cums[{i}] END)"
+    hi = f"barr[least({i} + 1, {n})]"
+    cnt = f"(cums[least({i} + 1, {n})] - {cprev})"
+    return (
+        f"CASE WHEN {i} >= {n} THEN {_HIST_BOUNDS[-1]} "
+        f"ELSE {lo} + ({hi} - {lo}) * ({phi}::DOUBLE * total - {cprev}) / {cnt} END"
+    )
+
+
+CONSUME_HISTQ_SQL = f"""
+WITH agg AS (
+  SELECT tenant_id, event_type AS name,
+         {", ".join(f"sum(CASE WHEN value <= {b} THEN 1 ELSE 0 END)::DOUBLE AS le{i}" for i, b in enumerate(_HIST_BOUNDS))},
+         count(*) AS total
+  FROM ({_SAMPLES_SQL}) GROUP BY 1, 2
+),
+c AS (
+  SELECT *, [{", ".join(f"le{i}" for i in range(len(_HIST_BOUNDS)))}] AS cums,
+         [{", ".join(str(b) for b in _HIST_BOUNDS)}] AS barr
+  FROM agg
+),
+q AS (
+  SELECT *, len(list_filter(cums, x -> x < 0.5::DOUBLE * total)) AS i_0_5,
+            len(list_filter(cums, x -> x < 0.9::DOUBLE * total)) AS i_0_9
+  FROM c
+)
+SELECT tenant_id, name, total,
+       {_hist_q_sql("0.5", len(_HIST_BOUNDS))} AS p50_est,
+       {_hist_q_sql("0.9", len(_HIST_BOUNDS))} AS p90_est
+FROM q
+"""
+
+
 def consume_rate_5m(spark, sf_dir):
     """PromQL-flavored rate()/increase() per (tenant, series) per 5-minute
     window over the sample stream -- the query a Prometheus user actually
@@ -446,6 +566,8 @@ QUERIES = {
     "consume_salted_tenant_totals": consume_salted_tenant_totals,
     "consume_deserialize_roundtrip": consume_deserialize_roundtrip,
     "consume_rate_5m": consume_rate_5m,
+    "consume_label_cardinality": consume_label_cardinality,
+    "consume_histogram_quantile": consume_histogram_quantile,
 }
 
 ORACLES = {
@@ -460,4 +582,6 @@ ORACLES = {
     "consume_salted_tenant_totals": CONSUME_SALTED_SQL,
     "consume_deserialize_roundtrip": CONSUME_DESERIALIZE_SQL,
     "consume_rate_5m": CONSUME_RATE_SQL,
+    "consume_label_cardinality": CONSUME_CARDINALITY_SQL,
+    "consume_histogram_quantile": CONSUME_HISTQ_SQL,
 }
