@@ -19,6 +19,8 @@ Coverage map (SURVEY.md §2):
                          series-cardinality-explosion ops query)
   consume_histogram_quantile PromQL histogram_quantile estimation from
                          le-bucket counts (one hash agg, no sort)
+  consume_instant_vector PromQL instant-vector evaluation on a 10m grid
+                         with the 5m staleness lookback (as-of join)
 """
 
 from __future__ import annotations
@@ -407,6 +409,82 @@ FROM lbl GROUP BY tenant_id, label_name
 """
 
 
+def consume_instant_vector(spark, sf_dir):
+    """PromQL's evaluation model itself: an instant vector on a regular
+    10-minute grid -- for every (grid time, series), the newest sample at
+    or before that instant, subject to the 5-minute staleness lookback
+    (no sample in the window => the series is absent at that instant,
+    exactly Prometheus's staleness rule).
+
+    Spark shape: grid x series (both tiny) as-of joined against the
+    sample stream via operators.asof.asof_join -- union-tag + ONE shuffle
+    on the series key, cost independent of lookback width; the staleness
+    bound is a post-filter on the matched timestamp. Samples sharing a
+    timestamp are pre-deduped to the max event_id so the match is
+    deterministic."""
+    from ..operators.asof import asof_join
+
+    samples = samples_from_events(spark, sf_dir).select(
+        "tenant_id",
+        F.col("labels")["__name__"].alias("name"),
+        "timestamp",
+        "event_id",
+        "value",
+    )
+    bounds = samples.agg(
+        F.expr("(min(timestamp) div 600000) * 600000").alias("lo"),
+        F.max("timestamp").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(600000))).alias("eval_ts")
+    )
+    series = samples.select("tenant_id", "name").distinct()
+    pts = grid.crossJoin(series)
+    dd = (
+        samples.groupBy("tenant_id", "name", "timestamp")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select("tenant_id", "name", "timestamp", F.col("m.value").alias("value"))
+    )
+    joined = asof_join(
+        pts,
+        dd,
+        on=["tenant_id", "name"],
+        left_time="eval_ts",
+        right_time="timestamp",
+        right_cols=["timestamp", "value"],
+        how="left",
+    )
+    return joined.filter(
+        F.col("timestamp").isNotNull()
+        & (F.col("eval_ts") - F.col("timestamp") < 300000)
+    ).select(
+        "eval_ts",
+        "tenant_id",
+        "name",
+        F.col("timestamp").alias("sample_ts"),
+        "value",
+    )
+
+
+CONSUME_INSTANT_SQL = f"""
+WITH s AS (SELECT tenant_id, event_type AS name, timestamp, event_id, value
+           FROM ({_SAMPLES_SQL})),
+b AS (SELECT (min(timestamp) // 600000) * 600000 AS lo, max(timestamp) AS hi FROM s),
+grid AS (SELECT unnest(generate_series(lo, hi, 600000)) AS eval_ts FROM b),
+series AS (SELECT DISTINCT tenant_id, name FROM s),
+cand AS (
+  SELECT g.eval_ts, se.tenant_id, se.name, s.timestamp AS sample_ts, s.value,
+         row_number() OVER (PARTITION BY g.eval_ts, se.tenant_id, se.name
+                            ORDER BY s.timestamp DESC, s.event_id DESC) AS rn
+  FROM grid g
+  CROSS JOIN series se
+  JOIN s ON s.tenant_id = se.tenant_id AND s.name = se.name
+        AND s.timestamp <= g.eval_ts AND g.eval_ts - s.timestamp < 300000
+)
+SELECT eval_ts, tenant_id, name, sample_ts, value FROM cand WHERE rn = 1
+"""
+
+
 #: histogram bucket upper bounds (le-style, +Inf implicit)
 _HIST_BOUNDS = [5.0, 10.0, 20.0, 50.0, 100.0]
 
@@ -568,6 +646,7 @@ QUERIES = {
     "consume_rate_5m": consume_rate_5m,
     "consume_label_cardinality": consume_label_cardinality,
     "consume_histogram_quantile": consume_histogram_quantile,
+    "consume_instant_vector": consume_instant_vector,
 }
 
 ORACLES = {
@@ -584,4 +663,5 @@ ORACLES = {
     "consume_rate_5m": CONSUME_RATE_SQL,
     "consume_label_cardinality": CONSUME_CARDINALITY_SQL,
     "consume_histogram_quantile": CONSUME_HISTQ_SQL,
+    "consume_instant_vector": CONSUME_INSTANT_SQL,
 }
