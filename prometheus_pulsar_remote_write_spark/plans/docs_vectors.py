@@ -744,6 +744,54 @@ WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_SQL}))
 """
 
 
+# --- Training-data chunking ---------------------------------------------------
+
+_CHUNK_TOKENS = 50
+_CHUNK_STEP = 40  # 10-token overlap between consecutive chunks
+
+
+def docs_chunking(spark, sf_dir):
+    """Sliding token-window chunking (50-token chunks, 10-token overlap):
+    the step every LLM data pipeline runs between curation and
+    tokenization. One explode over per-doc start offsets, then pure
+    array slicing -- narrow, JVM-side, no shuffle at all; chunk count
+    scales with corpus token count, not document count."""
+    docs = _docs_spread(spark, sf_dir)
+    tk = docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    st = tk.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("tk") - 1, F.lit(0)),
+                F.lit(_CHUNK_STEP),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice("tk", F.col("start") + 1, _CHUNK_TOKENS)
+    return st.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STEP).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+DOCS_CHUNK_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+st AS (
+  SELECT doc_id, tk,
+         unnest(range(0, greatest(len(tk), 1), {_CHUNK_STEP})) AS start
+  FROM toks
+)
+SELECT doc_id, (start // {_CHUNK_STEP}) AS chunk_id,
+       len(tk[start+1:start+{_CHUNK_TOKENS}]) AS n_chunk_tokens,
+       array_to_string(tk[start+1:start+{_CHUNK_TOKENS}], ' ') AS chunk_text
+FROM st
+"""
+
+
 # --- F4 completion: TF-IDF top terms ------------------------------------------
 
 
@@ -928,6 +976,7 @@ QUERIES = {
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_dup_families": docs_dup_families,
     "docs_curation_pipeline": docs_curation_pipeline,
+    "docs_chunking": docs_chunking,
     "docs_tfidf_topterms": docs_tfidf_topterms,
     "docs_simhash16": docs_simhash16,
     "emb_cosine_topk": emb_cosine_topk,
@@ -955,6 +1004,7 @@ ORACLES = {
     "docs_neardup_dedup": DEDUP_NEARDUP_SQL,
     "docs_dup_families": DUP_FAMILIES_SQL,
     "docs_curation_pipeline": CURATION_SQL,
+    "docs_chunking": DOCS_CHUNK_SQL,
     "docs_tfidf_topterms": TFIDF_SQL,
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
