@@ -792,6 +792,53 @@ FROM st
 """
 
 
+_PACK_TOKENS = 2048
+
+
+def docs_sequence_packing(spark, sf_dir):
+    """Greedy sequence packing into ~2048-token training bins, WITHIN
+    hash shards: docs are dealt to 8 shards by the training hash, ordered
+    deterministically inside each shard, and packed by running token
+    count (bin = start-offset div 2048). Packing inside shards -- not
+    globally -- is the scale design: a global cumulative sum would be one
+    sequential window over the whole corpus; per-shard it is N
+    independent windows, and N tracks writer parallelism."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    t = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    ).withColumn("shard", (F.col("h") % 8).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")  # tokens before this doc
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (start / _PACK_TOKENS).cast("bigint").alias("bin"),
+        (start % _PACK_TOKENS).alias("bin_offset"),
+    )
+
+
+DOCS_PACKING_SQL = f"""
+SELECT doc_id, shard, n_tokens,
+       ((cum - n_tokens) // {_PACK_TOKENS}) AS bin,
+       ((cum - n_tokens) % {_PACK_TOKENS}) AS bin_offset
+FROM (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+           ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+           len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tokens
+    FROM documents
+  )
+)
+"""
+
+
 # --- F4 completion: TF-IDF top terms ------------------------------------------
 
 
@@ -977,6 +1024,7 @@ QUERIES = {
     "docs_dup_families": docs_dup_families,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_chunking": docs_chunking,
+    "docs_sequence_packing": docs_sequence_packing,
     "docs_tfidf_topterms": docs_tfidf_topterms,
     "docs_simhash16": docs_simhash16,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1005,6 +1053,7 @@ ORACLES = {
     "docs_dup_families": DUP_FAMILIES_SQL,
     "docs_curation_pipeline": CURATION_SQL,
     "docs_chunking": DOCS_CHUNK_SQL,
+    "docs_sequence_packing": DOCS_PACKING_SQL,
     "docs_tfidf_topterms": TFIDF_SQL,
     "docs_simhash16": SIMHASH_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,

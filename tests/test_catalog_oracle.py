@@ -52,3 +52,45 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_chunking_reconstructs_corpus(spark):
+    """Chunk invariants: concatenating each doc's chunk prefixes (the
+    non-overlapping first `step` tokens, all of the last chunk) must
+    reproduce the doc's token stream exactly; every chunk but the last
+    must carry exactly chunk_tokens tokens."""
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _CHUNK_STEP,
+        _CHUNK_TOKENS,
+        docs_chunking,
+    )
+    from prometheus_pulsar_remote_write_spark.operators.text import tokens_col
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    chunks = docs_chunking(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.tk
+        for r in load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+        .select("doc_id", tokens_col(F.col("text")).alias("tk"))
+        .collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        rebuilt = []
+        for i, r in enumerate(rows):
+            toks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(toks) == r.n_chunk_tokens
+            if i < len(rows) - 1:
+                # a non-final chunk spans past the next start, so it always
+                # holds more than the overlap; full docs fill all 50
+                assert _CHUNK_TOKENS - _CHUNK_STEP < r.n_chunk_tokens <= _CHUNK_TOKENS
+                rebuilt.extend(toks[:_CHUNK_STEP])
+            else:
+                rebuilt.extend(toks)
+        assert rebuilt == docs[doc_id], doc_id
