@@ -91,11 +91,23 @@ def events_sessionization(spark, sf_dir, gap_s: int = 1800):
             by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # session_value sums doubles: a plain F.sum folds in engine-dependent
+    # order, which is not bit-deterministic under the driver's strict
+    # value-hash gate. Fold the values in (ts, event_id) order instead --
+    # identical left-fold on both engines => identical bits (ADVICE r2).
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda x: x["value"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return with_session.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         F.min(F.unix_timestamp("ts")).alias("session_start"),
         F.max(F.unix_timestamp("ts")).alias("session_end"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(ordered_sum, 2).alias("session_value"),
     )
 
 
@@ -116,7 +128,8 @@ WITH flagged AS (
 SELECT user_id, session_seq, count(*) AS n_events,
        min(epoch_ms(ts) // 1000) AS session_start,
        max(epoch_ms(ts) // 1000) AS session_end,
-       round(sum(value), 2) AS session_value
+       round(list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+                         (acc, v) -> acc + v), 2) AS session_value
 FROM numbered GROUP BY user_id, session_seq
 """
 

@@ -806,7 +806,7 @@ def variant_functions_showcase(spark, sf_dir):
 
 VARIANTFN_SQL = """
 SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
-       sum(k) AS sum_k, round(avg(k), 4) AS avg_k
+       sum(k)::BIGINT AS sum_k, round(avg(k), 4) AS avg_k
 FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
 GROUP BY event_type
 """
