@@ -62,17 +62,24 @@ def main() -> None:
 
     # best-of-2: the first execution of each query pays one-time codegen /
     # file-index costs that a long-running engine amortizes away; the min of
-    # two runs measures steady-state plan throughput and is robust to
-    # transient host contention.
+    # two runs measures steady-state plan throughput. If the two runs
+    # disagree by >1.5x the host is contended (round 3: every query ran
+    # uniformly ~3x slower while the driver's correctness job shared the
+    # cores) -- take one extra run so the minimum reflects the plan, not
+    # the neighbor.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             run_query(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        if max(runs) > 1.5 * min(runs):
+            t0 = time.time()
+            run_query(fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

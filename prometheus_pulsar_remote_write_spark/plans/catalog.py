@@ -16,7 +16,12 @@ from . import docs_vectors, events_batch, pipeline, relational
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for module in (relational, events_batch, pipeline, docs_vectors):
+# Module order sets dict order, and the driver's correctness gate checks
+# the first 50 entries per round. Rounds 2-3 verified the relational +
+# events surface (CORRECTNESS_r0{2,3}.json, all hash-green); this round
+# leads with the pipeline/docs/vectors entries so every query in the
+# catalog has driver-recorded hash evidence across rounds.
+for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
 

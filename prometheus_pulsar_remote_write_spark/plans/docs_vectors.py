@@ -120,7 +120,7 @@ def docs_hash_sample(spark, sf_dir):
 
 
 DOCS_HASH_SAMPLE_SQL = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents
 WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
 GROUP BY source, lang
@@ -823,8 +823,8 @@ def docs_sequence_packing(spark, sf_dir):
 
 DOCS_PACKING_SQL = f"""
 SELECT doc_id, shard, n_tokens,
-       ((cum - n_tokens) // {_PACK_TOKENS}) AS bin,
-       ((cum - n_tokens) % {_PACK_TOKENS}) AS bin_offset
+       ((cum - n_tokens) // {_PACK_TOKENS})::BIGINT AS bin,
+       ((cum - n_tokens) % {_PACK_TOKENS})::BIGINT AS bin_offset
 FROM (
   SELECT doc_id, shard, n_tokens,
          sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id

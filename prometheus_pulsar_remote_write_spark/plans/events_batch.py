@@ -95,10 +95,17 @@ def events_sessionization(spark, sf_dir, gap_s: int = 1800):
     # order, which is not bit-deterministic under the driver's strict
     # value-hash gate. Fold the values in (ts, event_id) order instead --
     # identical left-fold on both engines => identical bits (ADVICE r2).
+    # event_id is unique per event (TESTDATA.md), so (ts, event_id) is a
+    # total order and the struct's trailing value field is never compared;
+    # NULL values coalesce to 0.0 in BOTH folds so a NULL can't poison one
+    # engine's fold and not the other's (ADVICE r3). Memory bound: the
+    # per-session value array is materialized per group -- bounded by the
+    # longest single session, not by table size (a pathological never-idle
+    # user is the one shape that would need chunked pre-aggregation).
     ordered_sum = F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-            lambda x: x["value"],
+            lambda x: F.coalesce(x["value"], F.lit(0.0)),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -120,15 +127,17 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
+  -- ::BIGINT: DuckDB's windowed sum(int) is HUGEINT, which pandas widens
+  -- to float64 and the driver then hashes as 1.0 vs Spark's bigint 1.
   SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
             AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,
        min(epoch_ms(ts) // 1000) AS session_start,
        max(epoch_ms(ts) // 1000) AS session_end,
-       round(list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+       round(list_reduce(list_prepend(0.0, list(coalesce(value, 0.0) ORDER BY ts, event_id)),
                          (acc, v) -> acc + v), 2) AS session_value
 FROM numbered GROUP BY user_id, session_seq
 """

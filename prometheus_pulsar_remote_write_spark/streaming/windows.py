@@ -50,6 +50,12 @@ def read_events_stream(
     ev = reader.parquet(src)
     if isinstance(ev.schema["ts"].dataType, T.LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        # newer testdata stores ts as TIMESTAMP(MICROS) without UTC
+        # adjustment, which Spark reads as TIMESTAMP_NTZ -- and
+        # withWatermark() only accepts TIMESTAMP. The session TZ is pinned
+        # UTC, so the cast is a pure type change, not a wall-clock shift.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -127,6 +127,23 @@ def main():
                 if n == 0:
                     failures.append((name, "rows-only query returned 0 rows"))
                 continue
+            orel = con.sql(oracles[name])
+            # HUGEINT survives fetchall() as a Python int (so a naive
+            # compare passes) but widens to float64 through pandas --
+            # which is how the driver hashes it: 1.0 != 1 => hash
+            # mismatch. DuckDB's sum(INTEGER) is HUGEINT, so any summed
+            # int column must be ::BIGINT-cast in the oracle (round 3:
+            # events_sessionization's session_seq).
+            hug = [
+                c
+                for c, t in zip(orel.columns, orel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if hug:
+                err = f"oracle returns HUGEINT column(s) {hug}; add ::BIGINT"
+                failures.append((name, err))
+                print(f"  {name:34s} FAIL {err} ({time.time()-t0:.1f}s)")
+                continue
             rel = con.execute(oracles[name])
             duck_cols = [d[0] for d in rel.description]
             duck_rows = rel.fetchall()

@@ -43,6 +43,14 @@ def test_query_matches_oracle(spark, duck, name):
     if name not in ORACLES:
         assert df.count() > 0
         return
+    # HUGEINT widens to float64 on the driver's pandas hash path even
+    # though fetchall() returns ints -- ban it at the type level.
+    hug = [
+        c
+        for c, t in zip(duck.sql(ORACLES[name]).columns, duck.sql(ORACLES[name]).types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not hug, f"oracle returns HUGEINT column(s) {hug}; add ::BIGINT"
     rel = duck.execute(ORACLES[name])
     cols = [d[0] for d in rel.description]
     err = compare(name, df, rel.fetchall(), cols)
