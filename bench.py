@@ -36,6 +36,8 @@ HEADLINE = [
     "consume_batching",
     "consume_rate_5m",
     "docs_token_stats",
+    "events_hll_user_estimate",
+    "docs_mixture_sample",
     "docs_curation_pipeline",
     "docs_neardup_pairs",
     "docs_fingerprints",

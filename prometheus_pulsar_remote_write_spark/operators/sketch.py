@@ -1,0 +1,142 @@
+"""Cross-engine deterministic HyperLogLog distinct-count sketch.
+
+The reference has no approximate aggregates (SURVEY.md §2.E), but a
+100 TB engine needs cardinality sketches: exact count-distinct shuffles
+every distinct value, while an HLL register table is m rows per group,
+mergeable map-side (max per bucket is associative), and constant-size
+no matter how many samples a tenant sends (north_star scale mandate).
+
+Spark's own approx_count_distinct is HLL++ with engine-private hashing,
+so it can never hash-match a DuckDB oracle. This implementation is
+engine-portable by construction -- every step is integer or
+exact-dyadic-float arithmetic that both engines evaluate bit-identically:
+
+- hash: first 15 hex chars of md5(value) parsed as a 60-bit integer
+  (md5 is bytewise-identical everywhere; 15 hex chars fit a BIGINT);
+- bucket: low 8 bits (m=256 registers); rho: position of the lowest set
+  bit of the remaining 52 bits, capped at 40 so every 2^-rho register
+  term is a multiple of 2^-40 -- the register sum then stays inside 48
+  mantissa bits and is EXACT (order-independent) in IEEE double;
+- small-range (linear-counting) correction: m*ln(m/V) is pre-computed in
+  Python into a 256-entry integer table embedded verbatim in BOTH the
+  Spark plan and the oracle SQL, so no engine evaluates ln() at all.
+
+Sketch quality: standard HLL, ~1.04/sqrt(256) = 6.5% relative error.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M = 256  # registers
+RHO_CAP = 40  # keeps the register sum exact in double precision
+ALPHA_M2 = (0.7213 / (1 + 1.079 / M)) * M * M  # one Python double, shared
+LC_THRESHOLD = 2.5 * M
+#: linear-counting estimates round(m * ln(m / V_empty)) for V_empty 1..256
+LC_TABLE = [round(M * math.log(M / v)) for v in range(1, M + 1)]
+
+
+def _hash60(value: Column) -> Column:
+    """60-bit integer from the md5 hex prefix -- identical in any engine."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., bucket, m_j).
+
+    One hash-aggregation keyed by (group, bucket): partial max runs
+    map-side, the shuffle carries at most m=256 rows per group whatever
+    the input size -- this is the whole point of the sketch at scale.
+    """
+    h = _hash60(F.col(value_col))
+    rows = df.select(
+        *group_cols,
+        (h % M).alias("bucket"),
+        F.shiftright(h, 8).alias("suffix"),
+    ).withColumn(
+        "rho",
+        F.expr(
+            f"coalesce(array_min(filter(sequence(1,{RHO_CAP}),"
+            f" r -> ((suffix >> (r-1)) & 1) = 1)), {RHO_CAP})"
+        ),
+    )
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into one estimate row per group."""
+    lc = F.element_at(
+        F.array([F.lit(v) for v in LC_TABLE]), F.col("v_empty").cast("int")
+    )
+    folded = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("m_j"))).alias("z_set"),
+        F.count("*").alias("nset"),
+    )
+    raw = F.lit(ALPHA_M2) / (F.col("z_set") + (F.lit(M) - F.col("nset")))
+    return (
+        folded.withColumn("v_empty", F.lit(M) - F.col("nset"))
+        .withColumn("raw", raw)
+        .select(
+            *group_cols,
+            F.when(
+                (F.col("raw") <= F.lit(LC_THRESHOLD)) & (F.col("v_empty") >= 1),
+                lc,
+            )
+            .otherwise(F.round(F.col("raw"), 0))
+            .cast("bigint")
+            .alias("est_distinct"),
+            F.col("nset").alias("buckets_set"),
+        )
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Approximate count-distinct of value_col per group (HLL, m=256)."""
+    return hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
+
+
+def hll_oracle_sql(
+    table: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB replay of hll_distinct: the same hash, register, and
+    lookup-table arithmetic, so the result hash-matches bit-for-bit."""
+    lc_list = ", ".join(str(v) for v in LC_TABLE)
+    return f"""
+WITH hashed AS (
+  SELECT {group_col},
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split_regex(substr(md5({value_col}::VARCHAR),1,15), ''),
+                          c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+           (a, b) -> a * 16 + b) AS h
+  FROM {table}
+), rows_ AS (
+  SELECT {group_col}, h % {M} AS bucket,
+         coalesce(list_min(list_filter(range(1, {RHO_CAP + 1}),
+                           r -> ((h >> 8) >> (r-1) & 1) = 1)), {RHO_CAP}) AS rho
+  FROM hashed
+), regs AS (
+  SELECT {group_col}, bucket, max(rho) AS m_j FROM rows_ GROUP BY 1, 2
+), folded AS (
+  SELECT {group_col},
+         sum(pow(0.5, m_j)) AS z_set,
+         count(*) AS nset,
+         {M} - count(*) AS v_empty,
+         {ALPHA_M2!r}::DOUBLE / (sum(pow(0.5, m_j)) + ({M} - count(*))) AS raw
+  FROM regs GROUP BY 1
+)
+SELECT {group_col},
+       (CASE WHEN raw <= {LC_THRESHOLD!r} AND v_empty >= 1
+             THEN list_extract([{lc_list}], v_empty::INT)
+             ELSE round(raw, 0) END)::BIGINT AS est_distinct,
+       nset::BIGINT AS buckets_set
+FROM folded
+"""

@@ -1011,7 +1011,175 @@ FROM a1 JOIN a2 USING (vec_id)
 """
 
 
+# --- round-4 additions: mixture sampling, corpus stats, centroids ------------
+
+
+def docs_mixture_sample(spark, sf_dir):
+    """Training-mixture sampling: each source tier gets a target sampling
+    rate (the "data mixture" knob in corpus assembly -- e.g. books
+    oversampled, crawl downsampled), applied as a deterministic hash
+    predicate so the mixture is reproducible run-to-run and replayable in
+    SQL. The predicate pushes to the scan; no shuffle except the final
+    per-source rollup (bounded by |sources|)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tier = F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 3
+    rate_pct = (
+        F.when(tier == 0, 100).when(tier == 1, 50).otherwise(10)
+    )
+    keep = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100 < rate_pct
+    return (
+        docs.withColumn("kept", keep.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+DOCS_MIXTURE_SQL = """
+WITH flagged AS (
+  SELECT source, n_chars,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 <
+                   (CASE regexp_extract(source, 'src(\\d+)', 1)::INT % 3
+                         WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 10 END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, count(*) AS n_total, sum(kept)::BIGINT AS n_kept,
+       sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+FROM flagged GROUP BY source
+"""
+
+
+def docs_lexical_diversity(spark, sf_dir):
+    """Type-token ratio per source: distinct words / total words -- the
+    classic lexical-diversity curation signal (templated/spammy sources
+    score low). Token explode -> one hash agg; distinct-token counting
+    shuffles (source, token) pairs, which is the exact shape
+    count-distinct takes at any scale (or swap in the HLL sketch from
+    operators/sketch.py when ~6% error is acceptable)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    return tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        F.round(
+            F.countDistinct("token").cast("double") / F.count("*").cast("double"), 6
+        ).alias("ttr"),
+    )
+
+
+DOCS_LEXDIV_SQL = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+  FROM documents
+)
+SELECT source, count(*) AS n_tokens, count(DISTINCT token) AS n_types,
+       round(count(DISTINCT token)::DOUBLE / count(*)::DOUBLE, 6) AS ttr
+FROM tok GROUP BY source
+"""
+
+
+def docs_bigram_topk(spark, sf_dir):
+    """Top-5 bigrams per language by frequency (phrase mining / template
+    detection). Bigrams are built positionally inside the tokens array
+    (no self-join), then one (lang, bigram) hash agg and a per-lang
+    top-k window over the much smaller aggregate."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # size >= 2 filter first: sequence(1, size-1) would run DESCENDING
+    # [1, 0] for a one-token doc (Spark sequence reverses when stop < start)
+    # and element_at(tk, 0) is an error under ANSI indexing.
+    t = docs.select("lang", tokens_col(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bigrams = t.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
+DOCS_BIGRAM_SQL = """
+WITH tk AS (
+  SELECT lang, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+  FROM documents
+), bi AS (
+  SELECT lang, unnest(list_transform(range(1, greatest(len(t), 1)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM tk
+), counted AS (
+  SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2
+)
+SELECT lang, bigram, n, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rank
+  FROM counted
+) WHERE rank <= 5
+"""
+
+
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding vectors (the serving-side half
+    of clustering: label -> mean vector). Element-wise mean via
+    posexplode -> (label, pos) hash agg; the double sum folds in vec_id
+    order on both engines so the result is bit-deterministic. At scale
+    this is one shuffle of |vectors| x dim scalar rows -- the layout
+    every distributed mean-vector computation uses (and the fold list
+    per group is |vectors-per-label| doubles, bounded by the label's
+    population, not the corpus)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cells = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            lambda x: x["val"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return cells.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(ordered_sum / F.count("*"), 6).alias("centroid"),
+    )
+
+
+EMB_CENTROIDS_SQL = """
+WITH cells AS (
+  SELECT label, vec_id, i - 1 AS pos, embedding[i] AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT label, pos, count(*) AS n_vectors,
+       round(list_reduce(list_prepend(0.0, list(val::DOUBLE ORDER BY vec_id)),
+                         (acc, v) -> acc + v) / count(*), 6) AS centroid
+FROM cells GROUP BY label, pos
+"""
+
+
 QUERIES = {
+    # new-in-round-4 entries lead so they land inside the driver's
+    # 50-query correctness window (earlier rounds recorded the rest)
+    "docs_mixture_sample": docs_mixture_sample,
+    "docs_lexical_diversity": docs_lexical_diversity,
+    "docs_bigram_topk": docs_bigram_topk,
+    "emb_label_centroids": emb_label_centroids,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_hash_sample": docs_hash_sample,
     "docs_training_order": docs_training_order,
@@ -1041,6 +1209,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_mixture_sample": DOCS_MIXTURE_SQL,
+    "docs_lexical_diversity": DOCS_LEXDIV_SQL,
+    "docs_bigram_topk": DOCS_BIGRAM_SQL,
+    "emb_label_centroids": EMB_CENTROIDS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "docs_training_order": DOCS_TRAINING_ORDER_SQL,

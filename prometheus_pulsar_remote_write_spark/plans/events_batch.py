@@ -17,11 +17,116 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup
+from ..operators.sketch import hll_distinct, hll_oracle_sql
 from ..schema import load_tables
 
 
 def _events(spark, sf_dir):
     return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+def events_hll_user_estimate(spark, sf_dir):
+    """Approximate distinct users per event_type via the cross-engine
+    deterministic HLL sketch (operators/sketch.py), joined with the exact
+    count so the relative error is visible in the result. At 100 TB the
+    exact branch is the one you drop: the sketch shuffles <=256 register
+    rows per group regardless of input size, and registers merge with a
+    plain max so re-aggregation across days/tenants is free."""
+    ev = _events(spark, sf_dir)
+    est = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "est_distinct", "buckets_set", "exact_distinct"
+    )
+
+
+HLL_USERS_SQL = f"""
+WITH sketch AS ({hll_oracle_sql("events", "event_type", "user_id")}),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT event_type, est_distinct, buckets_set, exact_distinct
+FROM sketch JOIN exact USING (event_type)
+"""
+
+
+def events_latest_state(spark, sf_dir):
+    """Changelog compaction / upsert view: materialize each user's current
+    state (their latest event) from the append-only log -- the CDC
+    "latest wins" pattern. One shuffle on user_id; at scale this is the
+    same plan MERGE-on-read table formats run at compaction time."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("last_seen_s"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+LATEST_STATE_SQL = """
+SELECT user_id, epoch_ms(ts) // 1000 AS last_seen_s,
+       event_type AS last_event_type, round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def events_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user bucket, hour bucket):
+    interleave 16 bits of each dimension so range scans on EITHER
+    dimension touch few contiguous key ranges -- the write-time layout
+    trick behind multi-dimensional data skipping (Delta/Iceberg
+    OPTIMIZE ZORDER). Pure integer expression, no shuffle at all; the
+    query aggregates per coarse z-range to show the clustering. A real
+    writer would repartitionByRange(z) before writing files."""
+    ev = _events(spark, sf_dir)
+    ux = F.col("user_id") % 65536
+    tx = (F.floor(F.unix_timestamp("ts") / 3600) % 65536).cast("bigint")
+    z = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> "
+        "acc + ((ux >> i) & 1) * shiftleft(1L, 2*i)"
+        "    + ((tx >> i) & 1) * shiftleft(1L, 2*i + 1))"
+    )
+    return (
+        ev.select(ux.alias("ux"), tx.alias("tx"))
+        .select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 12).alias("z_range"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )
+
+
+ZORDER_SQL = """
+WITH dims AS (
+  SELECT user_id % 65536 AS ux,
+         (epoch_ms(ts) // 1000 // 3600) % 65536 AS tx
+  FROM events
+), keyed AS (
+  SELECT list_reduce(list_prepend(0::BIGINT, range(0, 16)), (acc, i) ->
+           acc + ((ux >> i) & 1) * (1::BIGINT << (2*i))
+               + ((tx >> i) & 1) * (1::BIGINT << (2*i + 1))) AS z
+  FROM dims
+)
+SELECT z >> 12 AS z_range, count(*) AS n, min(z) AS min_z, max(z) AS max_z
+FROM keyed GROUP BY 1
+"""
 
 
 def events_tumbling_hourly(spark, sf_dir):
@@ -381,6 +486,13 @@ SELECT 3::BIGINT AS stage, 'purchase' AS event_type, count(*) AS n FROM s3
 
 
 QUERIES = {
+    # new-in-round-4 entries lead so they land inside the driver's
+    # 50-query correctness window (rounds 2-3 recorded the rest)
+    "events_hll_user_estimate": events_hll_user_estimate,
+    "events_latest_state": events_latest_state,
+    "events_zorder_key": events_zorder_key,
+    "events_sessionization": events_sessionization,
+    "events_multires_rollup": events_multires_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_funnel_conversion": events_funnel_conversion,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -393,6 +505,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hll_user_estimate": HLL_USERS_SQL,
+    "events_latest_state": LATEST_STATE_SQL,
+    "events_zorder_key": ZORDER_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_funnel_conversion": FUNNEL_SQL,
     "events_sliding_10m_5m": SLIDING_SQL,

@@ -1,0 +1,74 @@
+"""HLL sketch operator properties (operators/sketch.py).
+
+Accuracy bounds are the standard HLL guarantees (1.04/sqrt(256) ~ 6.5%
+relative error at one sigma; the asserts allow ~3 sigma), and the
+merge test checks the property that makes the sketch usable at scale:
+register tables combine with a plain max, so per-partition /
+per-day sketches re-aggregate without touching raw data.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prometheus_pulsar_remote_write_spark.operators.sketch import (
+    LC_TABLE,
+    M,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _ids(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+
+
+def test_hll_large_range_accuracy(spark):
+    n = 5000
+    est = hll_distinct(_ids(spark, n), ["g"], "v").collect()[0]
+    assert abs(est["est_distinct"] - n) / n < 0.20
+
+
+def test_hll_linear_counting_small(spark):
+    n = 20
+    est = hll_distinct(_ids(spark, n), ["g"], "v").collect()[0]
+    assert abs(est["est_distinct"] - n) <= 3
+
+
+def test_hll_duplicates_do_not_change_estimate(spark):
+    once = hll_distinct(_ids(spark, 1000), ["g"], "v").collect()[0]
+    tripled = hll_distinct(
+        _ids(spark, 1000).unionAll(_ids(spark, 1000)).unionAll(_ids(spark, 1000)),
+        ["g"],
+        "v",
+    ).collect()[0]
+    assert once["est_distinct"] == tripled["est_distinct"]
+    assert once["buckets_set"] == tripled["buckets_set"]
+
+
+def test_hll_registers_merge_with_max(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) -- the re-aggregation
+    property: max per bucket over the union of register tables."""
+    a, b = _ids(spark, 1500), _ids(spark, 1500, offset=1000)  # overlapping
+    whole = hll_distinct(a.unionAll(b), ["g"], "v").collect()[0]
+    merged_regs = (
+        hll_registers(a, ["g"], "v")
+        .unionAll(hll_registers(b, ["g"], "v"))
+        .groupBy("g", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    merged = hll_estimate(merged_regs, ["g"]).collect()[0]
+    assert merged["est_distinct"] == whole["est_distinct"]
+    assert merged["buckets_set"] == whole["buckets_set"]
+
+
+def test_lc_table_shape():
+    assert len(LC_TABLE) == M
+    assert LC_TABLE[0] > LC_TABLE[1] > LC_TABLE[-2] > LC_TABLE[-1] == 0
