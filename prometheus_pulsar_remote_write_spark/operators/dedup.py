@@ -39,17 +39,37 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
     )
 
 
-def minhash_signature_cols(text: Column, num_hashes: int, shingle_k: int = 3) -> list[Column]:
-    """MinHash signature: per seed i, min over shingles of md5(i || shingle).
+#: Universal-hash family for MinHash: sig_i = min((A_i*H + B_i) mod P)
+#: over shingle base-hashes H. One md5 per shingle (H = first 28 bits of
+#: the digest) feeds every signature, instead of num_hashes md5 calls per
+#: shingle -- 8x less hashing at any scale with the same LSH guarantees.
+#: H < 2^28 and A_i < 2^31 keep A_i*H + B_i < 2^60: exact in int64 (and in
+#: numpy int64 / DuckDB BIGINT), so every engine computes identical bits.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [769312289, 1007800007, 1404584233, 490970939,
+             859813951, 1362473303, 645251231, 1138541627]
+MINHASH_B = [283811, 1229869, 516127, 1993637,
+             402653, 1771411, 903211, 60617]
 
-    Lexicographic min over md5 hex strings is a uniform min-hash (md5 is
-    uniform on hex strings); string-min keeps the whole computation inside
-    Spark built-ins AND makes it reproducible in ANSI SQL oracles.
+
+def _base_hash28(col: Column) -> Column:
+    """28-bit shingle hash from the md5 hex prefix (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signature_cols(text: Column, num_hashes: int, shingle_k: int = 3) -> list[Column]:
+    """MinHash signature columns: per seed i, min over shingles of
+    (A_i * md5_28(shingle) + B_i) mod P. Pure built-ins, reproducible in
+    ANSI SQL oracles; semantics identical to ``minhash_signatures``.
     """
-    shingles = shingles_col(text, shingle_k)
+    assert num_hashes <= len(MINHASH_A)
+    hashes = F.transform(shingles_col(text, shingle_k), _base_hash28)
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            F.transform(
+                hashes,
+                lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P,
+            )
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
@@ -62,25 +82,28 @@ def minhash_signatures(
     """One Arrow-batched pass computing all ``num_hashes`` signatures.
 
     Semantically identical to ``minhash_signature_cols`` (same tokenizer,
-    shingles, md5 seeds -- the DuckDB oracle reproduces it byte-for-byte),
-    but ~40x faster: the expression tier re-evaluates the shingle array
-    once per signature column and interprets every md5 call, while here
-    each document is shingled once and hashed in one tight loop. Narrow
-    stage, no shuffle; scales with input partitions.
+    shingles, hash family -- the DuckDB oracle reproduces it bit-for-bit),
+    but much faster: each document is shingled and md5-hashed ONCE, then
+    all ``num_hashes`` signatures come from vectorized numpy affine
+    transforms of the base-hash array. Narrow stage, no shuffle; scales
+    with input partitions.
     """
     import hashlib
 
     from typing import Iterator
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    assert num_hashes <= len(MINHASH_A)
     out_schema = T.StructType(
         [df.schema[id_col]]
-        + [T.StructField(f"mh{i}", T.StringType(), True) for i in range(num_hashes)]
+        + [T.StructField(f"mh{i}", T.LongType(), True) for i in range(num_hashes)]
     )
     names = [f.name for f in out_schema.fields]
-    seeds = [f"{i}:".encode() for i in range(num_hashes)]
+    a = np.array(MINHASH_A[:num_hashes], dtype=np.int64)[:, None]
+    b = np.array(MINHASH_B[:num_hashes], dtype=np.int64)[:, None]
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
@@ -95,10 +118,14 @@ def minhash_signatures(
                     " ".join(toks[i : i + shingle_k]).encode()
                     for i in range(len(toks) - shingle_k + 1)
                 }
-                rows.append(
-                    [doc_id]
-                    + [min(md5(seed + s).hexdigest() for s in shingles) for seed in seeds]
+                # 28-bit base hash per shingle (one md5 each), then all
+                # signatures via one vectorized (A h + B) mod P min
+                h = np.array(
+                    [int(md5(s).hexdigest()[:7], 16) for s in shingles],
+                    dtype=np.int64,
                 )
+                sigs = ((a * h[None, :] + b) % MINHASH_P).min(axis=1)
+                rows.append([doc_id] + sigs.tolist())
             yield pd.DataFrame(rows, columns=names)
 
     return df.select(id_col, text_col).mapInPandas(_sign, out_schema)
@@ -120,7 +147,11 @@ def lsh_candidate_pairs(
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.concat_ws(
-                    "|", *[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)]
+                    "|",
+                    *[
+                        F.col(mh_cols[b * rows_per_band + r]).cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -155,8 +186,19 @@ def ngram_jaccard_pairs(
     Joins each side's distinct shingle set, computes |A ∩ B| / |A ∪ B| via
     array built-ins. Run it on LSH candidates, never on the full cross
     product.
+
+    Docs are semi-join-filtered to the candidate ids BEFORE shingling:
+    candidates are a vanishing fraction of the corpus, so the expensive
+    shingle arrays are built only for docs that appear in some pair --
+    at 100 TB this is the difference between shingling the corpus twice
+    and shingling a few thousand rows.
     """
-    sets = df.select(
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
     )
     return (

@@ -74,6 +74,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``quality_features`` as added columns, keeping every input column.
+
+    Same formulas; use this in composed pipelines so quality scoring is a
+    narrow projection instead of a doc_id self-join back to the corpus.
+    """
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    n_distinct = distinct_token_count(text)
+    n_stop = stopword_count(text)
+    ttr = n_distinct.cast("double") / n_tok
+    nonstop = 1.0 - n_stop.cast("double") / n_tok
+    len_prior = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "quality_score": F.round((ttr + nonstop + len_prior) / 3.0, 4),
+        }
+    )
+
+
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (word n-grams) as an array of strings.
 

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from ..operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     exact_dedup,
     jaccard_index_pairs,
     lsh_candidate_pairs,
@@ -36,6 +39,7 @@ from ..operators.text import (
     language_id,
     quality_features,
     simhash,
+    with_quality_features,
     simhash16,
     tokens_col,
     winnow_fingerprints_batch,
@@ -66,11 +70,22 @@ _SHINGLES_SQL = f"""
 """
 
 N_MINHASH = 8
+# universal-hash MinHash (operators/dedup.py MINHASH_A/B/P): one 28-bit
+# md5 base hash per shingle, then num_hashes affine transforms
+_HEX_PARSE = (
+    "list_reduce(list_prepend(0::BIGINT,"
+    " list_transform(string_split_regex(substr(md5(s), 1, 7), ''),"
+    " c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),"
+    " (a, b) -> a * 16 + b)"
+)
 _SIGS_SQL = f"""
   SELECT doc_id,
-         {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(N_MINHASH))}
-  FROM ({_SHINGLES_SQL})
-  WHERE len(shingles) > 0
+         {", ".join(f"list_min(list_transform(hashes, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P})) AS mh{i}" for i in range(N_MINHASH))}
+  FROM (
+    SELECT doc_id, list_transform(shingles, s -> {_HEX_PARSE}) AS hashes
+    FROM ({_SHINGLES_SQL})
+    WHERE len(shingles) > 0
+  )
 """
 
 
@@ -243,12 +258,22 @@ MINHASH_SQL = f"SELECT * FROM ({_SIGS_SQL})"
 
 
 def docs_neardup_pairs(spark, sf_dir):
-    """Banded MinHash LSH candidates filtered by exact shingle Jaccard."""
+    """Banded MinHash LSH candidates filtered by exact shingle Jaccard.
+
+    The candidate-pair list is localCheckpoint'ed (lazily) before the
+    Jaccard stage: the pair list is tiny but its lineage contains the
+    corpus-wide signature scan, and the Jaccard stage consumes it twice
+    (once to pick which docs to shingle, once as the join spine). The
+    checkpoint materializes that scan exactly once -- the staged-pipeline
+    shape a 100 TB run uses anyway (pairs land in a table between
+    stages)."""
     docs = _docs_spread(spark, sf_dir)
     sigs = minhash_signatures(docs, num_hashes=N_MINHASH).filter(
         F.col("mh0").isNotNull()
     )
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).localCheckpoint(
+        eager=False
+    )
     scored = ngram_jaccard_pairs(docs, pairs)
     return scored.filter(F.col("jaccard") >= 0.7)
 
@@ -256,7 +281,7 @@ def docs_neardup_pairs(spark, sf_dir):
 NEARDUP_SQL = f"""
 WITH sigs AS ({_SIGS_SQL}),
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, mh{2*b} || '|' || mh{2*b+1} AS bucket FROM sigs" for b in range(4))}
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR AS bucket FROM sigs" for b in range(4))}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -705,8 +730,10 @@ def docs_curation_pipeline(spark, sf_dir):
     corpus property, not a survivor property) and is tiny, so the anti
     join broadcasts."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    feats = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    kept = docs.join(feats, "doc_id").filter(
+    # quality as a narrow projection (with_quality_features), not a
+    # doc_id self-join back to the corpus -- one scan, zero exchanges
+    # before the dedup shuffle
+    kept = with_quality_features(docs).filter(
         (F.col("quality_score") >= 0.72) & (F.col("n_tokens") >= 15)
     )
     keyed = kept.withColumn(

@@ -108,6 +108,45 @@ def session_counts(ev: DataFrame, gap: str = "30 minutes", watermark: str = "1 h
     )
 
 
+def hll_tumbling_users(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming distinct-user estimate per tumbling hour via the HLL
+    sketch (operators/sketch.py) -- two CHAINED stateful aggregations
+    (register max per (window, bucket), then the register fold per
+    window), which Spark >= 3.5 supports when both key on the same event
+    -time window. Streaming state is <= 256 register rows per open
+    window -- constant wrt traffic, which is the reason to sketch a
+    stream instead of counting distinct (whose state grows with the key
+    universe). Batch twin: the same sketch grouped by the hour bucket.
+    """
+    from ..operators.sketch import M, RHO_CAP, _hash60, hll_estimate
+
+    h = _hash60(F.col("user_id"))
+    rows = (
+        ev.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            (h % M).alias("bucket"),
+            F.shiftright(h, 8).alias("suffix"),
+        )
+        .withColumn(
+            "rho",
+            F.expr(
+                f"case when suffix = 0 then {RHO_CAP} else"
+                f" least(bit_count((suffix & -suffix) - 1) + 1, {RHO_CAP}) end"
+            ),
+        )
+    )
+    regs = rows.groupBy(F.window("ts", "1 hour").alias("w"), "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    est = hll_estimate(regs, ["w"])
+    return est.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        "est_distinct",
+        "buckets_set",
+    )
+
+
 def sample_rate_5m(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked streaming twin of plans.pipeline.consume_rate_5m:
     PromQL-style per-series rate/increase per 5-minute event-time window.

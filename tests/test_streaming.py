@@ -368,6 +368,42 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
         assert batch[k] == v
 
 
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Sketching a stream: the chained (window, bucket)->window HLL
+    aggregation must produce the identical estimate the batch sketch
+    computes for every watermark-closed window."""
+    from prometheus_pulsar_remote_write_spark.operators.sketch import hll_distinct
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.hll_tumbling_users(ev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_tumbling")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["window_start"]: (r["est_distinct"], r["buckets_set"])
+        for r in spark.sql("SELECT * FROM hll_tumbling").collect()
+    }
+    evb = load_tables(spark, SF, ["events"])["events"]
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    batch = {
+        r["window_start"]: (r["est_distinct"], r["buckets_set"])
+        for r in hll_distinct(
+            evb.withColumn("window_start", hour), ["window_start"], "user_id"
+        ).collect()
+    }
+    assert streamed
+    assert len(streamed) >= len(batch) - 25  # append mode: open windows unemitted
+    for k, v in streamed.items():
+        assert batch[k] == v
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """F7: dropDuplicatesWithinWatermark keeps one row per key (replay)."""
     from prometheus_pulsar_remote_write_spark.plans.events_batch import (
