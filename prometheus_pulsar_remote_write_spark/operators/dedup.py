@@ -136,9 +136,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
-    Unpivots each doc into `bands` (band_id, bucket) rows, then self-joins
-    on the bucket -- an equi-join Catalyst executes as a shuffled hash
-    join on (band_id, bucket); no O(n^2) comparison ever materializes.
+    Unpivots each doc into `bands` (band_id, bucket) rows, groups ids per
+    bucket, and expands i<j pairs INSIDE each bucket with an array
+    expression. One shuffle (the bucket groupBy) and exactly one
+    evaluation of the signature relation -- a bucket self-join would
+    evaluate the signature scan once per join side. Per-bucket state is
+    the id list, bounded by bucket size: small by the LSH premise, and a
+    pathological boilerplate bucket is exactly the near-dup mass the
+    pipeline exists to surface (salt the bucket key with a signature
+    prefix if one bucket ever dominates).
     """
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
@@ -160,19 +166,22 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(band_entries).alias("band")
     ).select(id_col, "band.band_id", "band.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        left.join(
-            right,
-            (F.col(f"l.band_id") == F.col(f"r.band_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -183,36 +192,49 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Joins each side's distinct shingle set, computes |A ∩ B| / |A ∪ B| via
-    array built-ins. Run it on LSH candidates, never on the full cross
-    product.
+    Computes |A ∩ B| / |A ∪ B| via array built-ins. Run it on LSH
+    candidates, never on the full cross product.
 
-    Docs are semi-join-filtered to the candidate ids BEFORE shingling:
-    candidates are a vanishing fraction of the corpus, so the expensive
-    shingle arrays are built only for docs that appear in some pair --
-    at 100 TB this is the difference between shingling the corpus twice
-    and shingling a few thousand rows.
+    Plan shape: the pair list is exploded into (pair, side, doc) rows and
+    joined against the shingle sets ONCE -- so the candidate-pair subplan
+    (which contains the corpus-wide signature scan) and the shingle
+    projection each evaluate exactly once, with no checkpoint/cache
+    needed. The regroup shuffle carries only candidate shingle arrays
+    (pairs << corpus at any scale).
     """
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    sets = df.select(
+        F.col(id_col).alias("__did"),
+        shingles_col(F.col(text_col), shingle_k).alias("sh"),
     )
-    sets = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
-    )
-    return (
-        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
+    melted = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("__did")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("__did")),
+            )
+        ).alias("e"),
+    ).select("id_a", "id_b", "e.side", "e.__did")
+    both = (
+        # broadcast the melted pair list (tiny by construction): without
+        # the hint the initial plan may shuffle the corpus-wide shingle
+        # side on __did, which is exactly the heavy move this shape avoids
+        F.broadcast(melted).join(sets, "__did")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True).alias("sh_b"),
         )
+    )
+    return both.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ).alias("jaccard"),
     )
 
 

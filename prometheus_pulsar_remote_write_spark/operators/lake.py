@@ -142,3 +142,79 @@ def write_bucketed_table(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def morton_key(x_col: str, y_col: str, bits: int = 16) -> F.Column:
+    """Z-order (Morton) key: interleave ``bits`` low bits of two integer
+    columns (given by name). Pure codegen expression -- see
+    plans/events_batch.py events_zorder_key for the oracle-checked form.
+    SQL-expr because shiftleft's amount must itself be an expression of
+    the fold variable, which the Python shiftleft API cannot express."""
+    m = 1 << bits
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc + (((cast({x_col} as bigint) % {m}) >> i) & 1) * shiftleft(1L, 2*i)"
+        f"    + (((cast({y_col} as bigint) % {m}) >> i) & 1) * shiftleft(1L, 2*i + 1))"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_x: str,
+    dim_y: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered by the Morton key of two integer
+    dimensions: repartitionByRange on z (contiguous z-runs per file) +
+    sortWithinPartitions (tight pages within the file).
+
+    This is OPTIMIZE ZORDER in plain Spark: each file's (dim_x, dim_y)
+    bounding box becomes small and square-ish, so a range predicate on
+    EITHER dimension overlaps few files and parquet row-group/file
+    min-max stats skip the rest. tests/test_lake.py measures the actual
+    bounding-box selectivity against a time-ordered layout.
+
+    Each dimension is min-max normalized to the full ``bits`` range
+    before interleaving. Raw values would break the interleave whenever
+    the dimensions have different magnitudes (e.g. 4-bit user ids
+    against 20-bit epoch-hours: every high z bit would be a time bit and
+    the sort degenerates to time-only clustering). The normalization
+    pass is one global min/max aggregate, broadcast back -- the same
+    shape production ZORDER implementations use (range-id per column,
+    then interleave)."""
+    b = df.agg(
+        F.min(dim_x).cast("double").alias("__xmin"),
+        F.max(dim_x).cast("double").alias("__xmax"),
+        F.min(dim_y).cast("double").alias("__ymin"),
+        F.max(dim_y).cast("double").alias("__ymax"),
+    )
+    m = (1 << bits) - 1
+    scaled = (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            "__ux",
+            F.floor(
+                (F.col(dim_x) - F.col("__xmin"))
+                * m
+                / F.greatest(F.col("__xmax") - F.col("__xmin"), F.lit(1.0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "__tx",
+            F.floor(
+                (F.col(dim_y) - F.col("__ymin"))
+                * m
+                / F.greatest(F.col("__ymax") - F.col("__ymin"), F.lit(1.0))
+            ).cast("long"),
+        )
+    )
+    (
+        scaled.withColumn("__z", morton_key("__ux", "__tx", bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__ux", "__tx", "__xmin", "__xmax", "__ymin", "__ymax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

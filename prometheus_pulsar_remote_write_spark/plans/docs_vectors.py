@@ -259,21 +259,13 @@ MINHASH_SQL = f"SELECT * FROM ({_SIGS_SQL})"
 
 def docs_neardup_pairs(spark, sf_dir):
     """Banded MinHash LSH candidates filtered by exact shingle Jaccard.
-
-    The candidate-pair list is localCheckpoint'ed (lazily) before the
-    Jaccard stage: the pair list is tiny but its lineage contains the
-    corpus-wide signature scan, and the Jaccard stage consumes it twice
-    (once to pick which docs to shingle, once as the join spine). The
-    checkpoint materializes that scan exactly once -- the staged-pipeline
-    shape a 100 TB run uses anyway (pairs land in a table between
-    stages)."""
+    Single evaluation of the signature scan and a single corpus shingle
+    pass -- see ngram_jaccard_pairs' plan-shape note."""
     docs = _docs_spread(spark, sf_dir)
     sigs = minhash_signatures(docs, num_hashes=N_MINHASH).filter(
         F.col("mh0").isNotNull()
     )
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).localCheckpoint(
-        eager=False
-    )
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     scored = ngram_jaccard_pairs(docs, pairs)
     return scored.filter(F.col("jaccard") >= 0.7)
 

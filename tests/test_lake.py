@@ -202,3 +202,53 @@ def test_compaction_sorts_and_preserves_rows(spark, tmp_path):
     assert keys == sorted(keys)
     # the whole lake still reads consistently after the metadata-log drop
     assert spark.read.parquet(lake).count() == n
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """write_zordered must give every file a tight (user, hour) bounding
+    box: a narrow predicate on EITHER dimension overlaps a strict subset
+    of files (parquet min-max stats then skip the rest). The baseline
+    time-ordered layout spans all users in every file, so the user-range
+    predicate can never skip there."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from prometheus_pulsar_remote_write_spark.operators.lake import write_zordered
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    ev = load_tables(spark, SF_SMOKE, ["events"])["events"].select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_b"),
+    )
+    n_files = 8
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "timeorder")
+    write_zordered(ev, zdir, "user_id", "hour_b", n_files=n_files)
+    (
+        ev.repartitionByRange(n_files, "hour_b")
+        .sortWithinPartitions("hour_b")
+        .write.mode("overwrite")
+        .parquet(tdir)
+    )
+
+    def bounding_boxes(d):
+        boxes = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            t = pq.read_table(f, columns=["user_id", "hour_b"])
+            u, h = t.column("user_id").to_pylist(), t.column("hour_b").to_pylist()
+            if u:
+                boxes.append((min(u), max(u), min(h), max(h)))
+        return boxes
+
+    zb, tb = bounding_boxes(zdir), bounding_boxes(tdir)
+    assert len(zb) >= n_files // 2 and len(tb) >= n_files // 2
+
+    lo, hi = 0, 3  # narrow user range
+    z_hit = sum(1 for (ulo, uhi, _, _) in zb if not (uhi < lo or ulo > hi))
+    t_hit = sum(1 for (ulo, uhi, _, _) in tb if not (uhi < lo or ulo > hi))
+    assert t_hit == len(tb)  # time layout: every file spans all users
+    assert z_hit <= len(zb) // 2  # z layout: most files skippable
+
+    # rows survive the relayout intact
+    assert spark.read.parquet(zdir).count() == ev.count()

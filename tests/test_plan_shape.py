@@ -164,3 +164,41 @@ def test_tfidf_prunes_documents_scan(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema
     assert all("source" not in l and "n_chars" not in l for l in read_schema)
+
+
+def test_hll_sketch_plan_is_two_hash_aggs(spark):
+    """The HLL sketch must compile to partial+final hash aggregation with
+    NO window functions and no Python stages -- registers are the only
+    thing shuffled, and all hashing stays in codegen."""
+    from prometheus_pulsar_remote_write_spark.operators.sketch import hll_distinct
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    ev = load_tables(spark, SF_SMOKE, ["events"])["events"]
+    plan = _plan(hll_distinct(ev, ["event_type"], "user_id"))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_zorder_key_is_shuffle_free(spark):
+    """The Morton key is a pure expression: no exchange before the final
+    range rollup's own aggregation shuffle."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_zorder_key,
+    )
+
+    plan = _plan(events_zorder_key(spark, SF_SMOKE))
+    # exactly the aggregation's partial->final exchange, nothing else
+    assert plan.count("Exchange") <= 1
+    assert "Python" not in plan
+
+
+def test_mixture_sample_filter_is_scan_side(spark):
+    """The mixture predicate is a deterministic hash filter evaluated
+    before any exchange -- only the per-source rollup shuffles."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        docs_mixture_sample,
+    )
+
+    plan = _plan(docs_mixture_sample(spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 1
