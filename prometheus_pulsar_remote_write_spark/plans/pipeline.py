@@ -632,7 +632,89 @@ FROM sel GROUP BY 1, 2, 3
 """
 
 
+def consume_topk_series(spark, sf_dir, k: int = 3):
+    """PromQL topk(): the k series with the largest increase per 5-minute
+    window. Builds on the single-agg rate query -- the ranking window
+    runs over the per-series AGGREGATE (|windows| x |series| rows), never
+    over raw samples, so the top-k cost is independent of sample volume.
+    increase = last-first (no float summation) keeps it bit-deterministic.
+    """
+    from pyspark.sql import Window
+
+    r = consume_rate_5m(spark, sf_dir).select(
+        "window_start", "tenant_id", "name", "increase"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("increase"), "tenant_id", "name"
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "tenant_id", "name", "increase", "rank")
+    )
+
+
+CONSUME_TOPK_SQL = f"""
+WITH rate AS ({CONSUME_RATE_SQL})
+SELECT window_start, tenant_id, name, increase, rank
+FROM (
+  SELECT window_start, tenant_id, name, increase,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY increase DESC, tenant_id, name) AS rank
+  FROM rate
+) WHERE rank <= 3
+"""
+
+
+def consume_avg_over_time(spark, sf_dir):
+    """PromQL avg_over_time()/min/max per (series, 5m window): one hash
+    aggregation over the sample stream. The mean folds values in
+    (timestamp, event_id) order on both engines (bit-determinism under
+    the value-hash gate); min/max are order-free. Group state is the
+    per-(window, series) sample list -- bounded by scrape cadence x
+    window width, the PromQL range-vector size by definition."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 300000) * 300").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        "value",
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("timestamp", "event_id", "value"))),
+            lambda x: x["value"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return s.groupBy("window_start", "tenant_id", "name").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.round(ordered_sum / F.count("*"), 6).alias("avg_val"),
+    )
+
+
+CONSUME_AVG_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 300000) * 300 AS window_start, tenant_id,
+         event_type AS name, timestamp, event_id, value
+  FROM ({_SAMPLES_SQL})
+)
+SELECT window_start, tenant_id, name, count(*) AS n,
+       min(value) AS min_val, max(value) AS max_val,
+       round(list_reduce(list_prepend(0.0, list(value ORDER BY timestamp, event_id)),
+                         (acc, v) -> acc + v) / count(*), 6) AS avg_val
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "consume_topk_series": consume_topk_series,
+    "consume_avg_over_time": consume_avg_over_time,
     "produce_flatten": produce_flatten,
     "produce_serialize_json": produce_serialize_json,
     "produce_serialize_compat": produce_serialize_compat,
@@ -650,6 +732,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_topk_series": CONSUME_TOPK_SQL,
+    "consume_avg_over_time": CONSUME_AVG_SQL,
     "produce_flatten": PRODUCE_FLATTEN_SQL,
     "produce_serialize_json": PRODUCE_SERIALIZE_SQL,
     "produce_serialize_compat": PRODUCE_COMPAT_SQL,
