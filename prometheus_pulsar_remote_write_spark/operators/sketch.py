@@ -145,3 +145,87 @@ SELECT {group_col},
        nset::BIGINT AS buckets_set
 FROM folded
 """
+
+
+# --- Count-min sketch --------------------------------------------------------
+
+CMS_W = 1024  # counters per row
+CMS_D = 4  # hash rows
+#: pairwise-independent row hashes reuse the MinHash-style affine family
+CMS_A = [948193861, 1239576389, 1847483629, 733594781]
+CMS_B = [402211, 990377, 1594723, 83777]
+CMS_P = 2147483647
+
+
+def _cms_bucket(i: int, h: Column) -> Column:
+    return ((h * CMS_A[i] + CMS_B[i]) % CMS_P) % CMS_W
+
+
+def cms_table(df: DataFrame, value_col: str) -> DataFrame:
+    """Count-min sketch of value_col: (depth, bucket, n) counter rows.
+
+    The sketch is CMS_D x CMS_W integer counters -- constant size
+    regardless of input, counters merge by plain addition (partial
+    aggregation does most of the work map-side), and every arithmetic
+    step is integer so any engine reproduces it exactly. The depth
+    explode multiplies rows by CMS_D=4 BEFORE the map-side combine, so
+    the shuffle still carries at most D*W = 4096 rows per partition.
+    """
+    h = _hash60(F.col(value_col)) % (1 << 28)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _cms_bucket(i, h).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e")
+    ).select("e.depth", "e.bucket")
+    return rows.groupBy("depth", "bucket").agg(F.count("*").alias("n"))
+
+
+def cms_estimate(table: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+    """Point-estimate counts for each probe value: min over the CMS_D
+    counters the value hashes into. The classic guarantee holds by
+    construction: estimate >= true count, overshoot bounded by sketch
+    width. The probe side is tiny (heavy-hitter candidates), so every
+    join broadcasts."""
+    h = _hash60(F.col(value_col)) % (1 << 28)
+    probed = probes.select(
+        "*",
+        *[_cms_bucket(i, h).alias(f"b{i}") for i in range(CMS_D)],
+    )
+    out = probed
+    for i in range(CMS_D):
+        t = table.filter(F.col("depth") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("n").alias(f"n{i}")
+        )
+        out = out.join(F.broadcast(t), f"b{i}")
+    return out.select(
+        *probes.columns,
+        F.least(*[F.col(f"n{i}") for i in range(CMS_D)]).alias("est_n"),
+    )
+
+
+def cms_oracle_sql(source_sql: str, value_col: str) -> str:
+    """DuckDB replay of cms_table over ``source_sql`` rows."""
+    hex_parse = (
+        f"list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(string_split_regex(substr(md5({value_col}::VARCHAR),1,15), ''),"
+        f" c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),"
+        f" (a, b) -> a * 16 + b) % {1 << 28}"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS depth, ((h * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P}) % {CMS_W} AS bucket FROM hashed"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {hex_parse} AS h FROM ({source_sql})
+), rows_ AS ({rows})
+SELECT depth, bucket, count(*) AS n FROM rows_ GROUP BY 1, 2
+"""

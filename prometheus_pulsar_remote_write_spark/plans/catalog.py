@@ -28,7 +28,7 @@ for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
 
-_DEPRIORITIZED = ["docs_token_stats"]
+_DEPRIORITIZED = ["docs_token_stats", "docs_lang_profile"]
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEPRIORITIZED},
     **{k: QUERIES[k] for k in _DEPRIORITIZED},

@@ -1153,6 +1153,63 @@ SELECT lang, bigram, n, rank FROM (
 """
 
 
+def docs_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a count-min sketch: the CMS_DxCMS_W counter
+    table (operators/sketch.py) is constant-size and merge-by-addition
+    whatever the token volume; the top-20 exact tokens are then point
+    -estimated against it, exhibiting the CMS guarantee est_n >= exact_n.
+    At 100 TB the exact side is the one you drop -- the sketch plus a
+    candidate stream replaces the full token groupBy. All-integer
+    arithmetic: the oracle hash-matches exactly."""
+    from ..operators.sketch import cms_estimate, cms_table
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    table = cms_table(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(20)
+    )
+    return cms_estimate(table, top, "token")
+
+
+def _cms_docs_sql() -> str:
+    from ..operators.sketch import CMS_A, CMS_B, CMS_D, CMS_P, CMS_W, cms_oracle_sql
+
+    hex_parse = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " list_transform(string_split_regex(substr(md5(token::VARCHAR),1,15), ''),"
+        " c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),"
+        f" (a, b) -> a * 16 + b) % {1 << 28}"
+    )
+    joins = "\n".join(
+        f"JOIN cms c{i} ON c{i}.depth = {i} AND c{i}.bucket = "
+        f"(((t.h * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P}) % {CMS_W})"
+        for i in range(CMS_D)
+    )
+    least = ", ".join(f"c{i}.n" for i in range(CMS_D))
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+  FROM documents
+),
+cms AS ({cms_oracle_sql("SELECT token FROM tok", "token")}),
+top AS (
+  SELECT token, count(*) AS exact_n FROM tok GROUP BY 1
+  ORDER BY exact_n DESC, token LIMIT 20
+),
+probes AS (SELECT token, exact_n, {hex_parse} AS h FROM top)
+SELECT t.token, t.exact_n, least({least}) AS est_n
+FROM probes t
+{joins}
+"""
+
+
+DOCS_CMS_SQL = _cms_docs_sql()
+
+
 def emb_label_centroids(spark, sf_dir):
     """Per-label centroid of the embedding vectors (the serving-side half
     of clustering: label -> mean vector). Element-wise mean via
@@ -1198,6 +1255,7 @@ QUERIES = {
     "docs_mixture_sample": docs_mixture_sample,
     "docs_lexical_diversity": docs_lexical_diversity,
     "docs_bigram_topk": docs_bigram_topk,
+    "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "emb_label_centroids": emb_label_centroids,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_hash_sample": docs_hash_sample,
@@ -1231,6 +1289,7 @@ ORACLES = {
     "docs_mixture_sample": DOCS_MIXTURE_SQL,
     "docs_lexical_diversity": DOCS_LEXDIV_SQL,
     "docs_bigram_topk": DOCS_BIGRAM_SQL,
+    "docs_cms_heavy_hitters": DOCS_CMS_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,

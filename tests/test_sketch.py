@@ -72,3 +72,41 @@ def test_hll_registers_merge_with_max(spark):
 def test_lc_table_shape():
     assert len(LC_TABLE) == M
     assert LC_TABLE[0] > LC_TABLE[1] > LC_TABLE[-2] > LC_TABLE[-1] == 0
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS guarantee: est_n >= exact_n for every probed value."""
+    from prometheus_pulsar_remote_write_spark.operators.sketch import (
+        cms_estimate,
+        cms_table,
+    )
+
+    vals = spark.range(20000).select((F.col("id") % 500).alias("v"))
+    table = cms_table(vals, "v")
+    exact = vals.groupBy("v").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(table, exact, "v").collect()
+    assert len(est) == 500
+    assert all(r["est_n"] >= r["exact_n"] for r in est)
+    # with 500 keys in 4x1024 counters, most estimates should be exact
+    assert sum(1 for r in est if r["est_n"] == r["exact_n"]) >= 400
+
+
+def test_cms_tables_merge_by_addition(spark):
+    """sketch(A ∪ B) == elementwise-sum(sketch(A), sketch(B))."""
+    from prometheus_pulsar_remote_write_spark.operators.sketch import cms_table
+
+    a = spark.range(3000).select((F.col("id") % 100).alias("v"))
+    b = spark.range(3000, 7000).select((F.col("id") % 130).alias("v"))
+    whole = {
+        (r["depth"], r["bucket"]): r["n"]
+        for r in cms_table(a.unionAll(b), "v").collect()
+    }
+    merged = (
+        cms_table(a, "v")
+        .unionAll(cms_table(b, "v"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert {
+        (r["depth"], r["bucket"]): r["n"] for r in merged.collect()
+    } == whole
