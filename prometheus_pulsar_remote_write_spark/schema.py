@@ -102,18 +102,22 @@ def load_tables(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     no caching here -- callers decide what to persist.
     """
     names = names or TESTDATA_TABLES
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark rejects
-    # outright unless this legacy flag is on. It is runtime-settable, and the
-    # driver hands us a session it built itself, so set it here -- not only in
-    # our own get_spark() -- or every events-based query fails with
-    # PARQUET_TYPE_ILLEGAL on a foreign session.
+    # The driver regenerates testdata between rounds and has shipped
+    # events.ts both as INT64 TIMESTAMP(NANOS) (rounds 1-3) and as
+    # TIMESTAMP(MICROS)/NTZ (round 4+). Keep the nanos flag on -- without
+    # it a NANOS file fails outright with PARQUET_TYPE_ILLEGAL, and it is
+    # a no-op for MICROS files. Runtime-settable, and the driver hands us
+    # a session it built itself, so set it here, not only in get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
-        # arrives as epoch-nanos. Truncate to micros (what DuckDB does) and
-        # restore TimestampType so event-time semantics stay uniform.
+        # NANOS-era testdata: ts arrives as epoch-nanos longs under
+        # nanosAsLong. Truncate to micros (what DuckDB does) and restore
+        # TimestampType so event-time semantics stay uniform. MICROS-era
+        # testdata reads as TIMESTAMP_NTZ and skips this branch (the
+        # streaming reader additionally casts NTZ -> TIMESTAMP for
+        # watermarks; batch queries only ever take unix_timestamp(ts)).
         for field in df.schema.fields:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):
                 # integer `div`, NOT `/`: float division of epoch-nanos

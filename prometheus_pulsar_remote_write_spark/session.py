@@ -36,9 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos longs
-        # (schema.load_tables converts back to TimestampType at micros, the
-        # same truncation DuckDB applies)
+        # historical testdata carried TIMESTAMP(NANOS); the flag reads those
+        # as epoch-nanos longs (schema.load_tables converts back to
+        # TimestampType at micros, the same truncation DuckDB applies) and
+        # is a no-op for the current TIMESTAMP(MICROS) files
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
