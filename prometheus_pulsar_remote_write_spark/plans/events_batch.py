@@ -129,6 +129,75 @@ FROM keyed GROUP BY 1
 """
 
 
+def events_anomaly_zscore(spark, sf_dir):
+    """Per-user z-score anomaly report: each user's value distribution
+    (mean/std over their own history) plus how many of their events sit
+    outside mean +/- 2*std. The classic two-pass shape: one hash agg for
+    the moments, then the tiny stats relation broadcasts back onto the
+    stream for the outlier count -- the corpus is never shuffled twice.
+    Mean and sum-of-squares fold in (ts, event_id) order on both engines
+    and std uses one fixed expression tree, so even the float stats are
+    bit-deterministic under the driver's value-hash."""
+    ev = _events(spark, sf_dir)
+    ordered_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x["value"],
+    )
+    s1 = F.aggregate(ordered_vals, F.lit(0.0), lambda acc, v: acc + v)
+    s2 = F.aggregate(ordered_vals, F.lit(0.0), lambda acc, v: acc + v * v)
+    stats = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), s1.alias("s1"), s2.alias("s2"))
+        .withColumn("mean", F.col("s1") / F.col("n"))
+        .withColumn(
+            "std",
+            F.sqrt(
+                (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        )
+    )
+    outliers = (
+        ev.join(F.broadcast(stats.select("user_id", "mean", "std")), "user_id")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 2 * F.col("std"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        stats.join(F.broadcast(outliers), "user_id", "left")
+        .select(
+            "user_id",
+            "n",
+            F.round("mean", 6).alias("mean_val"),
+            F.round("std", 6).alias("std_val"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+ANOMALY_SQL = """
+WITH stats AS (
+  SELECT user_id, count(*) AS n,
+         list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+                     (acc, v) -> acc + v) AS s1,
+         list_reduce(list_prepend(0.0, list(value * value ORDER BY ts, event_id)),
+                     (acc, v) -> acc + v) AS s2
+  FROM events GROUP BY user_id
+), enriched AS (
+  SELECT user_id, n, s1 / n AS mean, sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS std
+  FROM stats
+), outliers AS (
+  SELECT e.user_id, count(*) AS n_outliers
+  FROM events e JOIN enriched s ON e.user_id = s.user_id
+  WHERE abs(e.value - s.mean) > 2 * s.std
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.n, round(s.mean, 6) AS mean_val, round(s.std, 6) AS std_val,
+       coalesce(o.n_outliers, 0) AS n_outliers
+FROM enriched s LEFT JOIN outliers o ON s.user_id = o.user_id
+"""
+
+
 def events_tumbling_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     win = F.window("ts", "1 hour")
@@ -493,6 +562,7 @@ QUERIES = {
     "events_zorder_key": events_zorder_key,
     "events_sessionization": events_sessionization,
     "events_multires_rollup": events_multires_rollup,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_funnel_conversion": events_funnel_conversion,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -508,6 +578,7 @@ ORACLES = {
     "events_hll_user_estimate": HLL_USERS_SQL,
     "events_latest_state": LATEST_STATE_SQL,
     "events_zorder_key": ZORDER_SQL,
+    "events_anomaly_zscore": ANOMALY_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_funnel_conversion": FUNNEL_SQL,
     "events_sliding_10m_5m": SLIDING_SQL,

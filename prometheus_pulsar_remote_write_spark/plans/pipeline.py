@@ -712,9 +712,68 @@ FROM s GROUP BY 1, 2, 3
 """
 
 
+def consume_quantile_over_time(spark, sf_dir):
+    """PromQL quantile_over_time(): exact p50/p95 per (series, 15m
+    window) by PromQL's own definition -- linear interpolation between
+    the two order statistics around rank q*(n-1) of the sorted range
+    vector. The sorted-array selection is exact (no sketch, no
+    percentile state machine), bit-identical across engines, and the
+    per-group array is the range vector itself -- bounded by scrape
+    cadence x window width, never by stream length."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 900000) * 900").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "value",
+    )
+    agg = s.groupBy("window_start", "tenant_id", "name").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list("value")).alias("arr"),
+    )
+
+    def q_col(q: float):
+        rank = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo = F.floor(rank).cast("int")
+        w = rank - F.floor(rank)
+        lo_v = F.element_at("arr", lo + 1)
+        hi_v = F.element_at("arr", F.least(lo + 2, F.col("n").cast("int")))
+        return F.round(lo_v * (F.lit(1.0) - w) + hi_v * w, 6)
+
+    return agg.select(
+        "window_start",
+        "tenant_id",
+        "name",
+        "n",
+        q_col(0.5).alias("p50"),
+        q_col(0.95).alias("p95"),
+    )
+
+
+CONSUME_QUANTILE_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 900000) * 900 AS window_start, tenant_id,
+         event_type AS name, value
+  FROM ({_SAMPLES_SQL})
+),
+agg AS (
+  SELECT window_start, tenant_id, name, count(*) AS n,
+         list_sort(list(value)) AS arr
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT window_start, tenant_id, name, n,
+       round(arr[(floor(0.5 * (n - 1)) + 1)::INT] * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+             + arr[least((floor(0.5 * (n - 1)) + 2)::INT, n::INT)] * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS p50,
+       round(arr[(floor(0.95 * (n - 1)) + 1)::INT] * (1.0 - (0.95 * (n - 1) - floor(0.95 * (n - 1))))
+             + arr[least((floor(0.95 * (n - 1)) + 2)::INT, n::INT)] * (0.95 * (n - 1) - floor(0.95 * (n - 1))), 6) AS p95
+FROM agg
+"""
+
+
 QUERIES = {
     "consume_topk_series": consume_topk_series,
     "consume_avg_over_time": consume_avg_over_time,
+    "consume_quantile_over_time": consume_quantile_over_time,
     "produce_flatten": produce_flatten,
     "produce_serialize_json": produce_serialize_json,
     "produce_serialize_compat": produce_serialize_compat,
@@ -734,6 +793,7 @@ QUERIES = {
 ORACLES = {
     "consume_topk_series": CONSUME_TOPK_SQL,
     "consume_avg_over_time": CONSUME_AVG_SQL,
+    "consume_quantile_over_time": CONSUME_QUANTILE_SQL,
     "produce_flatten": PRODUCE_FLATTEN_SQL,
     "produce_serialize_json": PRODUCE_SERIALIZE_SQL,
     "produce_serialize_compat": PRODUCE_COMPAT_SQL,
