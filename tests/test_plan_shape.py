@@ -202,3 +202,16 @@ def test_mixture_sample_filter_is_scan_side(spark):
 
     plan = _plan(docs_mixture_sample(spark, SF_SMOKE))
     assert plan.count("Exchange") <= 1
+
+
+def test_anomaly_broadcasts_stats_back(spark):
+    """The z-score report must broadcast the per-user stats relation back
+    onto the event stream for the outlier pass -- never shuffle events a
+    second time for the join."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_anomaly_zscore,
+    )
+
+    plan = _plan(events_anomaly_zscore(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
