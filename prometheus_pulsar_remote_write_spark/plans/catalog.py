@@ -37,6 +37,7 @@ _DEPRIORITIZED = [
     "docs_simhash16",
     "docs_exact_dedup",
     "emb_cosine_topk",
+    "emb_neardup_lsh",
 ]
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEPRIORITIZED},

@@ -1210,6 +1210,57 @@ FROM probes t
 DOCS_CMS_SQL = _cms_docs_sql()
 
 
+def docs_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out eval set (the n-gram-overlap check every
+    LLM data pipeline runs before training). The eval set is a
+    deterministic hash slice (doc_id % 50 == 0); its distinct 5-grams
+    are a tiny relation that BROADCASTS against the exploded training
+    n-grams -- at 100 TB the train side streams map-side through the
+    broadcast hash join and only flagged (doc, ngram) hits reach the
+    per-doc rollup. Reports each contaminated training doc with its
+    shared-5-gram count."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    five_grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(tk) - 4, 0)),"
+            " i -> array_join(slice(tk, i, 5), ' '))"
+        )
+    )
+    with_tk = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 5)
+    grams = with_tk.select("doc_id", F.explode(five_grams).alias("ngram"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("ngram").distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+DECONTAMINATION_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                              i -> array_to_string(tk[i:i+4], ' ')))) AS ngram
+  FROM tk WHERE len(tk) >= 5
+), eval_grams AS (
+  SELECT DISTINCT ngram FROM grams WHERE doc_id % 50 = 0
+)
+SELECT g.doc_id, count(*) AS n_shared_ngrams
+FROM grams g JOIN eval_grams e USING (ngram)
+WHERE g.doc_id % 50 != 0
+GROUP BY g.doc_id
+"""
+
+
 def emb_label_centroids(spark, sf_dir):
     """Per-label centroid of the embedding vectors (the serving-side half
     of clustering: label -> mean vector). Element-wise mean via
@@ -1256,6 +1307,7 @@ QUERIES = {
     "docs_lexical_diversity": docs_lexical_diversity,
     "docs_bigram_topk": docs_bigram_topk,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
+    "docs_decontamination": docs_decontamination,
     "emb_label_centroids": emb_label_centroids,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_hash_sample": docs_hash_sample,
@@ -1290,6 +1342,7 @@ ORACLES = {
     "docs_lexical_diversity": DOCS_LEXDIV_SQL,
     "docs_bigram_topk": DOCS_BIGRAM_SQL,
     "docs_cms_heavy_hitters": DOCS_CMS_SQL,
+    "docs_decontamination": DECONTAMINATION_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
