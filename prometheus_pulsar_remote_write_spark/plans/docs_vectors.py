@@ -1261,6 +1261,52 @@ GROUP BY g.doc_id
 """
 
 
+def docs_repetition_filter(spark, sf_dir):
+    """Intra-document repetition scoring (the Gopher-style quality
+    filter): fraction of duplicated 2-grams within each document --
+    templated/looping text scores high and gets dropped before
+    training. Pure per-row array expressions, no shuffle at all except
+    nothing: the filter evaluates scan-side and would push into a
+    curation funnel as a narrow stage."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = docs.select("doc_id", "source", tokens_col(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams).cast("double"),
+            6,
+        ).alias("repetition_ratio"),
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bigrams
+  FROM t WHERE len(tk) >= 2
+)
+SELECT doc_id, source, len(bigrams) AS n_bigrams,
+       len(list_distinct(bigrams)) AS n_distinct_bigrams,
+       round(1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)::DOUBLE, 6)
+         AS repetition_ratio
+FROM b
+"""
+
+
 def emb_label_centroids(spark, sf_dir):
     """Per-label centroid of the embedding vectors (the serving-side half
     of clustering: label -> mean vector). Element-wise mean via
@@ -1308,6 +1354,7 @@ QUERIES = {
     "docs_bigram_topk": docs_bigram_topk,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_decontamination": docs_decontamination,
+    "docs_repetition_filter": docs_repetition_filter,
     "emb_label_centroids": emb_label_centroids,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_hash_sample": docs_hash_sample,
@@ -1343,6 +1390,7 @@ ORACLES = {
     "docs_bigram_topk": DOCS_BIGRAM_SQL,
     "docs_cms_heavy_hitters": DOCS_CMS_SQL,
     "docs_decontamination": DECONTAMINATION_SQL,
+    "docs_repetition_filter": REPETITION_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "docs_exact_dedup": DOCS_DEDUP_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,

@@ -198,6 +198,45 @@ FROM enriched s LEFT JOIN outliers o ON s.user_id = o.user_id
 """
 
 
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in every later week they were active -- the product-analytics query
+    every event warehouse serves. Two bounded aggregations (per-user
+    first week; distinct user-weeks) and a broadcast of the per-user
+    cohort relation; the event stream shuffles once per aggregate and
+    the output is |cohorts| x |weeks|, tiny at any scale."""
+    ev = _events(spark, sf_dir)
+    week = (F.floor(F.unix_timestamp("ts") / 604800) * 604800).cast("bigint")
+    cohorts = ev.select("user_id", week.alias("week")).groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("activity_week")).distinct()
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn(
+            "week_offset",
+            ((F.col("activity_week") - F.col("cohort_week")) / 604800).cast("bigint"),
+        )
+    )
+
+
+RETENTION_SQL = """
+WITH weeks AS (
+  SELECT user_id, (epoch_ms(ts) // 1000 // 604800) * 604800 AS week FROM events
+), cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, week AS activity_week FROM weeks
+)
+SELECT cohort_week, activity_week, count(*) AS n_users,
+       (activity_week - cohort_week) // 604800 AS week_offset
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY cohort_week, activity_week
+"""
+
+
 def events_tumbling_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     win = F.window("ts", "1 hour")
@@ -563,6 +602,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_multires_rollup": events_multires_rollup,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_retention_cohorts": events_retention_cohorts,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_funnel_conversion": events_funnel_conversion,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -579,6 +619,7 @@ ORACLES = {
     "events_latest_state": LATEST_STATE_SQL,
     "events_zorder_key": ZORDER_SQL,
     "events_anomaly_zscore": ANOMALY_SQL,
+    "events_retention_cohorts": RETENTION_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_funnel_conversion": FUNNEL_SQL,
     "events_sliding_10m_5m": SLIDING_SQL,
