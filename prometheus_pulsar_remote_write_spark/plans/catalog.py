@@ -29,7 +29,9 @@ for module in (pipeline, docs_vectors, events_batch, relational):
     ORACLES.update(module.ORACLES)
 
 #: unchanged since their round-1 green records -- parked outside the
-#: driver's 50-entry window to make room for new/changed queries
+#: driver's 50-entry window to make room for new/changed queries.
+#: (events_markov_transitions, added last in round 4, sits first in
+#: line for the round-5 window; locally strict-verified meanwhile.)
 _DEPRIORITIZED = [
     "docs_token_stats",
     "docs_lang_profile",

@@ -237,6 +237,47 @@ GROUP BY cohort_week, activity_week
 """
 
 
+def events_markov_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (first-order Markov counts):
+    lag over each user's timeline, then one hash agg over (from, to)
+    pairs -- the behavioral-model feature extraction every event
+    pipeline runs. One shuffle on user_id for the window, one tiny agg;
+    transition probabilities stay as exact integer counts plus a
+    rounded ratio (numerator/denominator division is deterministic)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(totals), 6).alias("p"),
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+"""
+
+
 def events_tumbling_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     win = F.window("ts", "1 hour")
@@ -603,6 +644,7 @@ QUERIES = {
     "events_multires_rollup": events_multires_rollup,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_markov_transitions": events_markov_transitions,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_funnel_conversion": events_funnel_conversion,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -620,6 +662,7 @@ ORACLES = {
     "events_zorder_key": ZORDER_SQL,
     "events_anomaly_zscore": ANOMALY_SQL,
     "events_retention_cohorts": RETENTION_SQL,
+    "events_markov_transitions": MARKOV_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_funnel_conversion": FUNNEL_SQL,
     "events_sliding_10m_5m": SLIDING_SQL,
