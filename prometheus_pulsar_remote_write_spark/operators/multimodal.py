@@ -157,3 +157,46 @@ def sample_frames(
             yield out
 
     return df.mapInPandas(_sample, out_schema)
+
+
+def resize_media(
+    df: DataFrame, payload_col: str = "media", target_pixels: int = 256
+) -> DataFrame:
+    """Resize stand-in for image payloads: stride-sample the payload down
+    to <= ``target_pixels`` bytes (a real implementation swaps the stride
+    loop for PIL's resample; schema, Arrow batching, and the narrow
+    no-shuffle stage are identical). Emits the resized size and a
+    checksum of the resized bytes so downstream dedup can run on
+    thumbnails instead of full payloads.
+    """
+    import hashlib
+
+    keep_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        keep_fields
+        + [
+            T.StructField("orig_bytes", T.LongType(), True),
+            T.StructField("resized_bytes", T.IntegerType(), True),
+            T.StructField("resized_checksum", T.StringType(), True),
+        ]
+    )
+    keep = [f.name for f in keep_fields]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            orig, rb, ck = [], [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                n = len(data)
+                stride = max(n // target_pixels, 1)
+                resized = data[::stride][:target_pixels]
+                orig.append(n)
+                rb.append(len(resized))
+                ck.append(hashlib.md5(resized).hexdigest())
+            out["orig_bytes"] = pd.array(orig, dtype="Int64")
+            out["resized_bytes"] = pd.array(rb, dtype="Int32")
+            out["resized_checksum"] = ck
+            yield out
+
+    return df.mapInPandas(_resize, out_schema)

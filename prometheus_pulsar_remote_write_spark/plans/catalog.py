@@ -28,10 +28,11 @@ for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
 
-#: unchanged since their round-1 green records -- parked outside the
-#: driver's 50-entry window to make room for new/changed queries.
-#: (events_markov_transitions, added last in round 4, sits first in
-#: line for the round-5 window; locally strict-verified meanwhile.)
+#: parked outside the driver's 50-entry window: either unchanged since
+#: their round-1 green records, or added after the round-4 window filled
+#: (multimodal_resize; events_markov_transitions sits at position 51) --
+#: those rotate into the round-5 recorded window, locally
+#: strict-verified meanwhile.
 _DEPRIORITIZED = [
     "docs_token_stats",
     "docs_lang_profile",
@@ -40,6 +41,7 @@ _DEPRIORITIZED = [
     "docs_exact_dedup",
     "emb_cosine_topk",
     "emb_neardup_lsh",
+    "multimodal_resize",
 ]
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEPRIORITIZED},

@@ -661,6 +661,36 @@ FROM (SELECT doc_id, text,
 """
 
 
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (F5): stride-downsample each payload to a
+    <=256-byte thumbnail with a checksum, so near-dup detection can run
+    over thumbnails instead of full payloads. Decode body is the stub;
+    the mapInPandas batch shape and no-shuffle narrow stage are real."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "UTF-8"), media_type="image/png"
+    )
+    resized = multimodal.resize_media(with_media, target_pixels=256)
+    return resized.select(
+        "doc_id", "orig_bytes", "resized_bytes", "resized_checksum"
+    )
+
+
+# ASCII text => byte stride sampling reproduces with substr arithmetic.
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       n::BIGINT AS orig_bytes,
+       least((n + stride - 1) // stride, 256)::INT AS resized_bytes,
+       md5(array_to_string(
+             list_transform(range(0, least((n + stride - 1) // stride, 256)::INT),
+                            i -> substr(text, (i * stride + 1)::INT, 1)), ''))
+         AS resized_checksum
+FROM (SELECT doc_id, text, length(text) AS n,
+             greatest(length(text) // 256, 1) AS stride
+      FROM documents)
+"""
+
+
 # --- F2 completion: transitive dup families (connected components) -----------
 
 
@@ -1382,6 +1412,9 @@ QUERIES = {
     "docs_simhash_neardup": docs_simhash_neardup,
     "docs_jaccard_index_pairs": docs_jaccard_index_pairs,
     "multimodal_frame_sample": multimodal_frame_sample,
+    # added after the round-4 window filled; rotates into the round-5
+    # recorded window (locally strict-verified meanwhile)
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
@@ -1418,4 +1451,5 @@ ORACLES = {
     "docs_simhash_neardup": SIMHASH_NEARDUP_SQL,
     "docs_jaccard_index_pairs": JACCARD_INDEX_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
