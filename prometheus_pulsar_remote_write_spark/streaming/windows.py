@@ -224,6 +224,78 @@ def sample_rate_5m(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def latest_state_stream(ev: DataFrame) -> DataFrame:
+    """Streaming CDC latest-wins materialization: per-user current state
+    maintained with ``applyInPandasWithState`` (the streaming twin of the
+    batch events_latest_state compaction). State per key is ONE row --
+    the (ts, event_id, event_type, value) of the newest event seen -- so
+    total state is bounded by |users|, not traffic. Each micro-batch
+    emits the keys it updated (an upsert changelog a MERGE sink would
+    apply); ties replay the batch ordering (ts desc, event_id desc).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("last_seen_s", T.LongType(), False),
+            T.StructField("last_event_type", T.StringType(), False),
+            T.StructField("last_value", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_s", T.LongType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+
+    def _latest(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for ts_s, event_id, etype, value in zip(
+                pdf["ts_s"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                cand = (int(ts_s), int(event_id), str(etype), float(value))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "last_seen_s": best[0],
+                    "last_event_type": best[2],
+                    "last_value": round(best[3], 2),
+                }
+            ]
+        )
+
+    keyed = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _latest,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup bounded by the watermark horizon.
 

@@ -820,3 +820,36 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     # every closed window carries full counter coverage
     batch_closed = {k: v for k, v in batch.items() if k[0] in closed_windows}
     assert batch_closed == streamed
+
+
+def test_streaming_latest_state_matches_batch(spark, tmp_path):
+    """The streaming CDC latest-wins state must converge to exactly the
+    batch events_latest_state compaction after the stream drains (the
+    last update emitted per key is the final state)."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_latest_state,
+    )
+
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    q = (
+        windows.latest_state_stream(ev)
+        .writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one row per (micro-batch, touched key); the
+    # final state per key is the LAST row emitted for it
+    import collections
+
+    final = {}
+    for r in spark.sql("SELECT * FROM latest_state").collect():
+        final[r["user_id"]] = (r["last_seen_s"], r["last_event_type"], r["last_value"])
+    batch = {
+        r["user_id"]: (r["last_seen_s"], r["last_event_type"], r["last_value"])
+        for r in events_latest_state(spark, SF).collect()
+    }
+    assert final == batch
