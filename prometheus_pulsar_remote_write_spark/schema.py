@@ -109,6 +109,11 @@ def load_tables(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     # a no-op for MICROS files. Runtime-settable, and the driver hands us
     # a session it built itself, so set it here, not only in get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # MICROS-era events.ts reads as TIMESTAMP_NTZ, and unix_timestamp()
+    # on NTZ interprets the wall clock in the SESSION time zone -- pin it
+    # to UTC (what every oracle's epoch_ms() assumes) so a foreign
+    # session in any host zone computes identical epochs. Runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
