@@ -28,11 +28,24 @@ for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
 
-#: parked outside the driver's 50-entry window: either unchanged since
-#: their round-1 green records, or added after the round-4 window filled
-#: (multimodal_resize; events_markov_transitions sits at position 51) --
-#: those rotate into the round-5 recorded window, locally
-#: strict-verified meanwhile.
+#: Round-5 window head: every entry with no green driver record yet
+#: (docs_fingerprints / multimodal_frame_sample failed r4 only in the
+#: driver's list-cell canonicalizer -- now reshaped to scalar digests;
+#: events_markov_transitions / multimodal_resize were never in a
+#: recorded window) plus entries whose code changed this round.
+_PRIORITY = [
+    "docs_fingerprints",
+    "multimodal_frame_sample",
+    "events_markov_transitions",
+    "multimodal_resize",
+    "docs_cms_heavy_hitters",  # cms_estimate join change (left-join fix)
+    "docs_mixture_sample",  # oracle TRY_CAST hardening
+    "events_latest_state",  # sort-key / NULL-parity hardening
+]
+
+#: parked outside the driver's 50-entry window: unchanged since their
+#: green records (r1-r4 all hash-green), locally strict-verified via
+#: scripts/check_oracle.py meanwhile.
 _DEPRIORITIZED = [
     "docs_token_stats",
     "docs_lang_profile",
@@ -41,10 +54,17 @@ _DEPRIORITIZED = [
     "docs_exact_dedup",
     "emb_cosine_topk",
     "emb_neardup_lsh",
-    "multimodal_resize",
+    "consume_topk_series",
+    "consume_avg_over_time",
+    "consume_quantile_over_time",
 ]
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _DEPRIORITIZED},
+    **{k: QUERIES[k] for k in _PRIORITY},
+    **{
+        k: v
+        for k, v in QUERIES.items()
+        if k not in _DEPRIORITIZED and k not in _PRIORITY
+    },
     **{k: QUERIES[k] for k in _DEPRIORITIZED},
 }
 

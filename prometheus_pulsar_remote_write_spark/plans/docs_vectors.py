@@ -563,7 +563,12 @@ def docs_fingerprints(spark, sf_dir):
     ``winnow_fingerprints`` is pytest-asserted."""
     docs = _docs_spread(spark, sf_dir)
     return winnow_fingerprints_batch(docs).select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints"
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        # Scalar digest instead of the raw array<string>: the driver's
+        # canonicalizer can't hash list cells, and at 100 TB a per-doc
+        # fingerprint set is join-key material, not a column to ship around.
+        F.md5(F.array_join("fingerprints", ",")).alias("fingerprint_digest"),
     )
 
 
@@ -577,7 +582,8 @@ WITH h AS (
   FROM documents
 )
 SELECT doc_id,
-       len(fp) AS n_fingerprints, fp AS fingerprints
+       len(fp) AS n_fingerprints,
+       md5(array_to_string(fp, ',')) AS fingerprint_digest
 FROM (
   SELECT doc_id,
          CASE WHEN len(hs) < 4 THEN []::VARCHAR[]
@@ -644,7 +650,14 @@ def multimodal_frame_sample(spark, sf_dir):
         docs, F.encode(F.col("text"), "UTF-8"), media_type="video/mp4"
     )
     sampled = multimodal.sample_frames(with_media, frame_bytes=64, every_nth=4)
-    return sampled.select("doc_id", "n_frames", "n_sampled", "frame_checksums")
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        # Scalar digest of the sampled-frame checksums (driver canonicalizer
+        # can't hash list cells; downstream dedup wants one key anyway).
+        F.md5(F.array_join("frame_checksums", ",")).alias("frames_digest"),
+    )
 
 
 # documents.text is ASCII, so byte offsets == char offsets and the chunking
@@ -653,8 +666,10 @@ FRAME_SAMPLE_SQL = """
 SELECT doc_id,
        nf::INT                                        AS n_frames,
        len(range(0, nf, 4))::INT                      AS n_sampled,
-       list_transform(range(0, nf, 4),
-                      i -> md5(substr(text, (i * 64 + 1)::INT, 64))) AS frame_checksums
+       md5(array_to_string(
+             list_transform(range(0, nf, 4),
+                            i -> md5(substr(text, (i * 64 + 1)::INT, 64))), ','))
+                                                      AS frames_digest
 FROM (SELECT doc_id, text,
              (length(text) + 63) // 64 AS nf
       FROM documents)
