@@ -111,12 +111,21 @@ class RemoteWriteSink:
     post_fn(url, body, headers) -> status_code; injectable for tests and
     for a real `requests.post` in production. 5xx/exception => Recoverable
     (raise, batch replays); 4xx => unrecoverable (DLQ, continue).
+
+    Default delivery is EXECUTOR-SIDE (``post_batches_distributed``): each
+    (tenant, batch) encodes and POSTs inside the partition that holds it,
+    and only small status rows return to the driver -- the shape that
+    survives 1000 executors. ``distributed=False`` keeps the serial
+    driver-side loop for debugging (bounded but driver-resident).
+    ``post_fn`` must be picklable in distributed mode (cloudpickle ships
+    lambdas/closures fine; closure *mutations* stay on the executor).
     """
 
     url: str
     dlq_dir: str
     post_fn: object = None
     batch_size: int = 100
+    distributed: bool = True
     user_agent: str = "prometheus-pulsar-remote-write-spark/0.1.0"
     sent: dict = field(default_factory=dict)   # tenant -> samples sent
     failed: dict = field(default_factory=dict)  # tenant -> samples dropped
@@ -149,10 +158,34 @@ class RemoteWriteSink:
 
         return requests.post(self.url, data=body, headers=headers, timeout=30).status_code
 
+    def _settled_pairs(self, epoch_id: int) -> set:
+        """(tenant_id, batch_seq) pairs already 2xx'd or DLQ'd in a prior
+        attempt of this epoch (marker files written by ``_settle``)."""
+        ledger = self._ledger()
+        if not os.path.isdir(ledger):
+            return set()
+        prefix = f"epoch={epoch_id}-tenant="
+        out = set()
+        for name in os.listdir(ledger):
+            if not name.startswith(prefix):
+                continue
+            rest, _, seq = name[len(prefix):].rpartition("-batch=")
+            tenant = "" if rest == "_none" else rest
+            out.add((tenant, int(seq)))
+        return out
+
+    def _dlq_write(self, epoch_id: int, tenant_id: str, batch_seq, body: bytes) -> None:
+        os.makedirs(self.dlq_dir, exist_ok=True)
+        name = f"tenant={tenant_id or '_none'}-epoch={epoch_id}-batch={batch_seq}.bin"
+        with open(os.path.join(self.dlq_dir, name), "wb") as fh:
+            fh.write(body)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from .batcher import microbatch_batches
 
         batched = microbatch_batches(batch_df, self.batch_size)
+        if self.distributed:
+            return self._deliver_distributed(batched, epoch_id)
         for tenant_id, batch_seq, body, n in build_write_request_bodies(batched):
             # A replayed micro-batch (after a RecoverableError aborted a
             # previous attempt) must not re-POST batches that already got a
@@ -179,10 +212,7 @@ class RemoteWriteSink:
                     self.metrics.count_retry()
                 raise RecoverableError(f"HTTP {status} for tenant {tenant_id!r}")
             if status >= 400:  # D6: unrecoverable -> DLQ + continue
-                os.makedirs(self.dlq_dir, exist_ok=True)
-                name = f"tenant={tenant_id or '_none'}-epoch={epoch_id}-batch={batch_seq}.bin"
-                with open(os.path.join(self.dlq_dir, name), "wb") as fh:
-                    fh.write(body)
+                self._dlq_write(epoch_id, tenant_id, batch_seq, body)
                 self.failed[tenant_id] = self.failed.get(tenant_id, 0) + n
                 if self.metrics is not None:
                     self.metrics.count_failed(tenant_id, n)
@@ -192,6 +222,68 @@ class RemoteWriteSink:
             if self.metrics is not None:
                 self.metrics.count_sent(tenant_id, n)
             self._settle(epoch_id, tenant_id, batch_seq)
+
+    def _key_expr(self):
+        return F.concat_ws(
+            "\x00", F.col("tenant_id"), F.col("batch_seq").cast("string")
+        )
+
+    def _deliver_distributed(self, batched: DataFrame, epoch_id: int) -> None:
+        """The default delivery path: encode+POST on the executors
+        (``post_batches_distributed``), then apply the reference's D5/D6
+        policy on the returned status rows. Ledger semantics match the
+        driver loop: settled batches are filtered out BEFORE the POST wave,
+        successes/DLQs settle before any RecoverableError raises, so a
+        replayed micro-batch re-POSTs only un-acked batches
+        (write.go:208-236)."""
+        batched = batched.persist()
+        try:
+            settled = self._settled_pairs(epoch_id)
+            todo = batched
+            if settled:
+                keys = [f"{t}\x00{b}" for t, b in settled]
+                todo = batched.filter(~self._key_expr().isin(keys))
+            statuses = post_batches_distributed(
+                todo,
+                self.url,
+                user_agent=self.user_agent,
+                post_fn=self.post_fn,
+            )
+            recoverable, dlq_pairs = [], []
+            for tenant_id, batch_seq, status, n, elapsed in statuses:
+                if self.metrics is not None:
+                    self.metrics.count_received(tenant_id, n)
+                    self.metrics.observe_duration(elapsed)
+                if status >= 500:  # D5 (599 = transport error)
+                    recoverable.append((tenant_id, batch_seq, status))
+                elif status >= 400:  # D6
+                    dlq_pairs.append((tenant_id, batch_seq))
+                else:
+                    self.sent[tenant_id] = self.sent.get(tenant_id, 0) + n
+                    if self.metrics is not None:
+                        self.metrics.count_sent(tenant_id, n)
+                    self._settle(epoch_id, tenant_id, batch_seq)
+            if dlq_pairs:
+                # Re-encode ONLY the rejected batches for the DLQ files --
+                # bounded driver work (4xx is the exception path, each body
+                # <= batch_size samples).
+                keys = [f"{t}\x00{b}" for t, b in dlq_pairs]
+                failed_df = batched.filter(self._key_expr().isin(keys))
+                for tenant_id, batch_seq, body, n in build_write_request_bodies(
+                    failed_df
+                ):
+                    self._dlq_write(epoch_id, tenant_id, batch_seq, body)
+                    self.failed[tenant_id] = self.failed.get(tenant_id, 0) + n
+                    if self.metrics is not None:
+                        self.metrics.count_failed(tenant_id, n)
+                    self._settle(epoch_id, tenant_id, batch_seq)
+            if recoverable:
+                if self.metrics is not None:
+                    self.metrics.count_retry()
+                t, b, code = recoverable[0]
+                raise RecoverableError(f"HTTP {code} for tenant {t!r} batch {b}")
+        finally:
+            batched.unpersist()
 
 
 def run_consume_pipeline(
@@ -267,8 +359,9 @@ def post_batches_distributed(
     the data is. ``post_fn`` must be picklable; default is a per-worker
     singleton ``requests.Session`` (A5 connection reuse).
 
-    Returns [(tenant_id, batch_seq, status, n_samples)] sorted; callers
-    apply the same D5/D6 policy as the driver-side sink.
+    Returns [(tenant_id, batch_seq, status, n_samples, elapsed_s)] sorted;
+    callers apply the same D5/D6 policy as the driver-side sink and feed
+    elapsed_s to the send-duration histogram.
     """
     from ..operators.flatten import sorted_label_entries  # noqa: F401 (doc xref)
 
@@ -289,6 +382,7 @@ def post_batches_distributed(
             T.StructField("batch_seq", T.LongType()),
             T.StructField("status", T.IntegerType()),
             T.StructField("n_samples", T.IntegerType()),
+            T.StructField("elapsed_s", T.DoubleType()),
         ]
     )
 
@@ -321,6 +415,9 @@ def post_batches_distributed(
                 }
                 if tenant_id:
                     headers["X-Scope-OrgID"] = tenant_id
+                import time as _time
+
+                t0 = _time.perf_counter()
                 try:
                     if post_fn is not None:
                         status = post_fn(url, body, headers)
@@ -330,13 +427,20 @@ def post_batches_distributed(
                         ).status_code
                 except Exception:
                     status = 599  # transport error -> recoverable
-                rows.append((tenant_id, int(batch_seq), int(status), len(timeseries)))
+                elapsed = _time.perf_counter() - t0
+                rows.append(
+                    (tenant_id, int(batch_seq), int(status), len(timeseries), elapsed)
+                )
             yield pd.DataFrame(
-                rows, columns=["tenant_id", "batch_seq", "status", "n_samples"]
+                rows,
+                columns=["tenant_id", "batch_seq", "status", "n_samples", "elapsed_s"],
             )
 
     statuses = nested.mapInPandas(_post_partition, out_schema).collect()
-    return sorted((r.tenant_id, r.batch_seq, r.status, r.n_samples) for r in statuses)
+    return sorted(
+        (r.tenant_id, r.batch_seq, r.status, r.n_samples, r.elapsed_s)
+        for r in statuses
+    )
 
 
 def apply_delivery_policy(statuses: list) -> tuple[int, list]:
@@ -345,8 +449,8 @@ def apply_delivery_policy(statuses: list) -> tuple[int, list]:
     (n_delivered_samples, dlq'd (tenant, batch_seq) list) otherwise."""
     recoverable = [s for s in statuses if s[2] >= 500]
     if recoverable:
-        t, b, code, _ = recoverable[0]
+        t, b, code = recoverable[0][:3]
         raise RecoverableError(f"HTTP {code} for tenant {t!r} batch {b}")
-    delivered = sum(n for _, _, code, n in statuses if code < 400)
-    dlq = [(t, b) for t, b, code, _ in statuses if 400 <= code < 500]
+    delivered = sum(s[3] for s in statuses if s[2] < 400)
+    dlq = [(s[0], s[1]) for s in statuses if 400 <= s[2] < 500]
     return delivered, dlq

@@ -75,27 +75,26 @@ def main() -> None:
     print("  " + produced.select("payload").first()["payload"][:120])
 
     # --- consume ------------------------------------------------------------
-    delivered: list[tuple[str, int]] = []
+    from prometheus_pulsar_remote_write_spark.operators.metrics import DeliveryMetrics
 
-    def post_fn(url, body, headers):
-        req = prompb.decode_write_request(snappy_codec.decompress(body))
-        delivered.append(
-            (headers.get("X-Scope-OrgID", ""), sum(len(t["samples"]) for t in req["timeseries"]))
-        )
-        return 200
-
+    # POSTs run on the executors (distributed default); per-tenant totals
+    # come back through the sink's driver-side ledger, not a closure
+    metrics = DeliveryMetrics()
+    sink = RemoteWriteSink(
+        url="http://downstream",
+        dlq_dir=dlq,
+        post_fn=lambda url, body, headers: 200,
+        batch_size=50,
+        metrics=metrics,
+    )
     # the bus sink wrote one JSON file per epoch/partition; feed those
     # message files to the consume stream unchanged
-    sink = RemoteWriteSink(url="http://downstream", dlq_dir=dlq, post_fn=post_fn, batch_size=50)
     run_consume_pipeline(
         spark, os.path.join(bus, "epoch=0"), sink, poison
     ).awaitTermination(120)
-    per_tenant: dict[str, int] = {}
-    for org, n in delivered:
-        per_tenant[org] = per_tenant.get(org, 0) + n
-    print(f"consume: {len(delivered)} remote-write POSTs, samples per tenant: "
-          + json.dumps(per_tenant, sort_keys=True))
-    assert sum(per_tenant.values()) == produced.count()
+    print(f"consume: {metrics.duration_count} remote-write POSTs, samples per tenant: "
+          + json.dumps(sink.sent, sort_keys=True))
+    assert sum(sink.sent.values()) == produced.count()
     print("round-trip complete: every produced sample delivered downstream")
     spark.stop()
 

@@ -93,12 +93,14 @@ def test_sink_records_delivery_metrics(spark, tmp_path):
     msgs, n_good = _sample_messages()
     _write_messages(in_dir, msgs)
     metrics = DeliveryMetrics()
-    statuses = iter([400] + [200] * 10)
 
+    # deterministic under executor-side delivery (a stateful iterator
+    # closure would be pickled per-task): reject the no-tenant batch,
+    # accept everything else
     sink = RemoteWriteSink(
         url="http://x",
         dlq_dir=str(tmp_path / "dlq"),
-        post_fn=lambda u, b, h: next(statuses),
+        post_fn=lambda u, b, h: 400 if "X-Scope-OrgID" not in h else 200,
         batch_size=100,
         metrics=metrics,
     )

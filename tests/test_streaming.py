@@ -159,10 +159,19 @@ def test_consume_pipeline_delivers_batches(spark, tmp_path):
     msgs, n_good = _sample_messages()
     _write_messages(in_dir, msgs)
 
-    posted = []
+    # POSTs happen on the executors (distributed default), so record them
+    # via the filesystem, not a driver-local closure list
+    post_dir = str(tmp_path / "posts")
 
     def post_fn(url, body, headers):
-        posted.append((headers.get("X-Scope-OrgID", ""), body))
+        import hashlib
+        import os as _os
+
+        _os.makedirs(post_dir, exist_ok=True)
+        org = headers.get("X-Scope-OrgID", "")
+        name = f"{org or '_none'}-{hashlib.md5(body).hexdigest()}"
+        with open(_os.path.join(post_dir, name), "wb") as fh:
+            fh.write(body)
         return 200
 
     sink = RemoteWriteSink(
@@ -174,6 +183,10 @@ def test_consume_pipeline_delivers_batches(spark, tmp_path):
     assert sum(sink.sent.values()) == n_good
     assert sink.sent == {"team-a": 7, "": 3}
     # team-a: 7 samples at batch_size=4 -> 2 requests; "": 1 request
+    posted = []
+    for name in os.listdir(post_dir):
+        with open(os.path.join(post_dir, name), "rb") as fh:
+            posted.append((name.split("-", 1)[0], fh.read()))
     assert len(posted) == 3
     total = 0
     for org, body in posted:
@@ -584,12 +597,17 @@ def test_sink_replay_skips_settled_batches(spark, tmp_path):
     checkpoint = str(tmp_path / "ckpt")
     dlq = str(tmp_path / "dlq")
 
-    calls = []
+    # executor-side POSTs: count calls via marker files, not a closure list
+    calls_dir = str(tmp_path / "calls")
 
     def flaky_post(url, body, headers):
+        import os as _os
+        import uuid as _uuid
+
         org = headers.get("X-Scope-OrgID", "")
-        calls.append(org)
-        # bodies POST in (tenant, seq) order: "" first, then team-a.
+        _os.makedirs(calls_dir, exist_ok=True)
+        with open(_os.path.join(calls_dir, f"{org or '_none'}-{_uuid.uuid4().hex}"), "w"):
+            pass
         # First attempt: "" gets a 200, team-a gets a 503 -> replay.
         if org == "":
             return 200
@@ -611,7 +629,8 @@ def test_sink_replay_skips_settled_batches(spark, tmp_path):
     # batch was not re-POSTed (no duplicate delivery)
     assert ok.sent == {"team-a": 7}
     assert sink.sent == {"": 3}
-    assert calls.count("") == 1  # exactly one POST for the settled tenant
+    none_calls = [f for f in os.listdir(calls_dir) if f.startswith("_none-")]
+    assert len(none_calls) == 1  # exactly one POST for the settled tenant
 
 
 # --- executor-side delivery (post_batches_distributed) -----------------------
