@@ -196,6 +196,7 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact O(n^2) cosine threshold-join -- the recall baseline for
     embedding_neardup_pairs (pytest asserts LSH recall against this).
@@ -211,6 +212,17 @@ def cosine_pairs_exact(
     import numpy as np
 
     spark = emb.sparkSession
+    # Guard the collect: this is a recall-measurement baseline, not the
+    # production near-dup path (that's embedding_neardup_pairs / LSH). An
+    # unguarded corpus collect is a driver OOM at 100x scale, so refuse
+    # loudly instead of truncating silently.
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact is an exact all-pairs recall baseline capped at "
+            f"{max_rows} rows (got {n}); sample/limit the input, raise max_rows "
+            f"deliberately, or use the LSH path (embedding_neardup_pairs) at scale"
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -209,3 +209,22 @@ def test_kmeans_assignment_matches_numpy(spark):
     a2 = assign(C1, seeds)
     want = {int(i): (int(c1), int(c2)) for i, c1, c2 in zip(ids, a1, a2)}
     assert got == want
+
+
+def test_cosine_pairs_exact_refuses_oversized_corpus(spark):
+    """The exact all-pairs baseline must fail loudly, not OOM the driver,
+    when pointed at a corpus beyond its documented cap."""
+    import pytest
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="recall baseline"):
+        cosine_pairs_exact(emb, max_rows=5)
+    # under the cap it still works
+    assert cosine_pairs_exact(emb, threshold=2.0, max_rows=10).count() == 0
