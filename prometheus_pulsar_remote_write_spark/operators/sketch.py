@@ -204,10 +204,15 @@ def cms_estimate(table: DataFrame, probes: DataFrame, value_col: str) -> DataFra
         t = table.filter(F.col("depth") == i).select(
             F.col("bucket").alias(f"b{i}"), F.col("n").alias(f"n{i}")
         )
-        out = out.join(F.broadcast(t), f"b{i}")
+        # left join: a probe value never sketched hashes into buckets with
+        # no counter row -- the point-query contract still owes it an
+        # estimate (0), not silence
+        out = out.join(F.broadcast(t), f"b{i}", "left")
     return out.select(
         *probes.columns,
-        F.least(*[F.col(f"n{i}") for i in range(CMS_D)]).alias("est_n"),
+        F.least(
+            *[F.coalesce(F.col(f"n{i}"), F.lit(0)) for i in range(CMS_D)]
+        ).alias("est_n"),
     )
 
 

@@ -1108,7 +1108,7 @@ DOCS_MIXTURE_SQL = """
 WITH flagged AS (
   SELECT source, n_chars,
          CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 <
-                   (CASE regexp_extract(source, 'src(\\d+)', 1)::INT % 3
+                   (CASE TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 3
                          WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 10 END)
               THEN 1 ELSE 0 END AS kept
   FROM documents

@@ -139,9 +139,20 @@ def events_anomaly_zscore(spark, sf_dir):
     and std uses one fixed expression tree, so even the float stats are
     bit-deterministic under the driver's value-hash."""
     ev = _events(spark, sf_dir)
+    # Sort ONLY on (ts, event_id) -- a unique key (TESTDATA.md), and the
+    # exact ORDER BY the oracle uses -- so the trailing value field can
+    # never act as a Spark-only tiebreak; NULL values coalesce to 0.0 in
+    # BOTH engines' folds (ADVICE r4 parity latents).
     ordered_vals = F.transform(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-        lambda x: x["value"],
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value")),
+            lambda a, b: F.when(a["ts"] < b["ts"], -1)
+            .when(a["ts"] > b["ts"], 1)
+            .when(a["event_id"] < b["event_id"], -1)
+            .when(a["event_id"] > b["event_id"], 1)
+            .otherwise(0),
+        ),
+        lambda x: F.coalesce(x["value"], F.lit(0.0)),
     )
     s1 = F.aggregate(ordered_vals, F.lit(0.0), lambda acc, v: acc + v)
     s2 = F.aggregate(ordered_vals, F.lit(0.0), lambda acc, v: acc + v * v)
@@ -178,9 +189,9 @@ def events_anomaly_zscore(spark, sf_dir):
 ANOMALY_SQL = """
 WITH stats AS (
   SELECT user_id, count(*) AS n,
-         list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+         list_reduce(list_prepend(0.0, list(coalesce(value, 0.0) ORDER BY ts, event_id)),
                      (acc, v) -> acc + v) AS s1,
-         list_reduce(list_prepend(0.0, list(value * value ORDER BY ts, event_id)),
+         list_reduce(list_prepend(0.0, list(coalesce(value * value, 0.0) ORDER BY ts, event_id)),
                      (acc, v) -> acc + v) AS s2
   FROM events GROUP BY user_id
 ), enriched AS (
@@ -358,7 +369,16 @@ def events_sessionization(spark, sf_dir, gap_s: int = 1800):
     # user is the one shape that would need chunked pre-aggregation).
     ordered_sum = F.aggregate(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value")),
+                # compare ONLY (ts, event_id) -- the oracle's ORDER BY --
+                # so value can't act as a Spark-only third tiebreak
+                lambda a, b: F.when(a["ts"] < b["ts"], -1)
+                .when(a["ts"] > b["ts"], 1)
+                .when(a["event_id"] < b["event_id"], -1)
+                .when(a["event_id"] > b["event_id"], 1)
+                .otherwise(0),
+            ),
             lambda x: F.coalesce(x["value"], F.lit(0.0)),
         ),
         F.lit(0.0),

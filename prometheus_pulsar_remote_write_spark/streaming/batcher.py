@@ -220,6 +220,7 @@ def tws_batches(
             next_seq, deadline = (meta[0], meta[1]) if meta else (0, None)
             if deadline is not None and deadline < 0:
                 deadline = None
+            entry_deadline = deadline
             out = []
             for pdf in rows:
                 buf.extend(
@@ -240,6 +241,13 @@ def tws_batches(
                 # write.go:146-157) -- a trickle must not push it back
                 deadline = now + max_delay_ms
                 self._handle.registerTimer(deadline)
+            if entry_deadline is not None and entry_deadline != deadline:
+                # a size flush superseded the old deadline: delete its
+                # timer so it cannot fire later and delay-flush the new
+                # buffer's remainder early (stateful_batches gets this
+                # for free -- setTimeoutDuration REPLACES the timeout;
+                # TWS timers accumulate unless deleted)
+                self._handle.deleteTimer(entry_deadline)
             self._buf.clear()
             if buf:
                 self._buf.put([list(t) for t in buf])
@@ -250,9 +258,17 @@ def tws_batches(
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             (tenant_id,) = key
-            buf = [tuple(r) for r in self._buf.get()]
             meta = self._meta.get()
             next_seq = meta[0] if meta else 0
+            active_deadline = meta[1] if meta else -1
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            if active_deadline < 0 or expiry != active_deadline:
+                # stale firing: this timer belonged to a buffer lifetime a
+                # size flush already ended -- ignore it (defense in depth
+                # alongside the deleteTimer in handleInputRows)
+                yield pd.DataFrame([], columns=out_cols)
+                return
+            buf = [tuple(r) for r in self._buf.get()]
             out = []
             if buf:  # delay trigger: flush the under-size remainder
                 out, buf = self._flush(tenant_id, buf, next_seq, "delay")

@@ -249,7 +249,11 @@ def latest_state_stream(ev: DataFrame) -> DataFrame:
     )
     state_schema = T.StructType(
         [
-            T.StructField("ts_s", T.LongType(), True),
+            # microseconds, NOT seconds: the batch twin orders by full-
+            # precision ts desc then event_id desc, so a seconds-truncated
+            # key would let two same-second events resolve ties by
+            # event_id where the batch resolves them by sub-second micros
+            T.StructField("ts_us", T.LongType(), True),
             T.StructField("event_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
@@ -259,30 +263,38 @@ def latest_state_stream(ev: DataFrame) -> DataFrame:
     def _latest(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
         (user_id,) = key
         best = state.get if state.exists else None
         for pdf in pdfs:
-            for ts_s, event_id, etype, value in zip(
-                pdf["ts_s"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            for ts_us, event_id, etype, value in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["value"]
             ):
-                cand = (int(ts_s), int(event_id), str(etype), float(value))
+                cand = (int(ts_us), int(event_id), str(etype), float(value))
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
         state.update(best)
+        # HALF_UP on the shortest decimal repr == Spark's F.round(col, 2)
+        # (BigDecimal.valueOf(double)); Python's round() banker's-rounds
+        # midpoints the other way
+        rounded = float(
+            Decimal(repr(best[3])).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
         yield pd.DataFrame(
             [
                 {
                     "user_id": user_id,
-                    "last_seen_s": best[0],
+                    "last_seen_s": best[0] // 1_000_000,
                     "last_event_type": best[2],
-                    "last_value": round(best[3], 2),
+                    "last_value": rounded,
                 }
             ]
         )
 
     keyed = ev.select(
         "user_id",
-        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_micros("ts").alias("ts_us"),
         "event_id",
         "event_type",
         "value",

@@ -102,3 +102,77 @@ def test_chunking_reconstructs_corpus(spark):
             else:
                 rebuilt.extend(toks)
         assert rebuilt == docs[doc_id], doc_id
+
+
+def test_documents_text_is_ascii_precondition():
+    """The multimodal byte-stride oracles (FRAME_SAMPLE_SQL,
+    MULTIMODAL_RESIZE_SQL) replay Python ``bytes(payload)`` slicing with
+    character substr arithmetic, which is only valid while documents.text
+    is pure ASCII (byte offsets == char offsets; DuckDB's md5 cannot hash
+    BLOBs, so an octet-exact oracle is not expressible). The driver
+    regenerates testdata between rounds -- fail loudly here if the
+    precondition ever breaks, instead of silently diverging in the gate."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n_bad = con.execute(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n_bad == 0, (
+            f"{path}: {n_bad} non-ASCII documents -- the byte-stride "
+            "multimodal oracles (docs_vectors.py FRAME_SAMPLE_SQL / "
+            "MULTIMODAL_RESIZE_SQL) no longer match Python byte slicing"
+        )
+    con.close()
+
+
+def test_null_values_match_oracle_on_fixture(spark, tmp_path):
+    """NULL-bearing events fixture: the ordered-fold queries must agree
+    with their DuckDB oracles even when ``value`` is NULL (both engines
+    coalesce to 0.0 inside the fold, and sort on the identical
+    (ts, event_id) key -- ADVICE r4 parity latents, now exercised)."""
+    import datetime
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        ANOMALY_SQL,
+        SESSION_SQL,
+        events_anomaly_zscore,
+        events_sessionization,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=7 * i, microseconds=137 * i),
+                i % 4,
+                "click" if i % 3 else "view",
+                None if i % 5 == 0 else float(i) * 1.37,
+                "{}",
+            )
+        )
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    for fn, sql in ((events_anomaly_zscore, ANOMALY_SQL), (events_sessionization, SESSION_SQL)):
+        df = fn(spark, sf_dir)
+        rel = con.sql(sql)
+        err = compare(fn.__name__, df, rel.fetchall(), [c[0] for c in rel.description])
+        assert err is None, f"{fn.__name__}: {err}"
+    con.close()

@@ -90,6 +90,15 @@ def test_cms_overestimates_never_under(spark):
     # with 500 keys in 4x1024 counters, most estimates should be exact
     assert sum(1 for r in est if r["est_n"] == r["exact_n"]) >= 400
 
+    # a probe value the sketch never saw still gets an estimate (0 when its
+    # buckets hold no counters), not a silently-dropped row
+    unseen = spark.createDataFrame([(987654321,)], "v long").withColumn(
+        "exact_n", F.lit(0).cast("long")
+    )
+    got = cms_estimate(table, unseen, "v").collect()
+    assert len(got) == 1
+    assert got[0]["est_n"] >= 0
+
 
 def test_cms_tables_merge_by_addition(spark):
     """sketch(A ∪ B) == elementwise-sum(sketch(A), sketch(B))."""
