@@ -54,6 +54,41 @@ _COMPACT = {"separators": (",", ":"), "ensure_ascii": False}
 #: values are rendered in this declaration order by marshal_avro_json.
 AVRO_DEFAULT_FIELDS = ("timestamp", "value", "name", "labels", "tenant_id")
 
+#: sentinel: schema field declares no default (missing datum => error,
+#: matching an Avro encoder's behavior)
+AVRO_NO_DEFAULT = object()
+
+
+def parse_avro_schema(schema) -> tuple:
+    """Parse a user-supplied Avro record schema (JSON string or dict) into
+    ((field_name, default), ...) in declaration order.
+
+    Drives the C3 serializer the way the reference's custom-schema path
+    does (pkg/app/pulsar.go:174-190 reads a schema file into
+    NewAvroJSONSerializer, pkg/pulsar/serializers.go:202-222): the
+    encoder emits exactly the schema's declared fields, in declaration
+    order, substituting each field's default when the sample datum lacks
+    it. ``AVRO_NO_DEFAULT`` marks fields that must be present.
+    """
+    if isinstance(schema, (str, bytes)):
+        schema = json.loads(schema)
+    if schema.get("type") != "record":
+        raise ValueError(f"avro schema must be a record, got {schema.get('type')!r}")
+    fields = schema.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("avro record schema declares no fields")
+    out = []
+    for f in fields:
+        out.append((f["name"], f["default"] if "default" in f else AVRO_NO_DEFAULT))
+    return tuple(out)
+
+
+#: the default schema, in parsed form (only tenant_id carries a default)
+AVRO_DEFAULT_PARSED = tuple(
+    (name, "" if name == "tenant_id" else AVRO_NO_DEFAULT)
+    for name in AVRO_DEFAULT_FIELDS
+)
+
 
 # ---------------------------------------------------------------------------
 # pure-Python marshal/unmarshal (the byte-parity tier)
@@ -100,17 +135,43 @@ def marshal_json_compat(
 
 
 def marshal_avro_json(
-    timestamp_ms: int, value: float, labels: dict | None, tenant_id: str
+    timestamp_ms: int, value: float, labels: dict | None, tenant_id: str, fields=None
 ) -> str:
-    """C3: Avro textual encoding of the compat shape, default schema.
+    """C3: Avro textual encoding of the compat shape.
 
-    tenant_id is always present (Avro schema default ""), fields emitted in
-    schema declaration order.
+    Default schema: tenant_id always present (schema default ""), fields
+    emitted in declaration order. ``fields`` (from ``parse_avro_schema``)
+    swaps in a user-supplied schema: its declared fields, its order, its
+    defaults -- a datum-absent field with no default raises, as an Avro
+    encoder does (reference serializers.go:202-222 via goavro).
     """
     data = _compat_dict(timestamp_ms, value, labels, tenant_id)
-    data["tenant_id"] = tenant_id or ""
-    ordered = {k: data[k] for k in AVRO_DEFAULT_FIELDS}
+    if tenant_id:  # datum carries tenant only when set (serializers.go:76-78)
+        data["tenant_id"] = tenant_id
+    ordered = {}
+    for name, default in fields if fields is not None else AVRO_DEFAULT_PARSED:
+        if name in data:
+            ordered[name] = data[name]
+        elif default is not AVRO_NO_DEFAULT:
+            ordered[name] = default
+        else:
+            raise ValueError(
+                f"avro schema field {name!r} has no default and the sample "
+                "provides no value"
+            )
     return json.dumps(ordered, **_COMPACT)
+
+
+def make_avro_marshaler(schema):
+    """Bind ``marshal_avro_json`` to a custom schema (file contents, JSON
+    string, or dict): the Spark analog of the reference's
+    ``avro-json-compat=<schema-file>`` serializer config."""
+    fields = parse_avro_schema(schema)
+
+    def _marshal(timestamp_ms, value, labels, tenant_id):
+        return marshal_avro_json(timestamp_ms, value, labels, tenant_id, fields)
+
+    return _marshal
 
 
 def unmarshal_json(payload: str) -> tuple[int, float, dict, str]:
@@ -153,6 +214,34 @@ UNMARSHALERS = {
 }
 
 
+def resolve_marshaler(fmt: str):
+    """Map a serializer config string to a marshal callable, including the
+    reference's ``avro-json-compat=<schema-file>`` custom-schema form
+    (pkg/app/pulsar.go:161-190): the suffix is a schema file path, or --
+    Spark-side convenience -- inline schema JSON (starts with '{')."""
+    if fmt in MARSHALERS:
+        return MARSHALERS[fmt]
+    prefix = "avro-json-compat="
+    if fmt.startswith(prefix):
+        ref = fmt[len(prefix):]
+        if ref.lstrip().startswith("{"):
+            return make_avro_marshaler(ref)
+        with open(ref, "r", encoding="utf-8") as fh:
+            return make_avro_marshaler(fh.read())
+    raise KeyError(f"unknown serializer config {fmt!r}")
+
+
+def resolve_unmarshaler(fmt: str):
+    """Deserializer twin of ``resolve_marshaler``: every avro-json-compat
+    variant parses with the shared compat deserializer (C4), as the
+    reference's AvroJSONSerializer.Unmarshal does (serializers.go:196)."""
+    if fmt in UNMARSHALERS:
+        return UNMARSHALERS[fmt]
+    if fmt.startswith("avro-json-compat="):
+        return unmarshal_compat
+    raise KeyError(f"unknown serializer config {fmt!r}")
+
+
 # ---------------------------------------------------------------------------
 # Spark column API
 # ---------------------------------------------------------------------------
@@ -166,7 +255,7 @@ def serialize_col(
     tenant_id: Column = None,
 ) -> Column:
     """Exact Go-parity serialization as an Arrow-batched pandas UDF."""
-    marshal = MARSHALERS[fmt]
+    marshal = resolve_marshaler(fmt)
     timestamp = timestamp if timestamp is not None else F.col("timestamp")
     value = value if value is not None else F.col("value")
     labels = labels if labels is not None else F.col("labels")
@@ -203,7 +292,7 @@ def deserialize(df, fmt: str, payload_col: str = "payload", keep_cols: list[str]
     and the complement for the DLQ. mapInPandas keeps this a narrow,
     Arrow-batched stage.
     """
-    unmarshal = UNMARSHALERS[fmt]
+    unmarshal = resolve_unmarshaler(fmt)
     keep_cols = keep_cols or []
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name in keep_cols] + list(_PARSED_SCHEMA.fields)
@@ -313,23 +402,64 @@ def serialize_json_compat_expr(
 
 
 def serialize_avro_json_expr(
-    timestamp: Column, value: Column, labels: Column, tenant_id: Column
+    timestamp: Column, value: Column, labels: Column, tenant_id: Column, schema=None
 ) -> Column:
-    """C3-shaped payload as a pure expression: the C2 fields in Avro default-
-    schema declaration order, tenant_id always present (schema default '')."""
-    return F.concat(
-        F.lit('{"timestamp":"'),
-        rfc3339_expr(timestamp),
-        F.lit('","value":"'),
-        go_float_expr(value),
-        F.lit('","name":"'),
-        F.coalesce(labels["__name__"], F.lit("")),
-        F.lit('","labels":'),
-        labels_json_expr(labels),
-        F.lit(',"tenant_id":"'),
-        F.coalesce(tenant_id, F.lit("")),
-        F.lit('"}'),
-    )
+    """C3-shaped payload as a pure expression: the C2 fields in Avro
+    schema declaration order; default schema keeps tenant_id always
+    present (schema default '').
+
+    ``schema`` (JSON string/dict) swaps in a custom schema while staying
+    in whole-stage codegen: known fields render from their columns, a
+    field absent from the sample model renders its schema default as a
+    literal, and a missing-with-no-default field is a build-time error
+    (the reference's goavro encoder fails at encode time;
+    serializers.go:202-222)."""
+    fields = parse_avro_schema(schema) if schema is not None else AVRO_DEFAULT_PARSED
+
+    def _field_value(name: str, default) -> Column:
+        if name == "timestamp":
+            return F.concat(F.lit('"'), rfc3339_expr(timestamp), F.lit('"'))
+        if name == "value":
+            return F.concat(F.lit('"'), go_float_expr(value), F.lit('"'))
+        if name == "name":
+            return F.concat(
+                F.lit('"'), F.coalesce(labels["__name__"], F.lit("")), F.lit('"')
+            )
+        if name == "labels":
+            return labels_json_expr(labels)
+        if name == "tenant_id":
+            ten = F.coalesce(tenant_id, F.lit(""))
+            if default is AVRO_NO_DEFAULT:
+                # datum carries tenant only when non-empty; no default =>
+                # an empty tenant cannot encode under this schema
+                ten = F.when(F.length(ten) > 0, ten).otherwise(
+                    F.raise_error(
+                        F.lit("avro schema field 'tenant_id' has no default "
+                              "and the sample has no tenant")
+                    )
+                )
+                return F.concat(F.lit('"'), ten, F.lit('"'))
+            return F.concat(
+                F.lit('"'),
+                F.when(F.length(ten) > 0, ten).otherwise(F.lit(str(default))),
+                F.lit('"'),
+            )
+        # schema-declared field outside the sample model: literal default
+        if default is AVRO_NO_DEFAULT:
+            raise ValueError(
+                f"avro schema field {name!r} has no default and is not a "
+                "sample field"
+            )
+        return F.lit(json.dumps(default, **_COMPACT))
+
+    parts = [F.lit("{")]
+    for i, (name, default) in enumerate(fields):
+        if i:
+            parts.append(F.lit(","))
+        parts.append(F.lit(json.dumps(name, **_COMPACT) + ":"))
+        parts.append(_field_value(name, default))
+    parts.append(F.lit("}"))
+    return F.concat(*parts)
 
 
 def serialize_json_expr(

@@ -266,3 +266,121 @@ def test_compat_roundtrip_property(ts, value, labels, tenant):
     assert v2 == value or (v2 != v2 and value != value)
     assert l2 == labels
     assert t2 == tenant
+
+
+# --- custom Avro schema (reference pkg/app/pulsar.go:174-190) ----------------
+
+#: reorders fields, drops labels, adds a non-sample field with a default,
+#: and defaults tenant_id to a non-empty sentinel
+CUSTOM_AVRO_SCHEMA = """{
+  "namespace": "io.example",
+  "type": "record",
+  "name": "Slim",
+  "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "value", "type": "string"},
+    {"name": "timestamp", "type": "string"},
+    {"name": "tenant_id", "type": "string", "default": "anon"},
+    {"name": "source", "type": "string", "default": "pulsar"}
+  ]
+}"""
+
+GOLDEN_CUSTOM_AVRO = {
+    NORMAL: '{"name":"foo","value":"456","timestamp":"1970-01-01T00:00:00Z","tenant_id":"anon","source":"pulsar"}',
+    INF: '{"name":"foo","value":"+Inf","timestamp":"1970-01-01T00:00:10.001Z","tenant_id":"anon","source":"pulsar"}',
+    TENANT: '{"name":"foo","value":"456","timestamp":"1970-01-01T00:00:00Z","tenant_id":"fake","source":"pulsar"}',
+}
+
+
+def test_marshal_avro_custom_schema_golden():
+    """A user-supplied schema drives field set, order, and defaults: the
+    encoder emits the schema's declared fields in declaration order and
+    substitutes defaults for datum-absent fields, as goavro does for the
+    reference's avro-json-compat=<schema-file> config."""
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        make_avro_marshaler,
+    )
+
+    marshal = make_avro_marshaler(CUSTOM_AVRO_SCHEMA)
+    for sample, want in GOLDEN_CUSTOM_AVRO.items():
+        got = marshal(sample[0], sample[1], dict(sample[2]), sample[3])
+        assert got == want
+
+
+def test_marshal_avro_custom_schema_missing_field_errors():
+    """A schema field with no default that the sample cannot supply must
+    fail at encode time (goavro behavior), not emit partial bytes."""
+    import pytest
+
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        make_avro_marshaler,
+        parse_avro_schema,
+    )
+
+    no_default = """{
+      "type": "record", "name": "Bad",
+      "fields": [{"name": "hostname", "type": "string"}]
+    }"""
+    marshal = make_avro_marshaler(no_default)
+    with pytest.raises(ValueError, match="no default"):
+        marshal(0, 1.0, {"__name__": "x"}, "")
+
+    # tenant_id with no default: encodable only when the sample has one
+    tenant_required = parse_avro_schema(
+        '{"type":"record","name":"T","fields":[{"name":"tenant_id","type":"string"}]}'
+    )
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        marshal_avro_json,
+    )
+
+    assert marshal_avro_json(0, 1.0, {}, "t9", tenant_required) == '{"tenant_id":"t9"}'
+    with pytest.raises(ValueError, match="no default"):
+        marshal_avro_json(0, 1.0, {}, "", tenant_required)
+
+
+def test_serialize_custom_avro_expr_and_udf_match(spark):
+    """Both tiers honor the custom schema and agree byte-for-byte; the
+    fmt string 'avro-json-compat=<inline json>' resolves like the
+    reference's serializer config."""
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        serialize_avro_json_expr,
+        serialize_col,
+    )
+
+    rows = [
+        (1000, 456.0, {"__name__": "foo", "labelfoo": "label-bar"}, "fake"),
+        (1704067798778, 185.22, {"__name__": "error", "k": "87"}, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp long, value double, labels map<string,string>, tenant_id string"
+    )
+    args = (F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id"))
+    out = df.select(
+        serialize_col("avro-json-compat=" + CUSTOM_AVRO_SCHEMA).alias("exact"),
+        serialize_avro_json_expr(*args, schema=CUSTOM_AVRO_SCHEMA).alias("expr"),
+    ).collect()
+    for r in out:
+        assert r.exact == r.expr
+    # spot-check the golden bytes for the first fixture row
+    assert out[0].exact == GOLDEN_CUSTOM_AVRO[TENANT].replace(
+        '"1970-01-01T00:00:00Z"', '"1970-01-01T00:00:01Z"'
+    )
+
+
+def test_avro_schema_file_resolution(tmp_path):
+    """The exact reference config form -- avro-json-compat=<file path> --
+    reads the schema from disk (pkg/app/pulsar.go:174-186)."""
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        resolve_marshaler,
+        resolve_unmarshaler,
+        unmarshal_compat,
+    )
+
+    p = tmp_path / "schema.avsc"
+    p.write_text(CUSTOM_AVRO_SCHEMA)
+    marshal = resolve_marshaler(f"avro-json-compat={p}")
+    got = marshal(0, 456.0, dict(_LABELS), "fake")
+    assert got == GOLDEN_CUSTOM_AVRO[TENANT]
+    assert resolve_unmarshaler(f"avro-json-compat={p}") is unmarshal_compat
