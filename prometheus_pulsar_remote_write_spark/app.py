@@ -1,0 +1,175 @@
+"""Config-driven application entry: the Spark analog of the reference's
+embeddable App (pkg/app/app.go:52-147 -- ``app.New(...).Run(ctx, args...)``
+with ``produce``/``consume`` commands and their kingpin flag surface).
+
+The reference's process model maps onto Spark like this:
+
+  reference flag                       -> AppConfig field
+  ------------------------------------------------------------------
+  produce | consume (command)          -> mode
+  pulsar.topic / pulsar.url            -> bus_dir (message-bus directory;
+                                          a real broker client drops into
+                                          FilePublisher / read_payload_stream)
+  pulsar.serializer                    -> serializer ("json" | "json-compat" |
+                                          "avro-json-compat" |
+                                          "avro-json-compat=<schema file>",
+                                          pkg/app/pulsar.go:161-190)
+  replica-label (repeatable)           -> replica_labels (produce.go:49-50)
+  web.write-path                       -> drop_dir (produce.go:47-48; the
+                                          HTTP edge is a drop directory of
+                                          remote-write bodies here)
+  remote-write.url                     -> remote_write_url (consume.go:44-45)
+  pulsar.subscription                  -> subscription (consume.go:42-43;
+                                          names the checkpoint, so consumers
+                                          sharing it share progress)
+  batch max delay (app.go:36-38)       -> batch_max_delay_ms
+  batch size 100 (write.go:20-24)      -> batch_size
+  send-timeout                         -> send_timeout_s
+
+Flags the reference needs because it is a long-lived daemon (web.listen
+address, pprof, TLS client material, connection pools) have no Spark-job
+analog and are intentionally absent; observability rides DeliveryMetrics
+and Spark's own UI/listeners instead.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+#: the serializer configs the reference accepts (pkg/app/pulsar.go:26-39)
+SERIALIZERS = ("json", "json-compat", "avro-json-compat")
+
+
+@dataclass
+class AppConfig:
+    mode: str  # "produce" | "consume"
+    bus_dir: str  # message-bus directory (pulsar.topic analog)
+    serializer: str = "json"
+    # produce
+    drop_dir: str | None = None  # remote-write body drop (web.write-path analog)
+    replica_labels: list = field(default_factory=lambda: ["__replica__"])
+    # consume
+    remote_write_url: str | None = None
+    subscription: str = "pulsar-adapter"
+    batch_size: int = 100
+    batch_max_delay_ms: int = 5000
+    send_timeout_s: float = 30.0
+    dlq_dir: str | None = None
+    poison_dir: str | None = None
+    post_fn: object = None  # injectable HTTP POST (tests / custom clients)
+    # execution
+    trigger_once: bool = True
+    work_dir: str | None = None  # checkpoints + default dlq/poison live here
+
+    def validate(self) -> "AppConfig":
+        if self.mode not in ("produce", "consume"):
+            raise ValueError(f"unknown command {self.mode!r}")
+        fmt = self.serializer
+        if fmt not in SERIALIZERS and not fmt.startswith("avro-json-compat="):
+            raise ValueError(f"unknown Pulsar serializer config {fmt!r}")
+        if self.mode == "produce" and not self.drop_dir:
+            raise ValueError("produce requires drop_dir (web.write-path analog)")
+        if self.mode == "consume" and not self.remote_write_url:
+            raise ValueError("consume requires remote_write_url (remote-write.url)")
+        return self
+
+    def _work(self, name: str) -> str:
+        base = self.work_dir or os.path.join(self.bus_dir, "_app")
+        return os.path.join(base, name)
+
+
+def parse_args(argv: list) -> AppConfig:
+    """Parse the reference's CLI surface (``produce``/``consume`` command +
+    ``--flag=value`` kingpin-style flags) into an AppConfig."""
+    if not argv:
+        raise ValueError("missing command: produce | consume")
+    cfg = AppConfig(mode=argv[0], bus_dir="")
+    flag_map = {
+        "pulsar.topic": "bus_dir",
+        "pulsar.serializer": "serializer",
+        "web.write-path": "drop_dir",
+        "remote-write.url": "remote_write_url",
+        "pulsar.subscription": "subscription",
+        "work-dir": "work_dir",
+        "dlq-dir": "dlq_dir",
+        "poison-dir": "poison_dir",
+    }
+    for arg in argv[1:]:
+        if not arg.startswith("--") or "=" not in arg:
+            raise ValueError(f"unrecognized argument {arg!r}")
+        name, _, value = arg[2:].partition("=")
+        if name == "replica-label":  # repeatable (produce.go:49-50)
+            if cfg.replica_labels == ["__replica__"]:
+                cfg.replica_labels = []
+            cfg.replica_labels.append(value)
+        elif name == "batch-max-delay":
+            cfg.batch_max_delay_ms = int(_duration_ms(value))
+        elif name == "batch-size":
+            cfg.batch_size = int(value)
+        elif name == "send-timeout":
+            cfg.send_timeout_s = _duration_ms(value) / 1000.0
+        elif name == "continuous":
+            cfg.trigger_once = value.lower() not in ("1", "true", "yes")
+        elif name in flag_map:
+            setattr(cfg, flag_map[name], value)
+        else:
+            raise ValueError(f"unknown flag --{name}")
+    return cfg.validate()
+
+
+def _duration_ms(text: str) -> float:
+    """Go-style duration strings ('30s', '5m', '250ms') to milliseconds."""
+    units = (("ms", 1.0), ("s", 1000.0), ("m", 60_000.0), ("h", 3_600_000.0))
+    for suffix, mult in units:
+        if text.endswith(suffix) and (suffix != "s" or not text.endswith("ms")):
+            return float(text[: -len(suffix)]) * mult
+    return float(text)  # bare number = ms
+
+
+def run(spark: SparkSession, cfg: AppConfig):
+    """Run one command to completion (trigger_once) or start it
+    (continuous); returns the StreamingQuery either way, plus the sink for
+    consume mode (delivery counters / DLQ bookkeeping).
+
+    The reference blocks inside App.Run until signalled (app.go:125-147);
+    the Spark analog is the returned query's ``awaitTermination``.
+    """
+    cfg.validate()
+    if cfg.mode == "produce":
+        from .streaming.produce import run_produce_pipeline
+
+        query = run_produce_pipeline(
+            spark,
+            drop_dir=cfg.drop_dir,
+            out_dir=cfg.bus_dir,
+            checkpoint_dir=cfg._work(f"ckpt-produce-{cfg.subscription}"),
+            serializer_format=cfg.serializer,
+            trigger_once=cfg.trigger_once,
+            replica_labels=cfg.replica_labels,
+        )
+        return query, None
+
+    from .operators.metrics import DeliveryMetrics
+    from .streaming.consume import RemoteWriteSink, run_consume_pipeline
+
+    sink = RemoteWriteSink(
+        url=cfg.remote_write_url,
+        dlq_dir=cfg.dlq_dir or cfg._work("dlq"),
+        post_fn=cfg.post_fn,
+        batch_size=cfg.batch_size,
+        metrics=DeliveryMetrics(),
+    )
+    query = run_consume_pipeline(
+        spark,
+        in_dir=cfg.bus_dir,
+        sink=sink,
+        poison_dir=cfg.poison_dir or cfg._work("poison"),
+        checkpoint_dir=cfg._work(f"ckpt-consume-{cfg.subscription}"),
+        fmt=cfg.serializer,
+        trigger_once=cfg.trigger_once,
+        trigger_interval_ms=cfg.batch_max_delay_ms,
+    )
+    return query, sink

@@ -294,8 +294,14 @@ def run_consume_pipeline(
     checkpoint_dir: str | None = None,
     fmt: str = "json",
     trigger_once: bool = True,
+    trigger_interval_ms: int = 1000,
 ):
-    """Wire the consume stream: parse -> split poison -> sink. Returns the query."""
+    """Wire the consume stream: parse -> split poison -> sink. Returns the query.
+
+    ``trigger_interval_ms`` is the Spark analog of the reference's
+    consume batch-max-delay (app.go:36-38): a micro-batch closes at most
+    this long after it opens, so an under-size per-tenant batch waits at
+    most one trigger interval before the D1 delay flush ships it."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         poison_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
     )
@@ -317,7 +323,7 @@ def run_consume_pipeline(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="1 second")
+        writer = writer.trigger(processingTime=f"{trigger_interval_ms} milliseconds")
     return writer.start()
 
 

@@ -186,13 +186,14 @@ def run_produce_pipeline(
     serializer_format: str = "json",
     publisher=None,
     trigger_once: bool = True,
+    replica_labels: list[str] | None = None,
 ):
     """Wire the full produce stream and start it. Returns the query."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         out_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
     )
     messages = produce_transform(
-        read_request_stream(spark, drop_dir), serializer_format
+        read_request_stream(spark, drop_dir), serializer_format, replica_labels
     )
     publisher = publisher or FilePublisher(out_dir)
     writer = (

@@ -872,3 +872,81 @@ def test_streaming_latest_state_matches_batch(spark, tmp_path):
         for r in events_latest_state(spark, SF).collect()
     }
     assert final == batch
+
+
+def test_app_config_entry_end_to_end(spark, drop_dir, tmp_path):
+    """The reference's embeddable App surface (app.go:125-147): one config
+    object / CLI argv drives the full produce -> consume round trip, with
+    the reference's flag names mapped onto the Spark pipelines."""
+    from prometheus_pulsar_remote_write_spark.app import parse_args, run
+
+    d, n_samples = drop_dir
+    bus = str(tmp_path / "bus")
+    work = str(tmp_path / "work")
+    post_dir = str(tmp_path / "posts")
+
+    produce_cfg = parse_args(
+        [
+            "produce",
+            f"--pulsar.topic={bus}",
+            f"--web.write-path={d}",
+            "--pulsar.serializer=json",
+            "--replica-label=__replica__",
+            "--send-timeout=30s",
+            f"--work-dir={work}",
+        ]
+    )
+    q, _ = run(spark, produce_cfg)
+    q.awaitTermination(120)
+    assert spark.read.json(os.path.join(bus, "epoch=*")).count() == n_samples
+
+    def post_fn(url, body, headers):
+        import hashlib
+        import os as _os
+
+        _os.makedirs(post_dir, exist_ok=True)
+        org = headers.get("X-Scope-OrgID", "_none")
+        with open(_os.path.join(post_dir, f"{org}-{hashlib.md5(body).hexdigest()}"), "wb") as fh:
+            fh.write(body)
+        return 200
+
+    consume_cfg = parse_args(
+        [
+            "consume",
+            f"--pulsar.topic={bus}",
+            "--remote-write.url=http://downstream/api/v1/push",
+            "--pulsar.subscription=test-sub",
+            "--batch-max-delay=5s",
+            "--batch-size=100",
+            f"--work-dir={work}",
+        ]
+    )
+    consume_cfg.post_fn = post_fn  # injectable, like the reference's client seam
+    q2, sink = run(spark, consume_cfg)
+    q2.awaitTermination(120)
+
+    assert sum(sink.sent.values()) == n_samples
+    assert sink.sent == {"tenant-a": 3, "": 1}
+    assert sink.metrics.duration_count == 2  # one POST per tenant batch
+    assert len(os.listdir(post_dir)) == 2
+
+
+def test_app_config_validation():
+    from prometheus_pulsar_remote_write_spark.app import AppConfig, parse_args
+
+    with pytest.raises(ValueError, match="unknown command"):
+        parse_args(["serve"])
+    with pytest.raises(ValueError, match="unknown Pulsar serializer"):
+        AppConfig(mode="produce", bus_dir="/b", drop_dir="/d", serializer="xml").validate()
+    with pytest.raises(ValueError, match="remote_write_url"):
+        parse_args(["consume", "--pulsar.topic=/b"])
+    with pytest.raises(ValueError, match="unknown flag"):
+        parse_args(["produce", "--web.write-path=/d", "--pulsar.topic=/b", "--no-such=1"])
+    # the reference's custom-schema serializer config form is accepted
+    cfg = AppConfig(
+        mode="produce",
+        bus_dir="/b",
+        drop_dir="/d",
+        serializer='avro-json-compat={"type":"record","name":"R","fields":[{"name":"value","type":"string"}]}',
+    )
+    assert cfg.validate() is cfg
