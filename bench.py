@@ -70,6 +70,7 @@ def main() -> None:
     # cores) -- take one extra run so the minimum reflects the plan, not
     # the neighbor.
     timings: dict[str, float] = {}
+    spreads: dict[str, list] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
         runs = []
@@ -82,9 +83,18 @@ def main() -> None:
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        spreads[name] = [round(r, 3) for r in runs]
+        print(f"  {name}: {timings[name]}s (runs: {spreads[name]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # max over per-query steady-state (max/min) run ratios, EXCLUDING each
+    # query's first run (which legitimately pays one-time codegen):
+    # ~1.0 = quiet host, >>1 = contended -- lets round-over-round
+    # comparisons discount host noise instead of reading it as regression
+    steady = [r[1:] for r in spreads.values() if len(r) > 2 and min(r[1:]) > 0]
+    noise = round(
+        max((max(r) / min(r) for r in steady), default=1.0), 3
+    )
     print(
         json.dumps(
             {
@@ -93,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "spread": spreads,
+                "noise_ratio": noise,
             }
         )
     )
