@@ -121,6 +121,67 @@ class FilePublisher:
         )
 
 
+#: per-worker broker producer cache (A5 connection reuse, one client per
+#: executor python worker -- the same idiom as consume.worker_client)
+_WORKER_PRODUCERS: dict = {}
+
+
+class BrokerPublisher:
+    """A2 on a REAL message broker: the adapter seam where a broker client
+    (e.g. an Apache Pulsar producer) drops into the produce pipeline in
+    place of the file-backed ``FilePublisher``.
+
+    ``client_factory()`` runs ON THE EXECUTORS, once per python worker
+    (cached under ``cache_key``, reused across partitions and
+    micro-batches -- the reference keeps one shared producer per process,
+    CHANGELOG.md:20-21). It must return an object with
+    ``send(key: str, payload: bytes)`` and optionally ``flush()``; a thin
+    closure adapts any client library::
+
+        def factory():
+            import pulsar  # the broker SDK, on the executors' image
+            client = pulsar.Client("pulsar://broker:6650")
+            producer = client.create_producer("persistent://tenant/ns/metrics")
+            class _P:
+                def send(self, key, payload):
+                    producer.send_async(payload, None, partition_key=key)
+                def flush(self):
+                    producer.flush()
+            return _P()
+
+        run_produce_pipeline(..., publisher=BrokerPublisher(factory, "metrics"))
+
+    Delivery semantics match the reference: ``flush()`` per partition at
+    micro-batch end is the reference's Flush-before-ack (a send error
+    raises => the micro-batch fails => checkpoint does not advance =>
+    replay, the same at-least-once contract as the HTTP sink)."""
+
+    def __init__(self, client_factory, cache_key: str = "default", flush: bool = True):
+        self.client_factory = client_factory
+        self.cache_key = cache_key
+        self.flush = flush
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        factory, key, do_flush = self.client_factory, self.cache_key, self.flush
+
+        def _send_partition(rows) -> None:
+            producer = _WORKER_PRODUCERS.get(key)
+            if producer is None:
+                producer = factory()
+                _WORKER_PRODUCERS[key] = producer
+            n = 0
+            for row in rows:
+                payload = row.payload
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                producer.send(row.key, payload)
+                n += 1
+            if n and do_flush and hasattr(producer, "flush"):
+                producer.flush()
+
+        batch_df.foreachPartition(_send_partition)
+
+
 class FanoutError(Exception):
     """Raised when one or more writers fail; carries their names
     (the reference's joined error listing failed writers,
