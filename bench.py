@@ -43,6 +43,8 @@ HEADLINE = [
     "docs_fingerprints",
     "emb_cosine_topk",
     "emb_neardup_lsh",
+    "emb_int8_quantize",
+    "docs_char_entropy",
 ]
 
 

@@ -38,6 +38,10 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "events_markov_transitions",
     "multimodal_resize",
+    # new operators this round
+    "emb_int8_quantize",
+    "docs_split_assign",
+    "docs_char_entropy",
     "docs_cms_heavy_hitters",  # cms_estimate join change (left-join fix)
     "docs_mixture_sample",  # oracle TRY_CAST hardening
     "events_latest_state",  # sort-key / NULL-parity hardening

@@ -1391,6 +1391,172 @@ FROM cells GROUP BY label, pos
 """
 
 
+# --- F3/F9: int8 scalar quantization of embeddings ---------------------------
+
+
+def emb_int8_quantize(spark, sf_dir):
+    """Per-vector int8 scalar quantization -- the 4x memory-reduction step
+    an ANN index applies before sharding a 100 TB embedding corpus (cells
+    store uint8 codes + (vmin, scale) per vector; distance math
+    dequantizes on the fly). Pure per-row expression work: narrow stage,
+    no shuffle, whole-stage codegen. Quantized codes use floor((x-vmin)/
+    scale) so both engines agree bit-for-bit (round() midpoint rules
+    differ across engines); reconstruction error folds in index order --
+    the deterministic-fold idiom the events queries use."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    xd = lambda x: x.cast("double")  # noqa: E731
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    scale = (vmax - vmin) / F.lit(255.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            "embedding",
+            lambda x: F.least(F.floor((xd(x) - F.col("vmin")) / F.col("scale")), F.lit(255)).cast("bigint"),
+        ),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0).cast("bigint")))
+    dequant_err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "codes",
+            lambda x, q: (xd(x) - (F.col("vmin") + q * F.col("scale")))
+            * (xd(x) - (F.col("vmin") + q * F.col("scale"))),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            vmin.alias("vmin"),
+            scale.alias("scale"),
+            "embedding",
+        )
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.round("vmin", 6).alias("vmin_r"),
+            F.round("scale", 9).alias("scale_r"),
+            F.md5(F.array_join("codes", ",")).alias("codes_digest"),
+            F.round(dequant_err, 6).alias("recon_err"),
+        )
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id, label, len(embedding) AS dim, embedding,
+         list_min(embedding)::DOUBLE AS vmin,
+         (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale
+  FROM embeddings
+), coded AS (
+  SELECT *,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding,
+                     x -> least(floor((x::DOUBLE - vmin) / scale), 255)::BIGINT)
+              ELSE list_transform(embedding, x -> 0::BIGINT)
+         END AS codes
+  FROM base
+)
+SELECT vec_id, label, dim,
+       round(vmin, 6)  AS vmin_r,
+       round(scale, 9) AS scale_r,
+       md5(array_to_string(codes, ',')) AS codes_digest,
+       round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, dim + 1),
+                 i -> (embedding[i]::DOUBLE - (vmin + codes[i] * scale))
+                    * (embedding[i]::DOUBLE - (vmin + codes[i] * scale)))),
+               (acc, v) -> acc + v), 6) AS recon_err
+FROM coded
+"""
+
+
+# --- F9: train/val/test split assignment -------------------------------------
+
+
+def docs_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (90/5/5): the
+    assignment is a pure function of doc_id, so re-running the pipeline
+    -- or running it on different clusters -- yields the same split
+    without coordination or a stored assignment table. The predicate is
+    scan-level (no shuffle except the tiny per-(source, split) rollup)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+DOCS_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars_total
+FROM (SELECT source, n_chars,
+             (doc_id * 2654435761) % 4294967296 % 100 AS h
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+# --- F4: char-distribution entropy quality score -----------------------------
+
+
+def docs_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document -- the cheap
+    perplexity proxy curation pipelines use to drop binary junk / highly
+    repetitive text before the expensive LM-scoring stage. Quantized to
+    an integer micro-entropy (cnt * floor(ln(n/cnt) * 1e6), the
+    micro-idf idiom) so cross-engine bits match; a plain explode ->
+    two hash aggs, fully distributed."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    n = Window.partitionBy("doc_id")
+    per_char = counts.withColumn("n", F.sum("cnt").over(n)).withColumn(
+        "term",
+        F.col("cnt")
+        * F.floor(F.log(F.col("n").cast("double") / F.col("cnt")) * 1e6).cast("bigint"),
+    )
+    return per_char.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars_counted"),
+        F.countDistinct("ch").alias("n_distinct_chars"),
+        F.sum("term").alias("entropy_micro_n"),
+    )
+
+
+DOCS_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT doc_id, ch, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+  WHERE ch <> ''
+  GROUP BY 1, 2
+), per_char AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS n
+  FROM counts
+)
+SELECT doc_id,
+       max(n)::BIGINT AS n_chars_counted,
+       count(DISTINCT ch) AS n_distinct_chars,
+       sum(cnt * floor(ln(n::DOUBLE / cnt) * 1e6)::BIGINT)::BIGINT AS entropy_micro_n
+FROM per_char GROUP BY doc_id
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries lead so they land inside the driver's
     # 50-query correctness window (earlier rounds recorded the rest)
@@ -1430,6 +1596,10 @@ QUERIES = {
     # added after the round-4 window filled; rotates into the round-5
     # recorded window (locally strict-verified meanwhile)
     "multimodal_resize": multimodal_resize,
+    # new in round 5
+    "emb_int8_quantize": emb_int8_quantize,
+    "docs_split_assign": docs_split_assign,
+    "docs_char_entropy": docs_char_entropy,
 }
 
 ORACLES = {
@@ -1467,4 +1637,7 @@ ORACLES = {
     "docs_jaccard_index_pairs": JACCARD_INDEX_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "emb_int8_quantize": EMB_QUANTIZE_SQL,
+    "docs_split_assign": DOCS_SPLIT_SQL,
+    "docs_char_entropy": DOCS_ENTROPY_SQL,
 }
