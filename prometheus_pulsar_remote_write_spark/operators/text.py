@@ -256,3 +256,33 @@ def winnow_fingerprints_batch(
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
 
     return df.select(id_col, text_col).mapInPandas(_winnow, out_schema)
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+#: redaction patterns restricted to the Java-regex / RE2 common subset
+#: (no backrefs, no lookaround) so the DuckDB oracle replays them exactly
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def pii_scrub(df, text_col: str = "text"):
+    """Redact PII (emails, IPv4s, international phone numbers) from a text
+    column -- the compliance pass a training-data pipeline runs before any
+    content leaves curation. Pure ``regexp_replace``/``regexp_count``
+    expression work: narrow stage, whole-stage codegen, no Python.
+
+    Appends per-pattern match counts (``n_email``/``n_ipv4``/``n_phone``)
+    and the redacted text as ``scrubbed``. Patterns apply in declaration
+    order (emails first, so an address is never half-eaten by the phone
+    rule).
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pattern)))
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return out.withColumn("scrubbed", scrubbed)

@@ -42,6 +42,7 @@ _PRIORITY = [
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",
+    "docs_pii_scrub",
     "docs_cms_heavy_hitters",  # cms_estimate join change (left-join fix)
     "docs_mixture_sample",  # oracle TRY_CAST hardening
     "events_latest_state",  # sort-key / NULL-parity hardening

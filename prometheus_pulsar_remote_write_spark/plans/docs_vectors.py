@@ -1391,6 +1391,42 @@ FROM cells GROUP BY label, pos
 """
 
 
+# --- F4: PII scrubbing -------------------------------------------------------
+
+
+def docs_pii_scrub(spark, sf_dir):
+    """Compliance pass: per-document PII match counts + a digest of the
+    redacted text (operators/text.py pii_scrub -- pure regexp codegen, no
+    shuffle). On this synthetic corpus the counts are legitimately 0 and
+    the digest equals md5(text); the planted-PII unit fixture
+    (test_catalog_oracle.py) proves the redaction itself."""
+    from ..operators.text import pii_scrub
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return pii_scrub(docs).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("scrubbed").alias("scrubbed_digest"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+       len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '\+[0-9]{7,15}'))::INT AS n_phone,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+[0-9]{7,15}', '<PHONE>', 'g')) AS scrubbed_digest
+FROM documents
+"""
+
+
 # --- F3/F9: int8 scalar quantization of embeddings ---------------------------
 
 
@@ -1600,6 +1636,7 @@ QUERIES = {
     "emb_int8_quantize": emb_int8_quantize,
     "docs_split_assign": docs_split_assign,
     "docs_char_entropy": docs_char_entropy,
+    "docs_pii_scrub": docs_pii_scrub,
 }
 
 ORACLES = {
@@ -1640,4 +1677,5 @@ ORACLES = {
     "emb_int8_quantize": EMB_QUANTIZE_SQL,
     "docs_split_assign": DOCS_SPLIT_SQL,
     "docs_char_entropy": DOCS_ENTROPY_SQL,
+    "docs_pii_scrub": PII_SCRUB_SQL,
 }

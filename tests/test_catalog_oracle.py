@@ -176,3 +176,49 @@ def test_null_values_match_oracle_on_fixture(spark, tmp_path):
         err = compare(fn.__name__, df, rel.fetchall(), [c[0] for c in rel.description])
         assert err is None, f"{fn.__name__}: {err}"
     con.close()
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    """The synthetic corpus carries no PII (the catalog entry legitimately
+    reports zero redactions), so prove the scrubber on planted fixtures:
+    every pattern redacts, counts match, clean text is untouched."""
+    from prometheus_pulsar_remote_write_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or on +14155550123"),
+        (2, "server 192.168.0.1 and 10.0.0.255 responded; host1024 did not"),
+        (3, "plain text with no identifiers at all"),
+        (4, "a@b.io mailed b@c.org from 8.8.8.8 calling +4930123456"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 0, 1)
+    assert out[1]["scrubbed"] == "contact me at <EMAIL> or on <PHONE>"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
+    assert out[2]["scrubbed"] == "server <IP> and <IP> responded; host1024 did not"
+    assert out[3]["scrubbed"] == rows[2][1]  # untouched
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (2, 1, 1)
+    assert out[4]["scrubbed"] == "<EMAIL> mailed <EMAIL> from <IP> calling <PHONE>"
+
+    # the DuckDB twin agrees on the same planted rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i, _ in rows)
+        + ") t(doc_id, text)",
+        [t for _, t in rows],
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import PII_SCRUB_SQL
+
+    duck = {r[0]: r for r in con.execute(PII_SCRUB_SQL).fetchall()}
+    import hashlib
+
+    for doc_id, r in out.items():
+        d = duck[doc_id]
+        assert (d[1], d[2], d[3]) == (r["n_email"], r["n_ipv4"], r["n_phone"])
+        assert d[4] == hashlib.md5(r["scrubbed"].encode()).hexdigest()
+    con.close()
