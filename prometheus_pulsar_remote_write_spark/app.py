@@ -160,6 +160,7 @@ def run(spark: SparkSession, cfg: AppConfig):
         dlq_dir=cfg.dlq_dir or cfg._work("dlq"),
         post_fn=cfg.post_fn,
         batch_size=cfg.batch_size,
+        send_timeout_s=cfg.send_timeout_s,
         metrics=DeliveryMetrics(),
     )
     query = run_consume_pipeline(

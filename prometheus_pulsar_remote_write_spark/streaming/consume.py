@@ -126,6 +126,7 @@ class RemoteWriteSink:
     post_fn: object = None
     batch_size: int = 100
     distributed: bool = True
+    send_timeout_s: float = 30.0  # reference --send-timeout (consume.go:40-41)
     user_agent: str = "prometheus-pulsar-remote-write-spark/0.1.0"
     sent: dict = field(default_factory=dict)   # tenant -> samples sent
     failed: dict = field(default_factory=dict)  # tenant -> samples dropped
@@ -156,7 +157,9 @@ class RemoteWriteSink:
             return self.post_fn(self.url, body, headers)
         import requests
 
-        return requests.post(self.url, data=body, headers=headers, timeout=30).status_code
+        return requests.post(
+            self.url, data=body, headers=headers, timeout=self.send_timeout_s
+        ).status_code
 
     def _settled_pairs(self, epoch_id: int) -> set:
         """(tenant_id, batch_seq) pairs already 2xx'd or DLQ'd in a prior
@@ -248,6 +251,7 @@ class RemoteWriteSink:
                 self.url,
                 user_agent=self.user_agent,
                 post_fn=self.post_fn,
+                send_timeout_s=self.send_timeout_s,
             )
             recoverable, dlq_pairs = [], []
             for tenant_id, batch_seq, status, n, elapsed in statuses:
@@ -354,6 +358,7 @@ def post_batches_distributed(
     user_agent: str = "prometheus-pulsar-remote-write-spark/0.1.0",
     post_fn=None,
     batch_size: int = 100,
+    send_timeout_s: float = 30.0,
 ) -> list:
     """D2 fan-out on EXECUTORS: encode + POST each (tenant, batch) inside
     the partition that holds it; only small per-batch status rows return
@@ -429,7 +434,7 @@ def post_batches_distributed(
                         status = post_fn(url, body, headers)
                     else:
                         status = worker_client(url).post(
-                            url, data=body, headers=headers, timeout=30
+                            url, data=body, headers=headers, timeout=send_timeout_s
                         ).status_code
                 except Exception:
                     status = 599  # transport error -> recoverable
