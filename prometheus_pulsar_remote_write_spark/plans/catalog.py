@@ -39,6 +39,10 @@ _PRIORITY = [
     "events_markov_transitions",
     "multimodal_resize",
     # new operators this round
+    "docs_boilerplate_removal",
+    "docs_unigram_logprob",
+    "docs_stratified_sample",
+    "emb_rp_projection",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -222,3 +222,66 @@ def test_pii_scrub_redacts_planted_pii(spark):
         assert (d[1], d[2], d[3]) == (r["n_email"], r["n_ipv4"], r["n_phone"])
         assert d[4] == hashlib.md5(r["scrubbed"].encode()).hexdigest()
     con.close()
+
+
+def test_boilerplate_removal_drops_planted_shared_blocks(spark, tmp_path):
+    """Plant one 5-token block shared verbatim by two documents plus a
+    third all-unique document: the shared block is dropped from both
+    carriers, the unique doc survives untouched."""
+    import hashlib
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        docs_boilerplate_removal,
+    )
+
+    shared = "subscribe to our mailing list"
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon", "en", "s0", 0),
+        (2, shared + " zeta eta theta iota kappa", "en", "s0", 0),
+        (3, "wholly unique words nothing repeated here at all", "en", "s0", 0),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in docs_boilerplate_removal(spark, sf_dir).collect()}
+    assert out[1]["n_dropped"] == 1 and out[2]["n_dropped"] == 1
+    assert out[1]["clean_digest"] == hashlib.md5(
+        b"alpha beta gamma delta epsilon"
+    ).hexdigest()
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_digest"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_rp_projection_matches_numpy(spark, tmp_path):
+    """The integer random projection equals the straight numpy product of
+    the quantized vector with the md5-derived +-1 matrix."""
+    import math
+
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _RP_SIGNS,
+        emb_rp_projection,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(3, 64).astype("float32") * 0.2
+    rows = [(i, [float(x) for x in vecs[i]], i % 2) for i in range(3)]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    out = {r["vec_id"]: r for r in emb_rp_projection(spark, sf_dir).collect()}
+    signs = np.array(_RP_SIGNS)  # (16, 64)
+    for i in range(3):
+        q = np.array([math.floor(float(x) * 1e6) for x in vecs[i]], dtype=np.int64)
+        expect = signs @ q
+        assert out[i]["p0"] == int(expect[0])
+        assert out[i]["p1"] == int(expect[1])
