@@ -80,3 +80,68 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count in integer
+    micro-units, so the result is bit-identical across engines (and
+    SQL-replayable as ``iters`` unrolled CTEs).
+
+    Edges are directed; pass both directions for an undirected graph.
+    Per iteration each node sends ``floor(rank * w / wdeg)`` along each
+    out-edge and collects ``floor(damping_pct * sum(contrib) / 100) +
+    (100 - damping_pct) * scale / 100``. The divisions are IEEE-double
+    (both Spark and DuckDB divide integers as doubles), exact as long as
+    ``rank * w < 2^53`` -- with micro-scale ranks that holds until a
+    single token carries ~9e15 micro-rank-weight, far beyond any corpus.
+
+    One shuffle per iteration (groupBy dst); the edge list is cached and
+    ``localCheckpoint`` keeps the loop's lineage flat, the same shape as
+    :func:`connected_components`. Returns (node, rank_micro, wdeg).
+    """
+    base = (1_00 - damping_pct) * scale // 100
+    wdeg = edges.groupBy(src).agg(F.sum(weight).alias("wdeg"))
+    out = (
+        edges.join(wdeg, src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).alias("_w"),
+            "wdeg",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = wdeg.select(
+        F.col(src).alias("_node"), F.lit(scale).cast("bigint").alias("rank")
+    )
+    for _ in range(iters):
+        ranks = (
+            out.join(ranks, out["_src"] == ranks["_node"])
+            .withColumn(
+                "c", F.floor(F.col("rank") * F.col("_w") / F.col("wdeg"))
+            )
+            .groupBy("_dst")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(damping_pct) * F.sum("c") / F.lit(100))
+                )
+                .cast("bigint")
+                .alias("rank")
+            )
+            .select(F.col("_dst").alias("_node"), "rank")
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.join(wdeg, ranks["_node"] == wdeg[src]).select(
+        F.col("_node").alias("node"),
+        F.col("rank").alias("rank_micro"),
+        F.col("wdeg").cast("bigint").alias("wdeg"),
+    )

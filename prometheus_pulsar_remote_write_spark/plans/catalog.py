@@ -43,6 +43,7 @@ _PRIORITY = [
     "docs_unigram_logprob",
     "docs_stratified_sample",
     "emb_rp_projection",
+    "docs_textrank_keywords",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -72,3 +72,35 @@ def test_random_graphs_match_union_find(spark):
         got = _cc(spark, edges)
         want = _union_find_components(edges)
         assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+def test_pagerank_fixed_point_matches_reference_loop(spark):
+    """Integer PageRank over a weighted triangle-plus-tail graph equals a
+    plain Python fixed-point loop using the same floor/double arithmetic."""
+    from prometheus_pulsar_remote_write_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    directed = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("c", "d", 1)]
+    und = directed + [(v, u, w) for u, v, w in directed]
+    df = spark.createDataFrame(und, "u string, v string, w long")
+    got = {
+        r["node"]: (r["rank_micro"], r["wdeg"])
+        for r in pagerank_fixed_point(df, iters=5).collect()
+    }
+
+    import math
+    from collections import defaultdict
+
+    wdeg = defaultdict(int)
+    for u, _, w in und:
+        wdeg[u] += w
+    rank = {n: 1_000_000 for n in wdeg}
+    for _ in range(5):
+        recv = defaultdict(int)
+        for u, v, w in und:
+            recv[v] += math.floor(rank[u] * w / wdeg[u])
+        rank = {
+            n: 150_000 + math.floor(85 * c / 100) for n, c in recv.items()
+        }
+    assert got == {n: (rank[n], wdeg[n]) for n in rank}
