@@ -321,3 +321,54 @@ def dedup_within_watermark(ev: DataFrame, watermark: str = "1 hour") -> DataFram
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "minute_bucket"]
     )
+
+
+def interval_join_conversions_stream(
+    ev: DataFrame, watermark: str = "1 hour", upper_s: int = 1800
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``upper_s`` seconds
+    AFTER a signup by the same user (streaming twin of the batch
+    events_range_join_conversions / operators.asof.range_join).
+
+    This is the canonical Structured Streaming two-stream join: both
+    sides carry a watermark and the join predicate bounds purchase_ts to
+    [signup_ts, signup_ts + upper_s], so Spark can size each side's
+    state store from the watermark + interval and evict rows once the
+    horizon passes -- bounded state at any scale. Equi-key user_id keeps
+    the join a co-partitioned state lookup (one shuffle per side).
+    """
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {upper_s} SECONDS")
+        ),
+    )
+    return joined.select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("delay_s"),
+    )

@@ -1000,3 +1000,33 @@ def test_broker_publisher_adapter_seam(spark, drop_dir, tmp_path):
         assert m["key"].startswith("hex ")
         ts, val, labels, tenant = unmarshal_json(m["payload"])
         assert "__name__" in labels
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """F7 stream-stream interval join: with the whole (bounded) replay
+    inside the watermark horizon, the streaming conversion pairs equal
+    the batch range-join twin exactly."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_range_join_conversions,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    joined = windows.interval_join_conversions_stream(ev)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("conv_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["signup_id"], r["purchase_id"]): (r["user_id"], r["delay_s"])
+        for r in spark.sql("SELECT * FROM conv_pairs").collect()
+    }
+    batch = {
+        (r["signup_id"], r["purchase_id"]): (r["user_id"], r["delay_s"])
+        for r in events_range_join_conversions(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
