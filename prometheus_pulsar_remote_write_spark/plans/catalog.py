@@ -44,6 +44,8 @@ _PRIORITY = [
     "docs_stratified_sample",
     "emb_rp_projection",
     "docs_textrank_keywords",
+    "consume_changes_resets",
+    "consume_deriv_predict",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

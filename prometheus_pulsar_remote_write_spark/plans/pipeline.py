@@ -770,7 +770,133 @@ FROM agg
 """
 
 
+def consume_changes_resets(spark, sf_dir):
+    """PromQL changes() and resets() per (tenant, series) per 10-minute
+    window: adjacent-sample comparisons in (timestamp, event_id) order.
+    Pure comparisons -- no float arithmetic -- so the result is
+    bit-deterministic; one window-function shuffle keyed by the series,
+    which is the minimum any adjacent-pair semantics needs."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 600000) * 600").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("window_start", "tenant_id", "name").orderBy(
+        "timestamp", "event_id"
+    )
+    d = s.withColumn("prev", F.lag("value").over(w))
+    return d.groupBy("window_start", "tenant_id", "name").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("prev").isNotNull() & (F.col("value") != F.col("prev")), 1)
+            .otherwise(0)
+        ).alias("changes"),
+        F.sum(
+            F.when(F.col("prev").isNotNull() & (F.col("value") < F.col("prev")), 1)
+            .otherwise(0)
+        ).alias("resets"),
+    )
+
+
+CONSUME_CHANGES_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 600000) * 600 AS window_start, tenant_id,
+         event_type AS name, timestamp, event_id, value
+  FROM ({_SAMPLES_SQL})
+), d AS (
+  SELECT *, lag(value) OVER (PARTITION BY window_start, tenant_id, name
+                             ORDER BY timestamp, event_id) AS prev
+  FROM s
+)
+SELECT window_start, tenant_id, name, count(*) AS n,
+       sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END)::BIGINT AS changes,
+       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)::BIGINT AS resets
+FROM d GROUP BY 1, 2, 3
+"""
+
+
+def consume_deriv_predict(spark, sf_dir):
+    """PromQL deriv() and predict_linear(): least-squares slope of value
+    over time per (tenant, series) per 10-minute window, and the value
+    extrapolated 600 s past the window start+600 (x0 = 1200 s).
+
+    Determinism: values are quantized to exact centi-units
+    (round(value*100) -- testdata carries 2 decimals) and x to in-window
+    seconds, so all five regression sums are exact BIGINTs; the final
+    slope/intercept divisions use one fixed double expression tree that
+    both engines evaluate identically (IEEE, same operand order), then
+    floor to micro-units. Single hash aggregation, no self-join; bigint
+    bounds hold to ~1e7 samples per series-window (documented)."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 600000) * 600").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        (F.expr("timestamp div 1000") - F.expr("(timestamp div 600000) * 600"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    agg = s.groupBy("window_start", "tenant_id", "name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")  # centi-units per second
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    pred = intercept + slope * F.lit(1200.0)
+    return agg.select(
+        "window_start",
+        "tenant_id",
+        "name",
+        "n",
+        F.when(den > 0, F.floor(slope * 1e4).cast("bigint")).alias("deriv_micro"),
+        F.when(den > 0, F.floor(pred * 10.0).cast("bigint")).alias("predict_milli"),
+    )
+
+
+CONSUME_DERIV_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 600000) * 600 AS window_start, tenant_id,
+         event_type AS name,
+         (timestamp // 1000 - (timestamp // 600000) * 600)::BIGINT AS x,
+         round(value * 100)::BIGINT AS yc
+  FROM ({_SAMPLES_SQL})
+), agg AS (
+  SELECT window_start, tenant_id, name, count(*) AS n,
+         sum(x)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * yc)::BIGINT AS sxy
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT window_start, tenant_id, name, n,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) * 1e4)::BIGINT
+       END AS deriv_micro,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+                 * sx::DOUBLE) / n::DOUBLE
+                + ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) * 1200.0)
+               * 10.0)::BIGINT
+       END AS predict_milli
+FROM agg
+"""
+
+
 QUERIES = {
+    "consume_changes_resets": consume_changes_resets,
+    "consume_deriv_predict": consume_deriv_predict,
     "consume_topk_series": consume_topk_series,
     "consume_avg_over_time": consume_avg_over_time,
     "consume_quantile_over_time": consume_quantile_over_time,
@@ -791,6 +917,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_changes_resets": CONSUME_CHANGES_SQL,
+    "consume_deriv_predict": CONSUME_DERIV_SQL,
     "consume_topk_series": CONSUME_TOPK_SQL,
     "consume_avg_over_time": CONSUME_AVG_SQL,
     "consume_quantile_over_time": CONSUME_QUANTILE_SQL,
