@@ -46,6 +46,7 @@ _PRIORITY = [
     "docs_textrank_keywords",
     "consume_changes_resets",
     "consume_deriv_predict",
+    "bloom_semijoin_prefilter",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

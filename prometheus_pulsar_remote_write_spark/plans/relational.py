@@ -1380,7 +1380,92 @@ LIMIT 20
 """
 
 
+def bloom_semijoin_prefilter(spark, sf_dir):
+    """Deterministic Bloom-filter prefilter for a fact-x-fact semi-join
+    (operators/bloom.py): build a 64 Ki-bit bloom (2048 words) over URGENT order keys,
+    probe every lineitem through the broadcast filter, and account
+    exactly for true matches, false positives, and (provably zero)
+    false negatives.
+
+    The scale story: when the build side is too big to broadcast as
+    keys, its bloom is still a few KiB of words -- broadcasting THAT prunes the
+    probe before the semi-join shuffle (the manual twin of AQE's runtime
+    bloom filters, but SQL-replayable bit for bit)."""
+    from ..operators.bloom import bloom_might_contain, build_bloom
+
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = build_bloom(keys, "o_orderkey")
+    probe = li.select("l_orderkey", "l_linenumber")
+    passed = bloom_might_contain(probe, "l_orderkey", bloom)
+    marked = passed.join(
+        F.broadcast(keys.withColumn("is_match", F.lit(1))),
+        passed["l_orderkey"] == keys["o_orderkey"],
+        "left",
+    )
+    return marked.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("is_match"), F.lit(0))).alias("n_true_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("is_match").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(~F.col("bloom_pass") & F.col("is_match").isNotNull(), 1).otherwise(
+                0
+            )
+        ).alias("n_false_neg"),
+    )
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(string_split_regex(substr(md5('bf' || j::VARCHAR || '|' || {key_expr}), 1, 7), ''),"
+        " c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),"
+        " (a, b) -> a * 16 + b) % 65536"
+    )
+
+
+BLOOM_PREFILTER_SQL = f"""
+WITH keys AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), kpos AS (
+  SELECT o_orderkey, {_bloom_pos_sql("o_orderkey::VARCHAR")} AS p
+  FROM keys, unnest([0, 1, 2]) AS t(j)
+), bloom AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)::INT) AS bits
+  FROM kpos GROUP BY 1
+), probe AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+), ppos AS (
+  SELECT l_orderkey, l_linenumber,
+         {_bloom_pos_sql("l_orderkey::VARCHAR")} AS p
+  FROM probe, unnest([0, 1, 2]) AS t(j)
+), hits AS (
+  SELECT l_orderkey, l_linenumber,
+         sum(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << (p % 32)::INT)) <> 0
+             THEN 1 ELSE 0 END) AS nhit,
+         count(*) AS nlook
+  FROM ppos LEFT JOIN bloom b ON ppos.p // 32 = b.word
+  GROUP BY 1, 2
+), marked AS (
+  SELECT h.l_orderkey, h.l_linenumber, h.nhit = h.nlook AS bloom_pass,
+         k.o_orderkey IS NOT NULL AS is_match
+  FROM hits h LEFT JOIN keys k ON h.l_orderkey = k.o_orderkey
+)
+SELECT count(*) AS n_probes,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+       sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_true_match,
+       sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+       sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_false_neg
+FROM marked
+"""
+
+
 QUERIES = {
+    "bloom_semijoin_prefilter": bloom_semijoin_prefilter,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1426,6 +1511,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bloom_semijoin_prefilter": BLOOM_PREFILTER_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

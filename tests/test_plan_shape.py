@@ -215,3 +215,22 @@ def test_anomaly_broadcasts_stats_back(spark):
     plan = _plan(events_anomaly_zscore(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_filter_no_false_negatives_and_broadcast(spark):
+    """Every inserted key must pass its own bloom (no false negatives,
+    by construction), and the probe plan joins the bloom via broadcast."""
+    from prometheus_pulsar_remote_write_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    bloom = build_bloom(keys, "k")
+    probe = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = bloom_might_contain(probe, "k", bloom)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r["k"]: r["bloom_pass"] for r in out.collect()}
+    assert all(rows[i] for i in range(500)), "false negative detected"
+    # with m=65536 and 500 keys the filter is sparse: most non-keys fail
+    assert sum(1 for i in range(500, 2000) if rows[i]) < 50
