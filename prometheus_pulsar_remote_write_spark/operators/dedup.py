@@ -347,3 +347,81 @@ def jaccard_index_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold_milli: int = 900,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric containment dedup: pairs where the smaller document's
+    shingle set is (nearly) a subset of the larger's -- the case Jaccard
+    misses (a 30-token doc fully embedded in a 3000-token doc has tiny
+    Jaccard but containment 1.0). This is the suffix-array
+    substring-dedup use case re-expressed as a set-similarity join.
+
+    Same inverted-index bound as :func:`jaccard_index_pairs`
+    (sum_s df(s)^2, never n^2); containment is quantized to exact
+    milli-units (floor(common * 1000 / n_small) on integer inputs) so
+    the threshold compare is bit-deterministic cross-engine.
+    """
+    sets = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    counts = sets.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    common = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        common.join(
+            counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .select(
+            # orient: contained = smaller shingle set (ties -> lower id)
+            F.when(
+                (F.col("n_a") < F.col("n_b"))
+                | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))),
+                F.struct(
+                    F.col("id_a").alias("id_small"),
+                    F.col("id_b").alias("id_big"),
+                    F.col("n_a").alias("n_small"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("id_b").alias("id_small"),
+                    F.col("id_a").alias("id_big"),
+                    F.col("n_b").alias("n_small"),
+                )
+            )
+            .alias("o"),
+            "n_common",
+        )
+        .select(
+            F.col("o.id_small").alias("id_small"),
+            F.col("o.id_big").alias("id_big"),
+            F.col("n_common"),
+            F.col("o.n_small").alias("n_small"),
+            F.floor(F.col("n_common") * 1000 / F.col("o.n_small"))
+            .cast("bigint")
+            .alias("containment_milli"),
+        )
+    )
+    return scored.filter(F.col("containment_milli") >= threshold_milli)

@@ -47,6 +47,7 @@ _PRIORITY = [
     "consume_changes_resets",
     "consume_deriv_predict",
     "bloom_semijoin_prefilter",
+    "docs_containment_pairs",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

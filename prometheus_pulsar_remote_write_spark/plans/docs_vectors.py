@@ -18,6 +18,7 @@ from ..operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    containment_pairs,
     exact_dedup,
     jaccard_index_pairs,
     lsh_candidate_pairs,
@@ -377,6 +378,35 @@ WHERE len(list_intersect(a.shingles, b.shingles)) > 0
   AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
             / (len(a.shingles) + len(b.shingles)
                - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.7
+"""
+
+
+def docs_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-set containment (near-subset) pairs -- the
+    substring-dedup case Jaccard misses. operators/dedup.containment_pairs;
+    threshold 0.7 on this corpus's short word-soup docs."""
+    docs = _docs_spread(spark, sf_dir)
+    return containment_pairs(docs, threshold_milli=700)
+
+
+CONTAINMENT_SQL = f"""
+WITH sh AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS n_common,
+         len(a.shingles) AS n_a, len(b.shingles) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+), o AS (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b) THEN id_a ELSE id_b END AS id_small,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b) THEN id_b ELSE id_a END AS id_big,
+         n_common,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b) THEN n_a ELSE n_b END AS n_small
+  FROM pairs
+)
+SELECT id_small, id_big, n_common::BIGINT AS n_common, n_small::BIGINT AS n_small,
+       floor(n_common * 1000 / n_small)::BIGINT AS containment_milli
+FROM o WHERE floor(n_common * 1000 / n_small) >= 700
 """
 
 
@@ -2015,6 +2045,7 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "emb_rp_projection": emb_rp_projection,
     "docs_textrank_keywords": docs_textrank_keywords,
+    "docs_containment_pairs": docs_containment_pairs,
 }
 
 ORACLES = {
@@ -2061,4 +2092,5 @@ ORACLES = {
     "docs_stratified_sample": STRATIFIED_SQL,
     "emb_rp_projection": EMB_RP_SQL,
     "docs_textrank_keywords": TEXTRANK_SQL,
+    "docs_containment_pairs": CONTAINMENT_SQL,
 }
