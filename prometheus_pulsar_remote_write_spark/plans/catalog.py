@@ -48,6 +48,7 @@ _PRIORITY = [
     "consume_deriv_predict",
     "bloom_semijoin_prefilter",
     "docs_containment_pairs",
+    "events_ewma_smooth",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

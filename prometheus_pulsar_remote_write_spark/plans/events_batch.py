@@ -654,7 +654,77 @@ SELECT 3::BIGINT AS stage, 'purchase' AS event_type, count(*) AS n FROM s3
 """
 
 
+def events_ewma_smooth(spark, sf_dir):
+    """Truncated exponential smoothing per user: a 16-term EWMA
+    (alpha = 1/4, weights 3^i * 4^(15-i)) over centi-quantized values in
+    (ts, event_id) order. Truncating the tail makes the recurrence a
+    bounded window function -- scalable (one shuffle keyed by user,
+    16-row frame) where the exact infinite-tail EWMA is inherently
+    sequential per key -- and keeps the arithmetic exact BIGINT (terms
+    <= 1e3 * 4^15 ~ 1e12, far under 2^53), so both engines agree
+    bit-for-bit: ewma_centi = floor(num/den) with den summed over only
+    the lags that exist near the start of each series.
+
+    The streaming twin is streaming/windows.py::ewma_stream
+    (applyInPandasWithState, last-16 ring per user)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    yc = F.round(F.col("value") * 100).cast("bigint")
+    d = ev.select("event_id", "user_id", "ts", yc.alias("yc"))
+    num = None
+    den = None
+    for i in range(16):
+        wt = (3**i) * (4 ** (15 - i))
+        term = F.lag("yc", i).over(w) if i else F.col("yc")
+        wt_l = F.lit(wt).cast("bigint")
+        t_num = F.when(term.isNotNull(), term * wt_l).otherwise(F.lit(0).cast("bigint"))
+        t_den = F.when(term.isNotNull(), wt_l).otherwise(F.lit(0).cast("bigint"))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return d.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "yc",
+        F.floor(num.cast("double") / den.cast("double")).cast("bigint").alias(
+            "ewma_centi"
+        ),
+    )
+
+
+def _ewma_sql() -> str:
+    terms_n = []
+    terms_d = []
+    for i in range(16):
+        wt = (3**i) * (4 ** (15 - i))
+        expr = (
+            "yc" if i == 0
+            else f"lag(yc, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        )
+        terms_n.append(
+            f"coalesce({expr} * {wt}::BIGINT, 0)"
+        )
+        terms_d.append(
+            f"CASE WHEN {expr} IS NOT NULL THEN {wt}::BIGINT ELSE 0 END"
+        )
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS yc FROM events
+)
+SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_s, yc,
+       floor(({" + ".join(terms_n)})::DOUBLE
+             / ({" + ".join(terms_d)})::DOUBLE)::BIGINT AS ewma_centi
+FROM d
+"""
+
+
+EWMA_SQL = _ewma_sql()
+
+
 QUERIES = {
+    "events_ewma_smooth": events_ewma_smooth,
     # new-in-round-4 entries lead so they land inside the driver's
     # 50-query correctness window (rounds 2-3 recorded the rest)
     "events_hll_user_estimate": events_hll_user_estimate,
@@ -677,6 +747,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_ewma_smooth": EWMA_SQL,
     "events_hll_user_estimate": HLL_USERS_SQL,
     "events_latest_state": LATEST_STATE_SQL,
     "events_zorder_key": ZORDER_SQL,

@@ -372,3 +372,79 @@ def interval_join_conversions_stream(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
         ).alias("delay_s"),
     )
+
+
+def ewma_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of the batch events_ewma_smooth: per-user truncated
+    16-term EWMA (alpha = 1/4, integer weights 3^i * 4^(15-i)) maintained
+    with ``applyInPandasWithState``. State per key is a ring of at most
+    15 centi-quantized values -- constant-size state per user regardless
+    of traffic. Rows inside a micro-batch are sorted by (ts, event_id);
+    across micro-batches the file-replay source delivers in order (the
+    same monotone-arrival assumption the batch window's ORDER BY
+    realizes exactly).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    weights = [(3**i) * (4 ** (15 - i)) for i in range(16)]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts_s", T.LongType(), False),
+            T.StructField("yc", T.LongType(), False),
+            T.StructField("ewma_centi", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("hist", T.ArrayType(T.LongType()), True)]
+    )
+
+    def _ewma(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (user_id,) = key
+        hist = list(state.get[0]) if state.exists else []  # oldest..newest
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        out = []
+        for ts_us, event_id, yc in zip(pdf["ts_us"], pdf["event_id"], pdf["yc"]):
+            yc = int(yc)
+            lags = [yc] + hist[::-1]  # lag i = lags[i]
+            num = sum(w * x for w, x in zip(weights, lags))
+            den = sum(w for w, _ in zip(weights, lags))
+            out.append(
+                {
+                    "event_id": int(event_id),
+                    "user_id": user_id,
+                    "ts_s": int(ts_us) // 1_000_000,
+                    "yc": yc,
+                    "ewma_centi": math.floor(num / den),
+                }
+            )
+            hist.append(yc)
+            if len(hist) > 15:
+                hist = hist[-15:]
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    keyed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _ewma,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1030,3 +1030,32 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         for r in events_range_join_conversions(spark, SF).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """F7 stateful EWMA: the applyInPandasWithState ring-state stream
+    reproduces the batch 16-term truncated EWMA exactly."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_ewma_smooth,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    q = (
+        windows.ewma_stream(ev)
+        .writeStream.format("memory")
+        .queryName("ewma")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["event_id"]: (r["user_id"], r["ts_s"], r["yc"], r["ewma_centi"])
+        for r in spark.sql("SELECT * FROM ewma").collect()
+    }
+    batch = {
+        r["event_id"]: (r["user_id"], r["ts_s"], r["yc"], r["ewma_centi"])
+        for r in events_ewma_smooth(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
