@@ -278,6 +278,68 @@ def ivf_assign(
     )
 
 
+def pq_assign(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization assignment: split each vector into ``n_sub``
+    subvectors and code each against a per-subspace codebook, giving a
+    ``n_sub``-byte code per vector -- the memory layout real 100 TB ANN
+    serving uses (PQ compresses a 64-float vector to 8 code bytes; IVF
+    prunes which cells to scan, PQ makes the scan itself 32x smaller).
+
+    Deterministic like the IVF index: the codebook is the ``n_codes``
+    lowest-id vectors' subvectors (no RNG), distances are rounded to 9
+    places with code-id tiebreak, so the full assignment is SQL-replayable.
+    One broadcast join (codebook = n_sub * n_codes tiny rows) + one
+    per-(vector, subspace) rank + one regroup -- no corpus self-join.
+
+    Returns (id, s, code, dist_r) -- one row per vector per subspace.
+    """
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    corpus_sub = corpus.select(
+        F.col(id_col), F.explode(sub_structs).alias("e")
+    ).select(id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    cb_sub = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("code"), F.explode(sub_structs).alias("e"))
+        .select("code", F.col("e.s").alias("s"), F.col("e.sub").alias("cv"))
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sub"),
+                F.col("cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    scored = corpus_sub.join(F.broadcast(cb_sub), "s").withColumn("dist_r", dist)
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("dist_r"), F.asc("code"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "s", "code", "dist_r")
+    )
+
+
 def persist_ivf_index(
     corpus: DataFrame,
     path: str,

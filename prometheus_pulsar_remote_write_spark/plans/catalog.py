@@ -49,6 +49,7 @@ _PRIORITY = [
     "bloom_semijoin_prefilter",
     "docs_containment_pairs",
     "events_ewma_smooth",
+    "emb_pq_assign",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

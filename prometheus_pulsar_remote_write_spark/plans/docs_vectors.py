@@ -1900,6 +1900,97 @@ FROM proj
 EMB_RP_SQL = _rp_sql()
 
 
+# --- F3: product quantization codes ------------------------------------------
+
+
+def emb_pq_assign(spark, sf_dir):
+    """Product-quantization codes per vector (operators/similarity.py
+    pq_assign): 8 subspaces x 16 deterministic codes, emitted as one row
+    per vector with the 8-byte code word (digest + per-subspace codes 0
+    and 7) and the total quantization error. The per-vector regroup
+    folds the 8 subspace distances in fixed s-order so the float total
+    is bit-deterministic."""
+    from ..operators.similarity import pq_assign
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    assigned = pq_assign(emb)
+    per_vec = assigned.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("s").alias("s"), F.col("code").alias("code"))
+                    )
+                ),
+                lambda x: x.getField("code").cast("string"),
+            ),
+        ).alias("codes"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("s").alias("s"), F.col("dist_r").alias("d"))
+                        )
+                    ),
+                    lambda x: x.getField("d"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("recon_err_r"),
+    )
+    lab = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select(
+        "vec_id", "label"
+    )
+    return per_vec.join(lab, "vec_id").select(
+        "vec_id",
+        "label",
+        F.md5(F.col("codes")).alias("codes_digest"),
+        F.split(F.col("codes"), ",").getItem(0).cast("int").alias("code0"),
+        F.split(F.col("codes"), ",").getItem(7).cast("int").alias("code7"),
+        "recon_err_r",
+    )
+
+
+EMB_PQ_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS code, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+subs AS (
+  SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sub
+  FROM e, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), cbsubs AS (
+  SELECT code, s, cv[s * 8 + 1 : s * 8 + 8] AS csub
+  FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), scored AS (
+  SELECT vec_id, subs.s, code,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9), i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
+               (a, b) -> a + b), 9) AS dist_r
+  FROM subs JOIN cbsubs ON subs.s = cbsubs.s
+), best AS (
+  SELECT vec_id, s, code, dist_r FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist_r ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), agg AS (
+  SELECT vec_id,
+         string_agg(code::VARCHAR, ',' ORDER BY s) AS codes,
+         round(list_reduce(list_prepend(0.0, list(dist_r ORDER BY s)),
+               (a, b) -> a + b), 6) AS recon_err_r
+  FROM best GROUP BY vec_id
+)
+SELECT a.vec_id, e.label, md5(a.codes) AS codes_digest,
+       string_split(a.codes, ',')[1]::INT AS code0,
+       string_split(a.codes, ',')[8]::INT AS code7,
+       a.recon_err_r
+FROM agg a JOIN e ON a.vec_id = e.vec_id
+"""
+
+
 # --- F4: TextRank keyword extraction (iterative PageRank) --------------------
 
 
@@ -2046,6 +2137,7 @@ QUERIES = {
     "emb_rp_projection": emb_rp_projection,
     "docs_textrank_keywords": docs_textrank_keywords,
     "docs_containment_pairs": docs_containment_pairs,
+    "emb_pq_assign": emb_pq_assign,
 }
 
 ORACLES = {
@@ -2093,4 +2185,5 @@ ORACLES = {
     "emb_rp_projection": EMB_RP_SQL,
     "docs_textrank_keywords": TEXTRANK_SQL,
     "docs_containment_pairs": CONTAINMENT_SQL,
+    "emb_pq_assign": EMB_PQ_SQL,
 }

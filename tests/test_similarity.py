@@ -228,3 +228,17 @@ def test_cosine_pairs_exact_refuses_oversized_corpus(spark):
         cosine_pairs_exact(emb, max_rows=5)
     # under the cap it still works
     assert cosine_pairs_exact(emb, threshold=2.0, max_rows=10).count() == 0
+
+
+def test_pq_codebook_vectors_quantize_to_themselves(spark):
+    """Every codebook vector (vec_id < 16) is its own nearest codeword in
+    all 8 subspaces: code == vec_id everywhere, zero reconstruction error."""
+    from prometheus_pulsar_remote_write_spark.operators.similarity import pq_assign
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    rows = pq_assign(emb).filter("vec_id < 16").collect()
+    assert len(rows) == 16 * 8
+    for r in rows:
+        assert r["code"] == r["vec_id"], (r["vec_id"], r["s"], r["code"])
+        assert r["dist_r"] == 0.0
