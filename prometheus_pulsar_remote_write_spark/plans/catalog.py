@@ -50,6 +50,8 @@ _PRIORITY = [
     "docs_containment_pairs",
     "events_ewma_smooth",
     "emb_pq_assign",
+    "consume_label_replace_join",
+    "consume_absent_series",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

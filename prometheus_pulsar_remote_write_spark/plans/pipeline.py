@@ -894,7 +894,92 @@ FROM agg
 """
 
 
+def consume_label_replace_join(spark, sf_dir):
+    """PromQL label_replace() + label_join() over the sample label map:
+    derive label ``initial`` from a capture group on __name__, join
+    (__name__, user) into a ``series`` label with ':', and re-emit the
+    updated sorted label set (map_concat update + the B3 sort). Pure
+    map/string codegen -- zero shuffle, scan-side at any scale."""
+    samples = samples_from_events(spark, sf_dir)
+    name = F.col("labels").getItem("__name__")
+    updated = F.map_concat(
+        F.col("labels"),
+        F.create_map(
+            F.lit("initial"), F.regexp_extract(name, "^(.).*", 1),
+            F.lit("series"),
+            F.concat_ws(":", name, F.col("labels").getItem("user")),
+        ),
+    )
+    return samples.select(
+        "event_id",
+        "tenant_id",
+        name.alias("name"),
+        F.regexp_extract(name, "^(.).*", 1).alias("initial"),
+        F.concat_ws(":", name, F.col("labels").getItem("user")).alias("series"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_entries(updated)),
+                lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+            ),
+        ).alias("sorted_labels"),
+    )
+
+
+CONSUME_LABEL_REPLACE_SQL = f"""
+SELECT event_id, tenant_id, event_type AS name,
+       substr(event_type, 1, 1) AS initial,
+       event_type || ':' || user_str AS series,
+       '__name__=' || event_type
+         || ',initial=' || substr(event_type, 1, 1)
+         || ',k=' || k
+         || ',series=' || event_type || ':' || user_str
+         || ',user=' || user_str AS sorted_labels
+FROM ({_SAMPLES_SQL})
+"""
+
+
+def consume_absent_series(spark, sf_dir):
+    """PromQL absent() analog: for every hourly grid window, which
+    known (tenant, name) series produced NO samples. The expected-series
+    dimension (distinct tenant x name, tiny) cross-joins the window grid
+    and anti-joins observed series -- the expected set and grid broadcast,
+    so the only corpus-sized work is the observed-series dedup."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 3600000) * 3600").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+    )
+    observed = s.distinct()
+    series = s.select("tenant_id", "name").distinct()
+    grid = s.select("window_start").distinct()
+    expected = grid.crossJoin(F.broadcast(series))
+    return expected.join(
+        observed, ["window_start", "tenant_id", "name"], "left_anti"
+    )
+
+
+CONSUME_ABSENT_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 3600000) * 3600 AS window_start, tenant_id,
+         event_type AS name
+  FROM ({_SAMPLES_SQL})
+), observed AS (SELECT DISTINCT window_start, tenant_id, name FROM s),
+series AS (SELECT DISTINCT tenant_id, name FROM s),
+grid AS (SELECT DISTINCT window_start FROM s)
+SELECT g.window_start, se.tenant_id, se.name
+FROM grid g CROSS JOIN series se
+LEFT JOIN observed o
+  ON o.window_start = g.window_start AND o.tenant_id = se.tenant_id
+ AND o.name = se.name
+WHERE o.window_start IS NULL
+"""
+
+
 QUERIES = {
+    "consume_label_replace_join": consume_label_replace_join,
+    "consume_absent_series": consume_absent_series,
     "consume_changes_resets": consume_changes_resets,
     "consume_deriv_predict": consume_deriv_predict,
     "consume_topk_series": consume_topk_series,
@@ -917,6 +1002,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_label_replace_join": CONSUME_LABEL_REPLACE_SQL,
+    "consume_absent_series": CONSUME_ABSENT_SQL,
     "consume_changes_resets": CONSUME_CHANGES_SQL,
     "consume_deriv_predict": CONSUME_DERIV_SQL,
     "consume_topk_series": CONSUME_TOPK_SQL,
