@@ -52,6 +52,8 @@ _PRIORITY = [
     "emb_pq_assign",
     "consume_label_replace_join",
     "consume_absent_series",
+    "data_validation_report",
+    "docs_bigram_logprob",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

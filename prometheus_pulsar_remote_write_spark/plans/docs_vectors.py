@@ -1795,6 +1795,98 @@ GROUP BY doc_id
 """
 
 
+# --- F4: bigram-interpolated LM surprisal ------------------------------------
+
+
+def docs_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM surprisal per document -- one rung above
+    docs_unigram_logprob on the KenLM-perplexity ladder:
+    p(w2|w1) = 0.75 * c12/c1(w1) + 0.25 * c1(w2)/N over corpus counts,
+    scored over each doc's n-1 transitions, micro-nat quantized
+    (floor(-ln(p) * 1e6)).
+
+    Scale shape: the unigram and bigram vocabularies are both broadcast
+    (vocab ≪ corpus; at web scale swap the bigram side to a shuffle
+    join -- same plan otherwise). Two count shuffles build the LM, then
+    scoring is map-side."""
+    docs = _docs_spread(spark, sf_dir)
+    tk = docs.select("doc_id", tokens_col(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    trans = tk.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("n_total"))
+    big = trans.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        trans.join(F.broadcast(big), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.lit(0.75) * F.col("c12").cast("double") / F.col("c1w1").cast("double")
+        + F.lit(0.25) * F.col("c1w2").cast("double") / F.col("n_total").cast("double")
+    )
+    per = scored.withColumn(
+        "surprisal_micro", F.floor(-F.log(p) * 1e6).cast("bigint")
+    )
+    return per.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("surprisal_micro").alias("surprisal_micro_total"),
+        F.floor(F.sum("surprisal_micro").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("surprisal_micro_avg"),
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM documents
+), trans AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT * FROM tk WHERE len(tk) >= 2), unnest(range(1, len(tk))) AS t(i)
+), toks AS (
+  SELECT unnest(tk) AS tok FROM tk
+), uni AS (
+  SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+), tot AS (SELECT sum(c1) AS n_total FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY w1, w2
+), scored AS (
+  SELECT t.doc_id,
+         floor(-ln(0.75 * b.c12::DOUBLE / u1.c1::DOUBLE
+                   + 0.25 * u2.c1::DOUBLE / tot.n_total::DOUBLE) * 1e6)::BIGINT
+           AS surprisal_micro
+  FROM trans t
+  JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+  JOIN uni u1 ON t.w1 = u1.tok
+  JOIN uni u2 ON t.w2 = u2.tok
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_transitions,
+       sum(surprisal_micro)::BIGINT AS surprisal_micro_total,
+       floor(sum(surprisal_micro)::DOUBLE / count(*))::BIGINT AS surprisal_micro_avg
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- F9: stratified sampling with exact per-stratum caps ---------------------
 
 
@@ -2138,6 +2230,7 @@ QUERIES = {
     "docs_textrank_keywords": docs_textrank_keywords,
     "docs_containment_pairs": docs_containment_pairs,
     "emb_pq_assign": emb_pq_assign,
+    "docs_bigram_logprob": docs_bigram_logprob,
 }
 
 ORACLES = {
@@ -2186,4 +2279,5 @@ ORACLES = {
     "docs_textrank_keywords": TEXTRANK_SQL,
     "docs_containment_pairs": CONTAINMENT_SQL,
     "emb_pq_assign": EMB_PQ_SQL,
+    "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
 }

@@ -1464,8 +1464,118 @@ FROM marked
 """
 
 
+def data_validation_report(spark, sf_dir):
+    """Deequ-style data-quality audit in one pass per table: primary-key
+    uniqueness, null ratios, range constraints, and referential
+    integrity (lineitem -> orders, orders -> customer), emitted as one
+    row per rule with violation counts.
+
+    Scale shape: each rule is a scan-side aggregate or a key-join; the
+    FK checks are the only shuffles (anti-join on the key), and the
+    union of single-row results is free. This is the pre-ingest gate a
+    100 TB pipeline runs before publishing a snapshot."""
+    orders, li, cust = _t(spark, sf_dir, "orders", "lineitem", "customer")
+
+    def rule(name, total, violations):
+        return violations.select(
+            F.lit(name).alias("rule"),
+            F.lit(total).alias("n_checked"),
+            F.col("v").cast("long").alias("n_violations"),
+        )
+
+    n_orders = orders.count()
+    n_li = li.count()
+    n_cust = cust.count()
+    checks = [
+        rule(
+            "orders_pk_unique",
+            n_orders,
+            orders.groupBy("o_orderkey")
+            .count()
+            .filter("count > 1")
+            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("v")),
+        ),
+        rule(
+            "orders_totalprice_positive",
+            n_orders,
+            orders.agg(
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v")
+            ),
+        ),
+        rule(
+            "orders_custkey_not_null",
+            n_orders,
+            orders.agg(
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v")
+            ),
+        ),
+        rule(
+            "lineitem_qty_range_1_50",
+            n_li,
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    ).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+        rule(
+            "lineitem_fk_orders",
+            n_li,
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+            .agg(F.count("*").alias("v")),
+        ),
+        rule(
+            "orders_fk_customer",
+            n_orders,
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+            .agg(F.count("*").alias("v")),
+        ),
+        rule(
+            "customer_acctbal_not_null",
+            n_cust,
+            cust.agg(
+                F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+VALIDATION_SQL = """
+SELECT 'orders_pk_unique' AS rule, (SELECT count(*) FROM orders) AS n_checked,
+       coalesce((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM orders
+                 GROUP BY o_orderkey HAVING count(*) > 1)), 0)::BIGINT AS n_violations
+UNION ALL
+SELECT 'orders_totalprice_positive', (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0)::BIGINT
+UNION ALL
+SELECT 'orders_custkey_not_null', (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'lineitem_qty_range_1_50', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT
+UNION ALL
+SELECT 'lineitem_fk_orders', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'orders_fk_customer', (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'customer_acctbal_not_null', (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer WHERE c_acctbal IS NULL)::BIGINT
+"""
+
+
 QUERIES = {
     "bloom_semijoin_prefilter": bloom_semijoin_prefilter,
+    "data_validation_report": data_validation_report,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1512,6 +1622,7 @@ QUERIES = {
 
 ORACLES = {
     "bloom_semijoin_prefilter": BLOOM_PREFILTER_SQL,
+    "data_validation_report": VALIDATION_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
