@@ -448,3 +448,19 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_with_static_dim(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined against a
+    static dimension (user -> tier). Spark re-plans the static side per
+    micro-batch as a broadcast hash join -- no stream state at all, the
+    canonical way to attach slowly-changing reference data at 100 TB
+    (refresh = swap the underlying table; the next micro-batch sees it).
+    """
+    return ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("tier"), F.lit("unknown")).alias("tier"),
+        "event_type",
+        "value",
+    )

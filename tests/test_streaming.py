@@ -1059,3 +1059,39 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
         for r in events_ewma_smooth(spark, SF).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """F7 stream-static join: per-micro-batch broadcast of the static
+    dimension reproduces the batch left join exactly (including the
+    unknown-tier fallback for users outside the dim)."""
+    ev_batch = spark.read.parquet(f"{SF}/events.parquet")
+    dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .filter("user_id % 3 != 0")  # leave some users unmatched
+        .withColumn(
+            "tier",
+            (F.col("user_id") % 2 == 0).cast("string"),
+        )
+    )
+    ev = windows.read_events_stream(spark, SF)
+    q = (
+        windows.enrich_with_static_dim(ev, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["event_id"]: (r["user_id"], r["tier"], r["event_type"], r["value"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = {
+        r["event_id"]: (r["user_id"], r["tier"], r["event_type"], r["value"])
+        for r in windows.enrich_with_static_dim(ev_batch, dim).collect()
+    }
+    assert streamed == batch and streamed
