@@ -54,6 +54,8 @@ _PRIORITY = [
     "consume_absent_series",
     "data_validation_report",
     "docs_bigram_logprob",
+    "events_top_paths",
+    "docs_length_outliers",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -1887,6 +1887,82 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- F4: robust (median/MAD) length-outlier detection ------------------------
+
+
+def docs_length_outliers(spark, sf_dir):
+    """Robust per-source length-outlier report: integer median and MAD of
+    n_chars per source (median = the floor((n+1)/2)-th order statistic,
+    exact BIGINT -- no interpolation, so both engines agree bit-for-bit),
+    then count docs whose |n_chars - median| > 3 * MAD. The
+    mean/stddev-free outlier rule curation pipelines prefer because one
+    giant doc cannot drag the threshold.
+
+    Scale shape: two source-keyed window shuffles (rank for the median,
+    rank for the MAD) + one rollup; each stratum sorts only its own rows."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = Window.partitionBy("source")
+    med = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(n))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("source", F.col("n_chars").alias("median_chars"))
+    )
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("median_chars"))
+    )
+    wd = Window.partitionBy("source").orderBy("adev", "doc_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("cnt", F.count("*").over(n))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("source", F.col("adev").alias("mad_chars"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "median_chars", "mad_chars")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * F.col("mad_chars"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+LENGTH_OUTLIERS_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+), med AS (
+  SELECT source, n_chars AS median_chars FROM ranked
+  WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT d.source, d.doc_id, d.n_chars, m.median_chars,
+         abs(d.n_chars - m.median_chars) AS adev
+  FROM documents d JOIN med m USING (source)
+), dranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY adev, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM dev
+), mad AS (
+  SELECT source, adev AS mad_chars FROM dranked WHERE rn = (cnt + 1) // 2
+)
+SELECT d.source, d.median_chars, m.mad_chars,
+       count(*) AS n_docs,
+       sum(CASE WHEN d.adev > 3 * m.mad_chars THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dev d JOIN mad m USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
 # --- F9: stratified sampling with exact per-stratum caps ---------------------
 
 
@@ -2231,6 +2307,7 @@ QUERIES = {
     "docs_containment_pairs": docs_containment_pairs,
     "emb_pq_assign": emb_pq_assign,
     "docs_bigram_logprob": docs_bigram_logprob,
+    "docs_length_outliers": docs_length_outliers,
 }
 
 ORACLES = {
@@ -2280,4 +2357,5 @@ ORACLES = {
     "docs_containment_pairs": CONTAINMENT_SQL,
     "emb_pq_assign": EMB_PQ_SQL,
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
+    "docs_length_outliers": LENGTH_OUTLIERS_SQL,
 }
