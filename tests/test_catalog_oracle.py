@@ -285,3 +285,27 @@ def test_rp_projection_matches_numpy(spark, tmp_path):
         expect = signs @ q
         assert out[i]["p0"] == int(expect[0])
         assert out[i]["p1"] == int(expect[1])
+
+
+def test_containment_detects_planted_subset(spark, tmp_path):
+    """A short doc whose text is a verbatim prefix of a longer doc has
+    containment 1000 (every shingle of the small set is in the big set);
+    an unrelated doc produces no pair."""
+    from prometheus_pulsar_remote_write_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa lambda mu nu xi omicron pi"
+    rows = [
+        (1, small, "en", "s0", 0),
+        (2, big, "en", "s0", 0),
+        (3, "totally different words with no shared trigrams at all", "en", "s0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = containment_pairs(df, threshold_milli=900).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_small"], r["id_big"], r["containment_milli"]) == (1, 2, 1000)
