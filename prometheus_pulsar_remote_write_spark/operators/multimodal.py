@@ -200,3 +200,65 @@ def resize_media(
             yield out
 
     return df.mapInPandas(_resize, out_schema)
+
+
+def window_energy(
+    df: DataFrame,
+    payload_col: str = "media",
+    window_bytes: int = 32,
+    hop_bytes: int = 16,
+) -> DataFrame:
+    """Windowed energy extraction for audio payloads (feature stand-in).
+
+    Treats the binary payload as PCM-ish samples and computes the
+    summed byte value per ``window_bytes`` window at ``hop_bytes`` hop
+    -- the shape of a real STFT/energy front-end: overlapping windows,
+    one feature row per window, integer arithmetic. Emits per-row
+    (n_windows, energy_digest, max_energy, max_energy_win). A real
+    audio codec would replace the byte sum with the actual frame
+    transform; the Arrow batch shape, overlap logic, and narrow-stage
+    partition behavior carry over unchanged.
+    """
+    import hashlib
+
+    keep_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        keep_fields
+        + [
+            T.StructField("n_windows", T.IntegerType(), True),
+            T.StructField("energy_digest", T.StringType(), True),
+            T.StructField("max_energy", T.LongType(), True),
+            T.StructField("max_energy_win", T.IntegerType(), True),
+        ]
+    )
+    keep = [f.name for f in keep_fields]
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            n_windows, digests, maxes, argmaxes = [], [], [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                energies = []
+                i = 0
+                while i < len(data):
+                    energies.append(sum(data[i : i + window_bytes]))
+                    i += hop_bytes
+                n_windows.append(len(energies))
+                digests.append(
+                    hashlib.md5(",".join(str(e) for e in energies).encode()).hexdigest()
+                )
+                if energies:
+                    best = max(range(len(energies)), key=lambda j: (energies[j], -j))
+                    maxes.append(energies[best])
+                    argmaxes.append(best)
+                else:
+                    maxes.append(0)
+                    argmaxes.append(-1)
+            out["n_windows"] = pd.array(n_windows, dtype="Int32")
+            out["energy_digest"] = digests
+            out["max_energy"] = pd.array(maxes, dtype="Int64")
+            out["max_energy_win"] = pd.array(argmaxes, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(_energy, out_schema)

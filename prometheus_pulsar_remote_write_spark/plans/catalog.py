@@ -56,6 +56,7 @@ _PRIORITY = [
     "docs_bigram_logprob",
     "events_top_paths",
     "docs_length_outliers",
+    "multimodal_window_energy",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -1623,6 +1623,49 @@ FROM per_char GROUP BY doc_id
 """
 
 
+def multimodal_window_energy(spark, sf_dir):
+    """Audio-feature plumbing: binary payload -> overlapping 32-byte
+    windows at 16-byte hop, summed byte energy per window (the STFT
+    front-end stand-in; operators/multimodal.py window_energy). Narrow
+    Arrow stage, no shuffle; the ASCII-precondition test guarantees the
+    byte arithmetic is SQL-replayable on the text column."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_media = multimodal.attach_media(
+        docs, F.encode(F.col("text"), "UTF-8"), media_type="audio/wav"
+    )
+    out = multimodal.window_energy(with_media, window_bytes=32, hop_bytes=16)
+    return out.select(
+        "doc_id", "n_windows", "energy_digest", "max_energy", "max_energy_win"
+    )
+
+
+# hop windows start at byte offsets 0, 16, ... while offset < len; each sums
+# up to 32 bytes (clipped at end-of-payload). ASCII text => ord(char) == byte.
+WINDOW_ENERGY_SQL = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         (length(text) + 15) // 16 AS nwin
+  FROM documents
+), e AS (
+  SELECT doc_id, nwin,
+         list_transform(range(0, nwin),
+           w -> list_reduce(list_prepend(0::BIGINT,
+                  list_transform(range(1, 33),
+                    j -> CASE WHEN w * 16 + j <= n
+                              THEN ord(substr(text, (w * 16 + j)::INT, 1))::BIGINT
+                              ELSE 0::BIGINT END)),
+                (a, b) -> a + b)) AS energies
+  FROM base
+)
+SELECT doc_id,
+       nwin::INT AS n_windows,
+       md5(array_to_string(energies, ',')) AS energy_digest,
+       list_max(energies)::BIGINT AS max_energy,
+       (list_position(energies, list_max(energies)) - 1)::INT AS max_energy_win
+FROM e
+"""
+
+
 # --- F4: corpus-level boilerplate (repeated-block) removal -------------------
 
 
@@ -2308,6 +2351,7 @@ QUERIES = {
     "emb_pq_assign": emb_pq_assign,
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_length_outliers": docs_length_outliers,
+    "multimodal_window_energy": multimodal_window_energy,
 }
 
 ORACLES = {
@@ -2358,4 +2402,5 @@ ORACLES = {
     "emb_pq_assign": EMB_PQ_SQL,
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_length_outliers": LENGTH_OUTLIERS_SQL,
+    "multimodal_window_energy": WINDOW_ENERGY_SQL,
 }
