@@ -340,6 +340,96 @@ def pq_assign(
     )
 
 
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ codes:
+    each query builds a (subspace x code) distance table against the
+    codebook ONCE (n_sub * n_codes tiny rows, broadcast), then every
+    stored vector's approximate distance is the sum of 8 table lookups on
+    its code word -- no full-vector math against the corpus at all. This
+    is the scan PQ buys at 100 TB: 8 BIGINT adds per candidate over an
+    8-byte code column instead of 64 float mults over the raw vectors.
+
+    Distances are micro-quantized (floor(d * 1e9) per subspace) before the
+    sum, so the ranking is exact-integer and SQL-replayable. Self-matches
+    are excluded; ties break on match id.
+    """
+    codes = pq_assign(corpus, n_sub, sub_dim, n_codes, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"), "s", "code"
+    )
+    cb_sub = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                                "cv"
+                            ),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("code", F.col("e.s").alias("s"), F.col("e.cv").alias("cv"))
+    )
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("qv"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", F.col("e.s").alias("s"), F.col("e.qv").alias("qv"))
+    d = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(F.broadcast(cb_sub), "s").select(
+        "query_id",
+        "s",
+        "code",
+        F.floor(d * 1e9).cast("bigint").alias("d_micro"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("match_id") != F.col("query_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adist_micro", "rank")
+    )
+
+
 def persist_ivf_index(
     corpus: DataFrame,
     path: str,

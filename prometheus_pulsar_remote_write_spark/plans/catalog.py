@@ -57,6 +57,7 @@ _PRIORITY = [
     "events_top_paths",
     "docs_length_outliers",
     "multimodal_window_energy",
+    "emb_pq_adc_topk",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -2202,6 +2202,59 @@ FROM agg a JOIN e ON a.vec_id = e.vec_id
 """
 
 
+def emb_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-3 for the first 5 query vectors
+    (operators/similarity.py pq_adc_topk): distance tables against the
+    codebook once per query, then 8 integer table-lookup adds per stored
+    code word -- the PQ serving scan, fully SQL-replayed."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(emb, queries, k=3)
+
+
+EMB_PQ_ADC_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS code, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+subs AS (
+  SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sub
+  FROM e, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), cbsubs AS (
+  SELECT code, s, cv[s * 8 + 1 : s * 8 + 8] AS csub
+  FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), assigned AS (
+  SELECT vec_id AS match_id, s, code FROM (
+    SELECT vec_id, subs.s, code,
+           row_number() OVER (PARTITION BY vec_id, subs.s
+             ORDER BY round(list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 9),
+                         i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
+                     (a, b) -> a + b), 9) ASC, code ASC) AS rn
+    FROM subs JOIN cbsubs ON subs.s = cbsubs.s
+  ) WHERE rn = 1
+), dtab AS (
+  SELECT q.vec_id AS query_id, q.s, cbsubs.code,
+         floor(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9),
+                   i -> (q.sub[i] - csub[i]) * (q.sub[i] - csub[i]))),
+               (a, b) -> a + b) * 1e9)::BIGINT AS d_micro
+  FROM (SELECT * FROM subs WHERE vec_id < 5) q
+  JOIN cbsubs ON q.s = cbsubs.s
+), scored AS (
+  SELECT d.query_id, a.match_id, sum(d.d_micro)::BIGINT AS adist_micro
+  FROM assigned a JOIN dtab d ON a.s = d.s AND a.code = d.code
+  WHERE a.match_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, match_id, adist_micro, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist_micro ASC, match_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # --- F4: TextRank keyword extraction (iterative PageRank) --------------------
 
 
@@ -2352,6 +2405,7 @@ QUERIES = {
     "docs_bigram_logprob": docs_bigram_logprob,
     "docs_length_outliers": docs_length_outliers,
     "multimodal_window_energy": multimodal_window_energy,
+    "emb_pq_adc_topk": emb_pq_adc_topk,
 }
 
 ORACLES = {
@@ -2403,4 +2457,5 @@ ORACLES = {
     "docs_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "docs_length_outliers": LENGTH_OUTLIERS_SQL,
     "multimodal_window_energy": WINDOW_ENERGY_SQL,
+    "emb_pq_adc_topk": EMB_PQ_ADC_SQL,
 }

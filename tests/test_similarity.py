@@ -242,3 +242,40 @@ def test_pq_codebook_vectors_quantize_to_themselves(spark):
     for r in rows:
         assert r["code"] == r["vec_id"], (r["vec_id"], r["s"], r["code"])
         assert r["dist_r"] == 0.0
+
+
+def test_pq_adc_topk_shape_and_recall_floor(spark):
+    """PQ-ADC returns a full ranked top-3 per query (self excluded). The
+    deterministic 16-vector codebook is untrained (codebook quality, not
+    scan correctness, bounds recall -- production would train it with the
+    repo's fixed-seed Lloyd's), so the recall floor vs exact L2 is a
+    sanity bound only."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import pq_adc_topk
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    q = emb.filter("vec_id < 5")
+    rows = pq_adc_topk(emb, q, k=3).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["match_id"]))
+        assert r["match_id"] != r["query_id"]
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(x)[0][0] == 1 and len(x) == 3 for x in per_q.values())
+
+    V = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    recall = 0
+    for qid in range(5):
+        exact = {
+            m
+            for _, m in sorted(
+                (float(np.sum((V[qid] - V[m]) ** 2)), m) for m in V if m != qid
+            )[:3]
+        }
+        recall += len(exact & {m for _, m in per_q[qid]})
+    assert recall >= 2  # sanity floor; see docstring
