@@ -500,6 +500,158 @@ def ivf_topk_indexed(
     )
 
 
+def persist_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ serving index: per vector, its IVF cell and
+    its 8-byte PQ code word -- NO raw vectors in the index -- written as
+    parquet partitioned by cell. This is the full 100 TB ANN layout: the
+    probe prunes to nprobe cells at the partition level, then scans an
+    index that is ~32x smaller than the raw embedding table (8 small
+    ints vs 64 floats per row). Centroids and the PQ codebook ride
+    along in `_centroids` / `_codebook` subdirs."""
+    centroids = corpus.orderBy(id_col).limit(n_cells)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    codes = (
+        pq_assign(corpus, n_sub, sub_dim, n_codes, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("s").alias("s"), F.col("code").alias("code"))
+                    )
+                ),
+                lambda x: x.getField("code"),
+            ).alias("codes")
+        )
+    )
+    assigned.select(id_col, "cell").join(codes, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                                "cv"
+                            ),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("code", F.col("e.s").alias("s"), F.col("e.cv").alias("cv"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_codebook")
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 3,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over the persisted IVF-PQ index: probe nprobe
+    cells (partition-pruned scan), score candidates by ADC over their
+    stored code words (8 integer adds each; the raw vectors are never
+    read). Ranking matches pq_adc_topk restricted to the probed cells."""
+    cent = spark.read.parquet(f"{index_path}/_centroids")
+    cb = spark.read.parquet(f"{index_path}/_codebook")
+    index = spark.read.parquet(index_path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)),
+        F.asc("cell"),
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "query_vec", "cell")
+    )
+    qsub = probes.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("query_vec"), s * sub_dim + 1, sub_dim).alias(
+                            "qv"
+                        ),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", "cell", F.col("e.s").alias("s"), F.col("e.qv").alias("qv"))
+    d = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        "code",
+        F.floor(d * 1e9).cast("bigint").alias("d_micro"),
+    )
+    cand = index.join(
+        F.broadcast(dtab.select("query_id", "cell").distinct()), "cell"
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = (
+        cand.select(
+            "query_id",
+            F.col(id_col).alias("match_id"),
+            "cell",
+            F.posexplode("codes").alias("s", "code"),
+        )
+        .join(F.broadcast(dtab), ["query_id", "cell", "s", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adist_micro", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -279,3 +279,36 @@ def test_pq_adc_topk_shape_and_recall_floor(spark):
         }
         recall += len(exact & {m for _, m in per_q[qid]})
     assert recall >= 2  # sanity floor; see docstring
+
+
+def test_persisted_ivfpq_index_scans_codes_only_and_prunes(spark, tmp_path):
+    """The persisted IVF-PQ index stores only (vec_id, codes, cell) -- no
+    raw vectors -- the probe reaches the scan as partition pruning, and
+    the ADC ranking over probed cells agrees with the corpus-wide
+    pq_adc_topk wherever the probed cells contain those matches."""
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+        persist_ivfpq_index,
+        pq_adc_topk,
+    )
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq-index")
+    persist_ivfpq_index(emb, idx, n_cells=8)
+
+    stored = spark.read.parquet(idx)
+    assert set(stored.columns) == {"vec_id", "codes", "cell"}
+
+    indexed = ivfpq_topk_indexed(spark, idx, queries, nprobe=8, k=3)
+    got = sorted(tuple(r) for r in indexed.collect())
+    # nprobe = n_cells probes everything -> must equal the corpus-wide ADC
+    want = sorted(tuple(r) for r in pq_adc_topk(emb, queries, k=3).collect())
+    assert got == want and len(got) == 15
+
+    pruned = ivfpq_topk_indexed(spark, idx, queries, nprobe=2, k=3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cell" in plan
+    ), "probe filter did not reach the index scan as partition pruning"
+    assert pruned.count() == 15
