@@ -349,6 +349,80 @@ def jaccard_index_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold_milli: int = 700,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join: identical output
+    to :func:`jaccard_index_pairs`, far fewer candidates.
+
+    Prefix principle: if J(A,B) >= t, then ordering every set by global
+    shingle rarity, the first |A| - ceil(t*|A|) + 1 elements of A must
+    share a shingle with B's prefix. So the inverted index is built over
+    PREFIXES only -- rare shingles first, so the hottest (boilerplate)
+    shingles never generate candidates from most docs. ceil(t*n) is
+    computed in exact integer milli-arithmetic ((t_milli*n + 999) div
+    1000) to rule out float-boundary false negatives. Candidates are
+    then verified exactly against the full shingle sets.
+
+    Per-doc ordering is a doc-keyed window (never a global sort); the
+    document-frequency table is broadcast (vocabulary-sized).
+    """
+    sets = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    inv = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("dfc"))
+    w = Window.partitionBy(id_col).orderBy("dfc", "shingle")
+    ceil_tn = F.expr(
+        f"({threshold_milli} * n_sh + 999) div 1000"
+    )
+    pre = (
+        inv.join(F.broadcast(dfreq), "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(
+            sets.select(F.col(id_col), F.size("sh").alias("n_sh")), id_col
+        )
+        .filter(F.col("rn") <= F.col("n_sh") - ceil_tn + 1)
+        .select(F.col(id_col), "shingle")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold_milli / 1000.0)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 def containment_pairs(
     df: DataFrame,
     threshold_milli: int = 900,

@@ -58,6 +58,7 @@ _PRIORITY = [
     "docs_length_outliers",
     "multimodal_window_energy",
     "emb_pq_adc_topk",
+    "docs_jaccard_ppjoin",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -381,6 +381,18 @@ WHERE len(list_intersect(a.shingles, b.shingles)) > 0
 """
 
 
+def docs_jaccard_ppjoin(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard pairs: same result set as
+    docs_jaccard_index_pairs (the oracle is literally the same SQL), but
+    the candidate generation indexes only each set's rare-shingle prefix
+    -- the 100 TB set-similarity-join plan (operators/dedup.py
+    jaccard_prefix_pairs; candidate-reduction measured in tests)."""
+    docs = _docs_spread(spark, sf_dir)
+    from ..operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(docs, threshold_milli=700)
+
+
 def docs_containment_pairs(spark, sf_dir):
     """Asymmetric shingle-set containment (near-subset) pairs -- the
     substring-dedup case Jaccard misses. operators/dedup.containment_pairs;
@@ -2406,6 +2418,7 @@ QUERIES = {
     "docs_length_outliers": docs_length_outliers,
     "multimodal_window_energy": multimodal_window_energy,
     "emb_pq_adc_topk": emb_pq_adc_topk,
+    "docs_jaccard_ppjoin": docs_jaccard_ppjoin,
 }
 
 ORACLES = {
@@ -2458,4 +2471,5 @@ ORACLES = {
     "docs_length_outliers": LENGTH_OUTLIERS_SQL,
     "multimodal_window_energy": WINDOW_ENERGY_SQL,
     "emb_pq_adc_topk": EMB_PQ_ADC_SQL,
+    "docs_jaccard_ppjoin": JACCARD_INDEX_SQL,
 }

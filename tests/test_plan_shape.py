@@ -234,3 +234,19 @@ def test_bloom_filter_no_false_negatives_and_broadcast(spark):
     assert all(rows[i] for i in range(500)), "false negative detected"
     # with m=65536 and 500 keys the filter is sparse: most non-keys fail
     assert sum(1 for i in range(500, 2000) if rows[i]) < 50
+
+
+def test_round5_zero_shuffle_claims(spark):
+    """The SCALE.md zero-shuffle claims, pinned: integer JL projection and
+    label_replace/label_join compile to exchange-free plans."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        emb_rp_projection,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        consume_label_replace_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (emb_rp_projection, consume_label_replace_join):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{fn.__name__} grew a shuffle:\n{plan[:500]}"

@@ -312,3 +312,59 @@ def test_persisted_ivfpq_index_scans_codes_only_and_prunes(spark, tmp_path):
         "dynamicpruning" in plan or "PartitionFilters: [isnotnull(cell" in plan
     ), "probe filter did not reach the index scan as partition pruning"
     assert pruned.count() == 15
+
+
+def test_ppjoin_equals_plain_index_join_with_fewer_candidates(spark):
+    """Prefix filtering must be lossless (identical pairs to the plain
+    inverted-index join) while generating strictly fewer candidates."""
+    from prometheus_pulsar_remote_write_spark.operators.dedup import (
+        jaccard_index_pairs,
+        jaccard_prefix_pairs,
+        shingles_col,
+    )
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    pp = sorted(tuple(r) for r in jaccard_prefix_pairs(docs, 700).collect())
+    plain = sorted(tuple(r) for r in jaccard_index_pairs(docs, 0.7).collect())
+    assert pp == plain and pp
+
+    # candidate counts: pairs sharing >=1 shingle (plain) vs >=1 prefix
+    # shingle (ppjoin)
+    sets = docs.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    plain_cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    from pyspark.sql import Window
+
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("dfc"))
+    w = Window.partitionBy("doc_id").orderBy("dfc", "shingle")
+    pre = (
+        inv.join(F.broadcast(dfreq), "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sets.select("doc_id", F.size("sh").alias("n_sh")), "doc_id")
+        .filter(F.col("rn") <= F.col("n_sh") - F.expr("(700 * n_sh + 999) div 1000") + 1)
+        .select("doc_id", "shingle")
+    )
+    pp_cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert pp_cand < plain_cand, (pp_cand, plain_cand)
