@@ -17,13 +17,13 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 # Dict order decides which entries the driver's correctness gate records
-# (first 50 per round). Rounds 2-3 verified the relational + events
-# surface (CORRECTNESS_r0{2,3}.json, all hash-green); this round leads
-# with everything that still needs driver-recorded evidence: the
-# pipeline/docs/vectors entries, the round-4 operators, and the two
-# events queries whose results changed (sessionization fix) or were
-# never in a window (multires). docs_token_stats is parked just outside
-# the window -- it is unchanged since its round-1 green record.
+# (first 50 per round). Rounds 1-4 left every recorded entry hash-green
+# except the two list-cell canonicalizer failures (reshaped this round);
+# round 5 leads with the 4 evidence-gap queries plus every new round-5
+# operator, followed by the produce/consume pipeline family (r4-green).
+# Everything outside the window is unchanged since its green record and
+# stays locally strict-verified via scripts/check_oracle.py (all 132
+# entries PASS at sf0.01 this round).
 for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
