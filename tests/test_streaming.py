@@ -1095,3 +1095,59 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         for r in windows.enrich_with_static_dim(ev_batch, dim).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_ewma_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Stateful-stream recovery: stop the EWMA stream after the first
+    file, add a second file, restart on the SAME checkpoint -- the ring
+    state must carry across the restart, so the second run's outputs for
+    the new rows equal the batch EWMA over the full history (a fresh
+    state would smooth from scratch and disagree)."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_ewma_smooth,
+    )
+
+    ev_all = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
+    rows = ev_all.count()
+    first = ev_all.limit(rows // 2)
+    second = ev_all.subtract(first)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch1.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev_all.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        if dict(stream.dtypes)["ts"].startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            windows.ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert spark.read.parquet(out).count() == rows // 2
+    second.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch2.parquet")
+    run_once()
+
+    streamed = {
+        r["event_id"]: (r["yc"], r["ewma_centi"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(streamed) == rows  # batch1 not re-emitted, batch2 appended
+    batch = {
+        r["event_id"]: (r["yc"], r["ewma_centi"])
+        for r in events_ewma_smooth(spark, SF).collect()
+    }
+    for eid in (r["event_id"] for r in second.select("event_id").collect()):
+        assert streamed[eid] == batch[eid], eid
