@@ -59,6 +59,7 @@ _PRIORITY = [
     "multimodal_window_energy",
     "emb_pq_adc_topk",
     "docs_jaccard_ppjoin",
+    "docs_weighted_sample",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -2018,6 +2018,53 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- F9: weighted sampling without replacement (A-ES) ------------------------
+
+
+def docs_weighted_sample(spark, sf_dir):
+    """Distributed weighted sampling without replacement, Efraimidis-
+    Spirakis style: each doc draws a deterministic uniform from md5
+    (u = (h+1)/2^28), gets key = -ln(u)/w with weight w = n_chars, and
+    the 20 smallest keys win -- longer docs proportionally likelier, no
+    RNG state, reproducible on any cluster. Keys are micro-quantized
+    (floor(ln(2^28/(h+1)) * 1e9 / w)) so selection is integer-exact
+    cross-engine.
+
+    Scale shape: the key is scan-side codegen; selection is one
+    TakeOrdered top-k -- per-partition heaps, no global sort."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    key = F.floor(
+        F.log(F.lit(float(1 << 28)) / (h + 1).cast("double"))
+        * 1e9
+        / F.col("n_chars").cast("double")
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key_micro"))
+        .orderBy("key_micro", "doc_id")
+        .limit(20)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars,
+       floor(ln(268435456.0 / (h + 1)) * 1e9 / n_chars)::BIGINT AS key_micro
+FROM (
+  SELECT doc_id, source, n_chars,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split_regex(substr(md5('wsample|' || doc_id::VARCHAR), 1, 7), ''),
+           c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+           (a, b) -> a * 16 + b) AS h
+  FROM documents
+)
+ORDER BY key_micro, doc_id LIMIT 20
+"""
+
+
 # --- F9: stratified sampling with exact per-stratum caps ---------------------
 
 
@@ -2419,6 +2466,7 @@ QUERIES = {
     "multimodal_window_energy": multimodal_window_energy,
     "emb_pq_adc_topk": emb_pq_adc_topk,
     "docs_jaccard_ppjoin": docs_jaccard_ppjoin,
+    "docs_weighted_sample": docs_weighted_sample,
 }
 
 ORACLES = {
@@ -2472,4 +2520,5 @@ ORACLES = {
     "multimodal_window_energy": WINDOW_ENERGY_SQL,
     "emb_pq_adc_topk": EMB_PQ_ADC_SQL,
     "docs_jaccard_ppjoin": JACCARD_INDEX_SQL,
+    "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
 }
