@@ -60,6 +60,8 @@ _PRIORITY = [
     "emb_pq_adc_topk",
     "docs_jaccard_ppjoin",
     "docs_weighted_sample",
+    "docs_ngram_novelty",
+    "events_active_users",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

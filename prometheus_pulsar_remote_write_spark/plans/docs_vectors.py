@@ -2018,6 +2018,59 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- F4: n-gram novelty curve ------------------------------------------------
+
+
+def docs_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty in doc_id (ingestion) order: the
+    fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    appearance is this doc. The curve curation teams watch to decide
+    when more of a source stops adding information. One groupBy(shingle)
+    for first-appearance + one broadcast-free equi-join back; novelty is
+    exact milli-integer (floor(novel * 1000 / n))."""
+    from ..operators.text import shingles_col
+
+    docs = _docs_spread(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.floor(F.col("n_novel") * 1000 / F.col("n_shingles"))
+        .cast("bigint")
+        .alias("novelty_milli"),
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle
+  FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0
+), first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000
+             / count(*))::BIGINT AS novelty_milli
+FROM sh JOIN first USING (shingle)
+GROUP BY doc_id
+"""
+
+
 # --- F9: weighted sampling without replacement (A-ES) ------------------------
 
 
@@ -2467,6 +2520,7 @@ QUERIES = {
     "emb_pq_adc_topk": emb_pq_adc_topk,
     "docs_jaccard_ppjoin": docs_jaccard_ppjoin,
     "docs_weighted_sample": docs_weighted_sample,
+    "docs_ngram_novelty": docs_ngram_novelty,
 }
 
 ORACLES = {
@@ -2521,4 +2575,5 @@ ORACLES = {
     "emb_pq_adc_topk": EMB_PQ_ADC_SQL,
     "docs_jaccard_ppjoin": JACCARD_INDEX_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "docs_ngram_novelty": NGRAM_NOVELTY_SQL,
 }

@@ -762,8 +762,59 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 20
 """
 
 
+def events_active_users(spark, sf_dir):
+    """DAU / rolling 7-day WAU per day: the day grid (tiny) joins events
+    in [d-6, d] and counts distinct users -- the standard rolling-active
+    report, shaped so the only corpus-sized work is one (day, user)
+    dedup; the banded grid join fans each event to <= 7 grid days.
+    Exact distinct (not HLL) because |days| x |users| is small at any
+    scale; swap in the HLL sketch per (grid_day) for web-scale users."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    grid = du.select(F.col("day").alias("grid_day")).distinct()
+    dau = du.groupBy(F.col("day").alias("grid_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        grid.join(
+            du,
+            (F.col("day") <= F.col("grid_day"))
+            & (F.col("day") >= F.date_sub(F.col("grid_day"), 6)),
+        )
+        .groupBy("grid_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "grid_day")
+        .select(
+            F.col("grid_day").cast("string").alias("day"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+ACTIVE_USERS_SQL = """
+WITH du AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events
+), grid AS (SELECT DISTINCT day AS grid_day FROM du),
+dau AS (SELECT day AS grid_day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+wau AS (
+  SELECT g.grid_day, count(DISTINCT d.user_id) AS wau
+  FROM grid g JOIN du d
+    ON d.day <= g.grid_day AND d.day >= g.grid_day - INTERVAL 6 DAY
+  GROUP BY 1
+)
+SELECT dau.grid_day::VARCHAR AS day, dau.dau, wau.wau
+FROM dau JOIN wau USING (grid_day)
+"""
+
+
 QUERIES = {
     "events_ewma_smooth": events_ewma_smooth,
+    "events_active_users": events_active_users,
     "events_top_paths": events_top_paths,
     # new-in-round-4 entries lead so they land inside the driver's
     # 50-query correctness window (rounds 2-3 recorded the rest)
@@ -789,6 +840,7 @@ QUERIES = {
 ORACLES = {
     "events_ewma_smooth": EWMA_SQL,
     "events_top_paths": TOP_PATHS_SQL,
+    "events_active_users": ACTIVE_USERS_SQL,
     "events_hll_user_estimate": HLL_USERS_SQL,
     "events_latest_state": LATEST_STATE_SQL,
     "events_zorder_key": ZORDER_SQL,
