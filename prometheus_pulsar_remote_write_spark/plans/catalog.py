@@ -62,6 +62,8 @@ _PRIORITY = [
     "docs_weighted_sample",
     "docs_ngram_novelty",
     "events_active_users",
+    "consume_vector_matching",
+    "consume_offset_compare",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

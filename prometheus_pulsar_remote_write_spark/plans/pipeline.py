@@ -977,7 +977,115 @@ WHERE o.window_start IS NULL
 """
 
 
+def consume_vector_matching(spark, sf_dir):
+    """PromQL binary operation with vector matching -- the
+    ``series / on(tenant) group_left sum by (tenant)`` shape: each
+    (window, tenant, name) series' increase divided by its tenant's
+    total increase in the same window (many-to-one matching). Built on
+    the single-agg rate aggregate, so the join runs over |windows| x
+    |series| rows, never raw samples; the per-tenant side is a rollup of
+    the SAME aggregate (no second scan)."""
+    r = consume_rate_5m(spark, sf_dir).select(
+        "window_start",
+        "tenant_id",
+        "name",
+        # exact integer micro-units: values carry 2 decimals, so increase
+        # is grid-exact and the tenant rollup is an order-independent
+        # BIGINT sum (no float fold to diverge across engines)
+        F.round(F.col("increase") * 1e6).cast("bigint").alias("inc_micro"),
+    )
+    tenant_total = r.groupBy("window_start", "tenant_id").agg(
+        F.sum("inc_micro").alias("tenant_micro")
+    )
+    return (
+        r.join(tenant_total, ["window_start", "tenant_id"])
+        .select(
+            "window_start",
+            "tenant_id",
+            "name",
+            "inc_micro",
+            "tenant_micro",
+            F.when(
+                F.col("tenant_micro") != 0,
+                # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's round emits -0.0
+                # for tiny negative ratios; Spark's does not)
+                F.round(
+                    F.col("inc_micro").cast("double")
+                    / F.col("tenant_micro").cast("double"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("share"),
+        )
+    )
+
+
+CONSUME_VECTOR_MATCH_SQL = f"""
+WITH rate AS ({CONSUME_RATE_SQL}),
+r AS (
+  SELECT window_start, tenant_id, name,
+         round(increase * 1e6)::BIGINT AS inc_micro
+  FROM rate
+), tt AS (
+  SELECT window_start, tenant_id, sum(inc_micro)::BIGINT AS tenant_micro
+  FROM r GROUP BY 1, 2
+)
+SELECT r.window_start, r.tenant_id, r.name, r.inc_micro, tt.tenant_micro,
+       CASE WHEN tt.tenant_micro <> 0
+            THEN round(r.inc_micro::DOUBLE / tt.tenant_micro::DOUBLE, 6) + 0.0
+       END AS share
+FROM r JOIN tt USING (window_start, tenant_id)
+"""
+
+
+def consume_offset_compare(spark, sf_dir):
+    """PromQL offset modifier: each series' 5m increase compared to the
+    same series one hour earlier (``increase - increase offset 1h``).
+    A lag over the per-series aggregate keyed by window index -- only
+    exact windows 12 steps back match, like PromQL's fixed offset; the
+    lag window runs over the aggregate, not raw samples."""
+    from pyspark.sql import Window
+
+    r = consume_rate_5m(spark, sf_dir).select(
+        "window_start", "tenant_id", "name", F.round("increase", 6).alias("inc")
+    )
+    w = Window.partitionBy("tenant_id", "name").orderBy("window_start")
+    prev = F.lag("inc", 12).over(w)
+    prev_ws = F.lag("window_start", 12).over(w)
+    aligned = F.when(prev_ws == F.col("window_start") - 3600, prev)
+    return r.select(
+        "window_start",
+        "tenant_id",
+        "name",
+        "inc",
+        aligned.alias("inc_1h_ago"),
+        F.when(
+            aligned.isNotNull(), F.round(F.col("inc") - aligned, 6)
+        ).alias("delta_1h"),
+    )
+
+
+CONSUME_OFFSET_SQL = f"""
+WITH rate AS ({CONSUME_RATE_SQL}),
+r AS (
+  SELECT window_start, tenant_id, name, round(increase, 6) AS inc FROM rate
+), lagged AS (
+  SELECT *,
+         lag(inc, 12) OVER (PARTITION BY tenant_id, name ORDER BY window_start) AS p,
+         lag(window_start, 12) OVER (PARTITION BY tenant_id, name
+                                     ORDER BY window_start) AS pws
+  FROM r
+)
+SELECT window_start, tenant_id, name, inc,
+       CASE WHEN pws = window_start - 3600 THEN p END AS inc_1h_ago,
+       CASE WHEN pws = window_start - 3600 THEN round(inc - p, 6) END AS delta_1h
+FROM lagged
+"""
+
+
 QUERIES = {
+    "consume_vector_matching": consume_vector_matching,
+    "consume_offset_compare": consume_offset_compare,
     "consume_label_replace_join": consume_label_replace_join,
     "consume_absent_series": consume_absent_series,
     "consume_changes_resets": consume_changes_resets,
@@ -1002,6 +1110,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
+    "consume_offset_compare": CONSUME_OFFSET_SQL,
     "consume_label_replace_join": CONSUME_LABEL_REPLACE_SQL,
     "consume_absent_series": CONSUME_ABSENT_SQL,
     "consume_changes_resets": CONSUME_CHANGES_SQL,
