@@ -1417,7 +1417,9 @@ def emb_label_centroids(spark, sf_dir):
     )
     return cells.groupBy("label", "pos").agg(
         F.count("*").alias("n_vectors"),
-        F.round(ordered_sum / F.count("*"), 6).alias("centroid"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB round can emit -0.0 on
+        # tiny negative means; Spark's BigDecimal round cannot)
+        (F.round(ordered_sum / F.count("*"), 6) + F.lit(0.0)).alias("centroid"),
     )
 
 
@@ -1428,7 +1430,7 @@ WITH cells AS (
 )
 SELECT label, pos, count(*) AS n_vectors,
        round(list_reduce(list_prepend(0.0, list(val::DOUBLE ORDER BY vec_id)),
-                         (acc, v) -> acc + v) / count(*), 6) AS centroid
+                         (acc, v) -> acc + v) / count(*), 6) + 0.0 AS centroid
 FROM cells GROUP BY label, pos
 """
 
@@ -1517,7 +1519,7 @@ def emb_int8_quantize(spark, sf_dir):
             "vec_id",
             "label",
             "dim",
-            F.round("vmin", 6).alias("vmin_r"),
+            (F.round("vmin", 6) + F.lit(0.0)).alias("vmin_r"),
             F.round("scale", 9).alias("scale_r"),
             F.md5(F.array_join("codes", ",")).alias("codes_digest"),
             F.round(dequant_err, 6).alias("recon_err"),
@@ -1541,7 +1543,7 @@ WITH base AS (
   FROM base
 )
 SELECT vec_id, label, dim,
-       round(vmin, 6)  AS vmin_r,
+       round(vmin, 6) + 0.0 AS vmin_r,
        round(scale, 9) AS scale_r,
        md5(array_to_string(codes, ',')) AS codes_digest,
        round(list_reduce(list_prepend(0.0,
