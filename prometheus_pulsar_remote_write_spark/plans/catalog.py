@@ -64,6 +64,7 @@ _PRIORITY = [
     "events_active_users",
     "consume_vector_matching",
     "consume_offset_compare",
+    "consume_subquery_max_rate",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

@@ -1083,7 +1083,67 @@ FROM lagged
 """
 
 
+def consume_subquery_max_rate(spark, sf_dir):
+    """PromQL subquery: ``max_over_time(increase(series[5m])[1h:5m])`` --
+    the inner 5m-increase series re-aggregated to its hourly maximum,
+    with the achieving 5m window carried along (struct max keeps the
+    argmax without a second pass). Integer micro-units end-to-end, and
+    the outer agg runs over the inner AGGREGATE (|windows| x |series|),
+    never raw samples."""
+    r = consume_rate_5m(spark, sf_dir).select(
+        (F.floor(F.col("window_start") / 3600) * 3600)
+        .cast("bigint")
+        .alias("hour_start"),
+        "window_start",
+        "tenant_id",
+        "name",
+        F.round(F.col("increase") * 1e6).cast("bigint").alias("inc_micro"),
+    )
+    # order-preserving base-16 composite of (inc_micro, 5m-slot-in-hour):
+    # engine-portable argmax without struct aggregates; decoded by
+    # subtraction (not division -- negative int division rules differ)
+    slot = ((F.col("window_start") - F.col("hour_start")) / 300).cast("bigint")
+    r = r.withColumn("composite", F.col("inc_micro") * 16 + slot)
+    return (
+        r.groupBy("hour_start", "tenant_id", "name")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.max("inc_micro").alias("max_inc_micro"),
+            F.max("composite").alias("mc"),
+        )
+        .select(
+            "hour_start",
+            "tenant_id",
+            "name",
+            "n_windows",
+            "max_inc_micro",
+            (
+                F.col("hour_start")
+                + (F.col("mc") - F.col("max_inc_micro") * 16) * 300
+            ).alias("argmax_window"),
+        )
+    )
+
+
+CONSUME_SUBQUERY_SQL = f"""
+WITH rate AS ({CONSUME_RATE_SQL}),
+r AS (
+  SELECT (window_start // 3600) * 3600 AS hour_start, window_start,
+         tenant_id, name, round(increase * 1e6)::BIGINT AS inc_micro
+  FROM rate
+), c AS (
+  SELECT *, inc_micro * 16 + (window_start - hour_start) // 300 AS composite
+  FROM r
+)
+SELECT hour_start, tenant_id, name, count(*) AS n_windows,
+       max(inc_micro)::BIGINT AS max_inc_micro,
+       (hour_start + (max(composite) - max(inc_micro) * 16) * 300)::BIGINT AS argmax_window
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
     "consume_label_replace_join": consume_label_replace_join,
@@ -1110,6 +1170,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
     "consume_label_replace_join": CONSUME_LABEL_REPLACE_SQL,
