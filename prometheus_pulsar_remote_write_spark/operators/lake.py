@@ -218,3 +218,47 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def stream_continuous_aggregate(
+    agg_stream,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    available_now: bool = True,
+):
+    """Incremental materialized-view maintenance for a streaming
+    aggregate (the continuous-aggregate pattern): the update-mode stream
+    emits re-aggregated rows per micro-batch, and ``foreachBatch`` merges
+    them into a parquet MV by overwriting only the PARTITIONS the batch
+    touched (dynamic partition overwrite keyed by the first key column).
+
+    Exactly-once: a replayed micro-batch rewrites the same partitions
+    with the same rows (the upsert is idempotent), so the MV converges
+    to the batch aggregate regardless of replays. At 100 TB the touched
+    partition set per batch is bounded by the watermark horizon -- late
+    windows past the watermark stop changing, so old partitions are
+    never rewritten.
+
+    Returns the started StreamingQuery.
+    """
+    part_col = key_cols[0]
+
+    def _merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+
+    writer = (
+        agg_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

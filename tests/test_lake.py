@@ -252,3 +252,52 @@ def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
 
     # rows survive the relayout intact
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_continuous_aggregate_mv_converges_to_batch(spark, tmp_path):
+    """Incremental MV maintenance: streaming the 5m-rate aggregate through
+    foreachBatch dynamic-partition merges yields a parquet MV equal to
+    the batch rate query -- and replaying the stream from scratch over
+    the same MV path converges to the identical state (idempotent
+    upsert)."""
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        stream_continuous_aggregate,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import consume_rate_5m
+    from prometheus_pulsar_remote_write_spark.streaming import windows
+
+    mv = str(tmp_path / "mv")
+
+    def run(ckpt):
+        ev = windows.read_events_stream(spark, SF_SMOKE)
+        q = stream_continuous_aggregate(
+            windows.sample_rate_5m(ev),
+            mv,
+            ckpt,
+            key_cols=["window_start"],
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+
+    def snapshot():
+        return {
+            (r["window_start"], r["tenant_id"], r["name"]): (
+                r["n"], r["first_val"], r["last_val"], r["increase"], r["rate_per_s"]
+            )
+            for r in spark.read.parquet(mv).collect()
+        }
+
+    first = snapshot()
+    batch = {
+        (r["window_start"], r["tenant_id"], r["name"]): (
+            r["n"], r["first_val"], r["last_val"], r["increase"], r["rate_per_s"]
+        )
+        for r in consume_rate_5m(spark, SF_SMOKE).collect()
+    }
+    assert first == batch and first
+
+    # full replay with a fresh checkpoint = the poison case for an MV
+    # merge; dynamic partition overwrite must be idempotent
+    run(str(tmp_path / "ckpt2"))
+    assert snapshot() == batch
