@@ -301,3 +301,46 @@ def test_continuous_aggregate_mv_converges_to_batch(spark, tmp_path):
     # merge; dynamic partition overwrite must be idempotent
     run(str(tmp_path / "ckpt2"))
     assert snapshot() == batch
+
+
+def test_promql_rate_over_lake_prunes_to_tenant(spark, tmp_path):
+    """The PromQL layer runs directly over the landed lake: a per-tenant
+    5m rate evaluated on the (tenant_id, day)-partitioned lake prunes to
+    that tenant's directories at scan level and matches the same
+    computation on the unpartitioned sample stream."""
+    samples = samples_from_events(spark, SF_SMOKE)
+    path = str(tmp_path / "lake")
+    write_samples_lake(samples, path)
+
+    lake = spark.read.parquet(path).filter(F.col("tenant_id") == "3")
+    plan = lake._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tenant_id" in plan
+
+    def rate(df):
+        s = df.select(
+            F.expr("(timestamp div 300000) * 300").alias("window_start"),
+            F.col("labels").getItem("__name__").alias("name"),
+            "timestamp",
+            "value",
+        )
+        return {
+            (r["window_start"], r["name"]): (r["n"], r["first_val"], r["last_val"])
+            for r in s.groupBy("window_start", "name")
+            .agg(
+                F.count("*").alias("n"),
+                F.min(F.struct("timestamp", "value")).alias("f"),
+                F.max(F.struct("timestamp", "value")).alias("l"),
+            )
+            .select(
+                "window_start",
+                "name",
+                "n",
+                F.col("f.value").alias("first_val"),
+                F.col("l.value").alias("last_val"),
+            )
+            .collect()
+        }
+
+    got = rate(lake)
+    want = rate(samples.filter(F.col("tenant_id") == "3"))
+    assert got == want and got
