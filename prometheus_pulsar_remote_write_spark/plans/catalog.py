@@ -65,6 +65,8 @@ _PRIORITY = [
     "consume_vector_matching",
     "consume_offset_compare",
     "consume_subquery_max_rate",
+    "docs_dup_rate_by_source",
+    "events_error_rate",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

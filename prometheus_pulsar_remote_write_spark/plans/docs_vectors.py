@@ -2073,6 +2073,45 @@ GROUP BY doc_id
 """
 
 
+# --- F1: duplication-rate dashboard ------------------------------------------
+
+
+def docs_dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication dashboard: docs, distinct texts (by
+    md5), and the dup rate in exact milli-units -- the first number a
+    curation run reports per source. One hash agg over (source, digest),
+    one rollup; count-distinct compiles to a two-phase partial
+    aggregate."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.select("source", F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.floor(
+                (F.col("n_docs") - F.col("n_unique")) * 1000 / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("dup_rate_milli"),
+        )
+    )
+
+
+DUP_RATE_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       floor((count(*) - count(DISTINCT md5(text))) * 1000
+             / count(*))::BIGINT AS dup_rate_milli
+FROM documents GROUP BY source
+"""
+
+
 # --- F9: weighted sampling without replacement (A-ES) ------------------------
 
 
@@ -2523,6 +2562,7 @@ QUERIES = {
     "docs_jaccard_ppjoin": docs_jaccard_ppjoin,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_ngram_novelty": docs_ngram_novelty,
+    "docs_dup_rate_by_source": docs_dup_rate_by_source,
 }
 
 ORACLES = {
@@ -2578,4 +2618,5 @@ ORACLES = {
     "docs_jaccard_ppjoin": JACCARD_INDEX_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "docs_ngram_novelty": NGRAM_NOVELTY_SQL,
+    "docs_dup_rate_by_source": DUP_RATE_SQL,
 }

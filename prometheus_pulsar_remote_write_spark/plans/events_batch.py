@@ -812,8 +812,53 @@ FROM dau JOIN wau USING (grid_day)
 """
 
 
+def events_error_rate(spark, sf_dir):
+    """SRE error-ratio per user-tenant per hour: errors / total events,
+    the alert-rule query every monitoring stack runs. Conditional count
+    in ONE hash aggregation (no join of two filtered scans); the ratio
+    is exact milli-integer."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+        .cast("bigint")
+        .alias("hour_start"),
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        F.col("event_type"),
+    )
+    return (
+        d.groupBy("hour_start", "tenant_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "hour_start",
+            "tenant_id",
+            "n_events",
+            "n_errors",
+            F.floor(F.col("n_errors") * 1000 / F.col("n_events"))
+            .cast("bigint")
+            .alias("error_rate_milli"),
+        )
+    )
+
+
+ERROR_RATE_SQL = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+       (user_id % 10)::VARCHAR AS tenant_id,
+       count(*) AS n_events,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+       floor(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000
+             / count(*))::BIGINT AS error_rate_milli
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_ewma_smooth": events_ewma_smooth,
+    "events_error_rate": events_error_rate,
     "events_active_users": events_active_users,
     "events_top_paths": events_top_paths,
     # new-in-round-4 entries lead so they land inside the driver's
@@ -841,6 +886,7 @@ ORACLES = {
     "events_ewma_smooth": EWMA_SQL,
     "events_top_paths": TOP_PATHS_SQL,
     "events_active_users": ACTIVE_USERS_SQL,
+    "events_error_rate": ERROR_RATE_SQL,
     "events_hll_user_estimate": HLL_USERS_SQL,
     "events_latest_state": LATEST_STATE_SQL,
     "events_zorder_key": ZORDER_SQL,
