@@ -67,6 +67,9 @@ _PRIORITY = [
     "consume_subquery_max_rate",
     "docs_dup_rate_by_source",
     "events_error_rate",
+    "consume_staleness_report",
+    "emb_norm_stats",
+    "docs_vocab_growth",
     "emb_int8_quantize",
     "docs_split_assign",
     "docs_char_entropy",

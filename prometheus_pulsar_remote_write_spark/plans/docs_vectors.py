@@ -2073,6 +2073,93 @@ GROUP BY doc_id
 """
 
 
+# --- F3: embedding-norm QC ---------------------------------------------------
+
+
+def emb_norm_stats(spark, sf_dir):
+    """Embedding-norm quality control per label: min/mean/max squared L2
+    norm in exact integer micro^2 units (each vector's norm is an exact
+    BIGINT sum of floor(x*1e6)^2 terms, so the per-label aggregation is
+    order-independent). The QC gate that catches un-normalized or
+    truncated embedding batches before they poison an ANN index."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1e6).cast("bigint")
+    )
+    norm2 = F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v)
+    d = emb.select("label", norm2.alias("n2"))
+    return d.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("n2").alias("min_norm2_u"),
+        F.floor(F.sum("n2").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_norm2_u"),
+        F.max("n2").alias("max_norm2_u"),
+    )
+
+
+EMB_NORM_SQL = """
+WITH d AS (
+  SELECT label,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(embedding, x -> floor(x::DOUBLE * 1e6)::BIGINT
+                                          * floor(x::DOUBLE * 1e6)::BIGINT)),
+           (a, b) -> a + b) AS n2
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       min(n2)::BIGINT AS min_norm2_u,
+       floor(sum(n2)::DOUBLE / count(*))::BIGINT AS mean_norm2_u,
+       max(n2)::BIGINT AS max_norm2_u
+FROM d GROUP BY label
+"""
+
+
+# --- F4: vocabulary growth (Heaps' law) --------------------------------------
+
+
+def docs_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve over the 3-gram shingle
+    vocabulary: cumulative distinct-shingle count as documents are
+    consumed in doc_id order. first-appearance doc per shingle (one
+    groupBy) -> new-shingle count per doc -> running sum over the tiny
+    per-doc aggregate (the global window runs over |docs| rows, not the
+    corpus) -- the curve that tells a curation team when a source stops
+    adding new n-grams."""
+    from pyspark.sql import Window
+
+    from ..operators.text import shingles_col
+
+    docs = _docs_spread(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = first.groupBy("first_doc").agg(F.count("*").alias("new_shingles"))
+    w = Window.orderBy("first_doc").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_doc.withColumn("vocab", F.sum("new_shingles").over(w))
+    return curve.filter((F.col("first_doc") % 25 == 0)).select(
+        F.col("first_doc").alias("docs_seen"), "new_shingles", "vocab"
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH first AS (
+  SELECT tok, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(shingles) AS tok
+        FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0)
+  GROUP BY tok
+), per_doc AS (
+  SELECT first_doc, count(*) AS new_shingles FROM first GROUP BY first_doc
+)
+SELECT first_doc AS docs_seen, new_shingles,
+       sum(new_shingles) OVER (ORDER BY first_doc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS vocab
+FROM per_doc QUALIFY first_doc % 25 = 0
+"""
+
+
 # --- F1: duplication-rate dashboard ------------------------------------------
 
 
@@ -2563,6 +2650,8 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "docs_ngram_novelty": docs_ngram_novelty,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
+    "emb_norm_stats": emb_norm_stats,
+    "docs_vocab_growth": docs_vocab_growth,
 }
 
 ORACLES = {
@@ -2619,4 +2708,6 @@ ORACLES = {
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "docs_ngram_novelty": NGRAM_NOVELTY_SQL,
     "docs_dup_rate_by_source": DUP_RATE_SQL,
+    "emb_norm_stats": EMB_NORM_SQL,
+    "docs_vocab_growth": VOCAB_GROWTH_SQL,
 }

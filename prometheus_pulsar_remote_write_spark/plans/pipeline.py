@@ -1142,7 +1142,47 @@ FROM c GROUP BY 1, 2, 3
 """
 
 
+def consume_staleness_report(spark, sf_dir):
+    """Per-series staleness dashboard: seconds since each (tenant, name)
+    series' last sample, measured against the corpus max timestamp --
+    the 'which series went quiet' ops query behind PromQL staleness
+    handling. One hash agg for per-series max + one single-row global
+    max broadcast back; integer seconds end to end."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        F.expr("timestamp div 1000").alias("ts_s"),
+    )
+    per = s.groupBy("tenant_id", "name").agg(
+        F.count("*").alias("n_samples"), F.max("ts_s").alias("last_seen_s")
+    )
+    glob = s.agg(F.max("ts_s").alias("now_s"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        "tenant_id",
+        "name",
+        "n_samples",
+        "last_seen_s",
+        (F.col("now_s") - F.col("last_seen_s")).alias("staleness_s"),
+    )
+
+
+CONSUME_STALENESS_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp // 1000 AS ts_s
+  FROM ({_SAMPLES_SQL})
+), per AS (
+  SELECT tenant_id, name, count(*) AS n_samples, max(ts_s) AS last_seen_s
+  FROM s GROUP BY 1, 2
+), g AS (SELECT max(ts_s) AS now_s FROM s)
+SELECT tenant_id, name, n_samples, last_seen_s,
+       (g.now_s - last_seen_s)::BIGINT AS staleness_s
+FROM per CROSS JOIN g
+"""
+
+
 QUERIES = {
+    "consume_staleness_report": consume_staleness_report,
     "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
@@ -1170,6 +1210,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_staleness_report": CONSUME_STALENESS_SQL,
     "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
