@@ -309,3 +309,40 @@ def test_containment_detects_planted_subset(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["id_small"], r["id_big"], r["containment_milli"]) == (1, 2, 1000)
+
+
+def test_deriv_predict_matches_numpy_least_squares(spark, tmp_path):
+    """consume_deriv_predict's integer-sum regression equals numpy's
+    least-squares slope/extrapolation on a hand-built series (within the
+    floor quantization)."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        consume_deriv_predict,
+    )
+
+    # one user, one window: strictly increasing values on known seconds
+    base = 1704067200  # 2024-01-01T00:00:00Z, window-aligned
+    pts = [(0, 10.00), (60, 11.50), (120, 14.00), (300, 18.25), (540, 21.00)]
+    rows = [
+        (i, __import__("datetime").datetime.utcfromtimestamp(base + dt), 7,
+         "signup", val, '{"k": 1}')
+        for i, (dt, val) in enumerate(pts)
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    out = consume_deriv_predict(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    x = np.array([p[0] for p in pts], dtype=float)
+    yc = np.array([round(p[1] * 100) for p in pts], dtype=float)
+    slope, intercept = np.polyfit(x, yc, 1)
+    assert r["deriv_micro"] == int(np.floor(slope * 1e4))
+    assert r["predict_milli"] == int(np.floor((intercept + slope * 1200.0) * 10.0))
