@@ -346,3 +346,29 @@ def test_deriv_predict_matches_numpy_least_squares(spark, tmp_path):
     slope, intercept = np.polyfit(x, yc, 1)
     assert r["deriv_micro"] == int(np.floor(slope * 1e4))
     assert r["predict_milli"] == int(np.floor((intercept + slope * 1200.0) * 10.0))
+
+
+def test_boilerplate_removal_all_boilerplate_doc(spark, tmp_path):
+    """A document consisting ONLY of a shared block collapses to empty
+    clean text (md5('') digest, zero length) -- and both engines agree."""
+    import hashlib
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        docs_boilerplate_removal,
+    )
+
+    shared = "one two three four five"
+    rows = [
+        (1, shared, "en", "s0", 0),
+        (2, shared + " unique suffix words here extra", "en", "s0", 0),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in docs_boilerplate_removal(spark, sf_dir).collect()}
+    assert out[1]["n_dropped"] == 1 and out[1]["clean_len"] == 0
+    assert out[1]["clean_digest"] == hashlib.md5(b"").hexdigest()

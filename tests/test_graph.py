@@ -104,3 +104,20 @@ def test_pagerank_fixed_point_matches_reference_loop(spark):
             n: 150_000 + math.floor(85 * c / 100) for n, c in recv.items()
         }
     assert got == {n: (rank[n], wdeg[n]) for n in rank}
+
+
+def test_pagerank_star_graph_hub_dominates(spark):
+    """On an undirected star, the hub must out-rank every leaf, and all
+    leaves tie exactly (symmetry is preserved by the integer arithmetic)."""
+    from prometheus_pulsar_remote_write_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    leaves = [f"leaf{i}" for i in range(6)]
+    directed = [("hub", leaf, 1) for leaf in leaves]
+    und = directed + [(v, u, w) for u, v, w in directed]
+    df = spark.createDataFrame(und, "u string, v string, w long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_fixed_point(df).collect()}
+    leaf_ranks = {got[leaf] for leaf in leaves}
+    assert len(leaf_ranks) == 1
+    assert got["hub"] > leaf_ranks.pop()
