@@ -372,3 +372,36 @@ def test_boilerplate_removal_all_boilerplate_doc(spark, tmp_path):
     out = {r["doc_id"]: r for r in docs_boilerplate_removal(spark, sf_dir).collect()}
     assert out[1]["n_dropped"] == 1 and out[1]["clean_len"] == 0
     assert out[1]["clean_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_spark_sql_api_parity_on_q1(spark):
+    """The engine surface is usable SQL-first too: registering the lake
+    tables as temp views and running ANSI SQL through spark.sql yields
+    exactly the DataFrame-API result (same rounding, same rows)."""
+    from prometheus_pulsar_remote_write_spark.plans.relational import (
+        q1_pricing_summary,
+    )
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    li = load_tables(spark, SF_SMOKE, ["lineitem"])["lineitem"]
+    li.createOrReplaceTempView("lineitem_v")
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= timestamp'1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    got = sorted(tuple(r) for r in sql.collect())
+    want = sorted(tuple(r) for r in q1_pricing_summary(spark, SF_SMOKE).collect())
+    assert got == want and got
