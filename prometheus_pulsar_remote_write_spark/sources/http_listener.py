@@ -1,0 +1,100 @@
+"""A1 transport: an HTTP remote-write listener bridging real POSTs into
+the blob spool that the ``remote_write_blobs`` DataSource reads.
+
+This makes the sandbox analog literal: the reference runs an HTTP server
+that receives snappy(proto(WriteRequest)) bodies and answers 400 on
+undecodable input (reference pkg/app/produce.go:124-181); the tenant is
+taken from the Basic Auth username or the X-Scope-OrgID header
+(pkg/context/handlers.go:8-40). Here the accepted body is spooled as
+``<spool>/<tenant>/<blob>`` (atomic temp+rename; dot-prefixed temp names
+are invisible to the source's listing), which is exactly the layout
+``sources/datasource.py`` streams -- so a stock Prometheus can
+remote-write at this listener and the Spark pipeline consumes it with no
+format shim.
+
+Stdlib-only (http.server) and validation-first: the body must snappy-
+decompress and proto-parse before it is spooled, so poison never enters
+the stream (the reference's 400 path). The listener is a dev/test-scale
+receiver; a production deployment would terminate HTTP at any
+load-balanced fleet writing the same spool (or object store) layout.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from . import prompb, snappy_codec
+
+
+def _tenant_from_headers(headers) -> str:
+    auth = headers.get("Authorization", "")
+    if auth.startswith("Basic "):
+        try:
+            user = base64.b64decode(auth[6:]).decode().split(":", 1)[0]
+            if user:
+                return user
+        except Exception:
+            pass
+    return headers.get("X-Scope-OrgID", "") or ""
+
+
+class RemoteWriteListener:
+    """Minimal threaded remote-write receiver writing the blob spool."""
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.spool_dir = spool_dir
+        self._host = host
+        self._port = port
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> tuple[str, int]:
+        spool = self.spool_dir
+        os.makedirs(spool, exist_ok=True)
+
+        class _Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test output
+                pass
+
+            def do_POST(self):
+                if self.path not in ("/write", "/api/v1/push"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                try:
+                    raw = snappy_codec.decompress(body)
+                    req = prompb.decode_write_request(raw)
+                    if req is None:
+                        raise ValueError("not a WriteRequest")
+                except Exception:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                tenant = _tenant_from_headers(self.headers)
+                target_dir = os.path.join(spool, tenant) if tenant else spool
+                os.makedirs(target_dir, exist_ok=True)
+                name = uuid.uuid4().hex
+                tmp = os.path.join(target_dir, f".{name}")
+                with open(tmp, "wb") as fh:
+                    fh.write(body)
+                os.rename(tmp, os.path.join(target_dir, name))
+                self.send_response(200)
+                self.end_headers()
+
+        self._server = ThreadingHTTPServer((self._host, self._port), _Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[0], self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -171,3 +171,70 @@ def test_produce_pipeline_on_custom_datasources(spark, tmp_path):
         payload = json.loads(r["payload"])
         assert payload["metric"]["__name__"] == "up"
         assert r["key"].startswith("hex ")
+
+
+def test_http_listener_bridges_posts_into_blob_source(spark, tmp_path):
+    """A1 transport end-to-end: real HTTP remote-write POSTs (Basic Auth /
+    X-Scope-OrgID / anonymous tenants, reference handlers.go semantics)
+    land in the blob spool, the remote_write_blobs batch read decodes
+    them, and a poison body is refused with 400 and never spooled."""
+    import base64
+    import urllib.request
+
+    from prometheus_pulsar_remote_write_spark.sources import prompb, snappy_codec
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        RemoteWriteListener,
+    )
+    from prometheus_pulsar_remote_write_spark.sources.remote_write import (
+        decode_remote_write,
+    )
+
+    datasource.register(spark)
+    spool = str(tmp_path / "spool")
+    listener = RemoteWriteListener(spool)
+    host, port = listener.start()
+    url = f"http://{host}:{port}/write"
+
+    def body(name, n):
+        req = {
+            "timeseries": [
+                {
+                    "labels": [{"name": "__name__", "value": name}],
+                    "samples": [
+                        {"value": float(i), "timestamp": 1000 + i} for i in range(n)
+                    ],
+                }
+            ]
+        }
+        return snappy_codec.compress(prompb.encode_write_request(req))
+
+    def post(data, headers=None, path="/write"):
+        r = urllib.request.Request(
+            f"http://{host}:{port}{path}", data=data, headers=headers or {}
+        )
+        try:
+            return urllib.request.urlopen(r).status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    auth = {"Authorization": "Basic " + base64.b64encode(b"tenant-a:pw").decode()}
+    assert post(body("m1", 3), auth) == 200
+    assert post(body("m2", 2), {"X-Scope-OrgID": "tenant-b"}) == 200
+    assert post(body("m3", 1)) == 200  # anonymous -> root spool
+    assert post(b"not snappy at all") == 400
+    assert post(body("m4", 1), path="/nope") == 404
+    listener.stop()
+
+    blobs = (
+        spark.read.format("remote_write_blobs").option("path", spool).load()
+    )
+    decoded = decode_remote_write(
+        blobs, body_col="content", keep_cols=["tenant_dir"]
+    )
+    rows = decoded.collect()
+    assert len(rows) == 3 and all(r["decode_error"] is None for r in rows)
+    by_tenant = {}
+    for r in rows:
+        n = sum(len(ts["samples"]) for ts in r["timeseries"])
+        by_tenant[r["tenant_dir"]] = by_tenant.get(r["tenant_dir"], 0) + n
+    assert by_tenant == {"tenant-a": 3, "tenant-b": 2, None: 1}
