@@ -50,6 +50,8 @@ class AppConfig:
     serializer: str = "json"
     # produce
     drop_dir: str | None = None  # remote-write body drop (web.write-path analog)
+    listen: str | None = None  # "host:port" -> start a live HTTP receiver
+    #   writing the drop_dir spool (web.listen-address analog; port 0 = any)
     replica_labels: list = field(default_factory=lambda: ["__replica__"])
     # consume
     remote_write_url: str | None = None
@@ -91,6 +93,7 @@ def parse_args(argv: list) -> AppConfig:
         "pulsar.topic": "bus_dir",
         "pulsar.serializer": "serializer",
         "web.write-path": "drop_dir",
+        "web.listen": "listen",
         "remote-write.url": "remote_write_url",
         "pulsar.subscription": "subscription",
         "work-dir": "work_dir",
@@ -141,6 +144,15 @@ def run(spark: SparkSession, cfg: AppConfig):
     if cfg.mode == "produce":
         from .streaming.produce import run_produce_pipeline
 
+        listener = None
+        if cfg.listen:
+            from .sources.http_listener import RemoteWriteListener
+
+            host, _, port = cfg.listen.partition(":")
+            listener = RemoteWriteListener(
+                cfg.drop_dir, host=host or "127.0.0.1", port=int(port or 0)
+            )
+            listener.start()
         query = run_produce_pipeline(
             spark,
             drop_dir=cfg.drop_dir,
@@ -150,7 +162,7 @@ def run(spark: SparkSession, cfg: AppConfig):
             trigger_once=cfg.trigger_once,
             replica_labels=cfg.replica_labels,
         )
-        return query, None
+        return query, listener
 
     from .operators.metrics import DeliveryMetrics
     from .streaming.consume import RemoteWriteSink, run_consume_pipeline

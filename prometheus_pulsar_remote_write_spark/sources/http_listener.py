@@ -79,7 +79,9 @@ class RemoteWriteListener:
                 tenant = _tenant_from_headers(self.headers)
                 target_dir = os.path.join(spool, tenant) if tenant else spool
                 os.makedirs(target_dir, exist_ok=True)
-                name = uuid.uuid4().hex
+                # .bin suffix: both the binaryFile produce source
+                # (pathGlobFilter *.bin) and the blob DataSource accept it
+                name = f"{uuid.uuid4().hex}.bin"
                 tmp = os.path.join(target_dir, f".{name}")
                 with open(tmp, "wb") as fh:
                     fh.write(body)

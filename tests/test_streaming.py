@@ -1151,3 +1151,54 @@ def test_ewma_stream_resumes_from_checkpoint(spark, tmp_path):
     }
     for eid in (r["event_id"] for r in second.select("event_id").collect()):
         assert streamed[eid] == batch[eid], eid
+
+
+def test_app_produce_with_live_http_listener(spark, tmp_path):
+    """The reference's full produce shape through the config entry: the
+    --web.listen receiver accepts a real remote-write POST, and the
+    produce pipeline publishes its samples to the bus."""
+    import urllib.request
+
+    from prometheus_pulsar_remote_write_spark import app
+    drop = str(tmp_path / "drop")
+    bus = str(tmp_path / "bus")
+    cfg = app.parse_args(
+        [
+            "produce",
+            f"--web.write-path={drop}",
+            "--web.listen=127.0.0.1:0",
+            f"--pulsar.topic={bus}",
+            f"--work-dir={tmp_path / 'work'}",
+        ]
+    )
+    # start the listener first (run() would too, but we need its port
+    # before the trigger_once batch scans the spool)
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        RemoteWriteListener,
+    )
+
+    listener = RemoteWriteListener(drop)
+    host, port = listener.start()
+    req = {
+        "timeseries": [
+            {
+                "labels": [{"name": "__name__", "value": "sig"}],
+                "samples": [{"value": 1.5, "timestamp": 1000}],
+            }
+        ]
+    }
+    body = snappy_codec.compress(prompb.encode_write_request(req))
+    urllib.request.urlopen(
+        urllib.request.Request(f"http://{host}:{port}/write", data=body)
+    )
+    listener.stop()
+    cfg.listen = None  # receiver already ran; keep run() pipeline-only
+    query, _ = app.run(spark, cfg)
+    query.awaitTermination(120)
+    msgs = (
+        spark.read.schema("key string, payload string, tenant_id string")
+        .option("recursiveFileLookup", "true")
+        .json(bus)
+        .collect()
+    )
+    assert len(msgs) == 1 and '"sig"' in msgs[0]["payload"]
