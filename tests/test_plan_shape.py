@@ -250,3 +250,20 @@ def test_round5_zero_shuffle_claims(spark):
     for fn in (emb_rp_projection, consume_label_replace_join):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{fn.__name__} grew a shuffle:\n{plan[:500]}"
+
+
+def test_wire_serializers_compile_shuffle_and_python_free(spark):
+    """The SCALE.md claim 'serializers are pure codegen — zero shuffle,
+    zero Python' pinned: all three C1/C2/C3 wire payload queries compile
+    without Exchange and without any Python/Arrow eval stage."""
+    from prometheus_pulsar_remote_write_spark.plans import pipeline as P
+
+    for fn in (
+        P.produce_serialize_json,
+        P.produce_serialize_compat,
+        P.produce_serialize_avro,
+    ):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{fn.__name__} grew a shuffle"
+        for marker in ("PythonUDF", "MapInPandas", "ArrowEval", "BatchEvalPython"):
+            assert marker not in plan, f"{fn.__name__} fell off the codegen tier"
