@@ -68,6 +68,8 @@ _PRIORITY = [
     "docs_dup_rate_by_source",
     "events_error_rate",
     "consume_staleness_report",
+    "events_time_to_convert",
+    "emb_ivf_recall",
     "emb_norm_stats",
     "docs_vocab_growth",
     "emb_int8_quantize",

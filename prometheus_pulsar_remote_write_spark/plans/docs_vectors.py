@@ -2495,6 +2495,57 @@ SELECT query_id, match_id, adist_micro, rank FROM (
 """
 
 
+def emb_ivf_recall(spark, sf_dir):
+    """ANN quality as a first-class, driver-checked number: per-query
+    recall of the IVF index (nprobe=2 of 8 cells) against the exact
+    brute-force top-3. Both sides are the already-oracle-checked
+    operators; the report is their join -- so the driver gate records
+    not just that IVF runs, but HOW GOOD it is, hash-exactly."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=3).select(
+        "query_id", F.col("match_id").alias("exact_match")
+    )
+    approx = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3).select(
+        "query_id", "match_id"
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_match"] == approx["match_id"]),
+        )
+        .groupBy(exact["query_id"].alias("qid"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(hits, base["query_id"] == hits["qid"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.floor(F.coalesce(F.col("n_hits"), F.lit(0)) * 1000 / 3)
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )
+
+
+EMB_IVF_RECALL_SQL = f"""
+SELECT q.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       floor(coalesce(h.n_hits, 0) * 1000 / 3)::BIGINT AS recall_milli
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+LEFT JOIN (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM ({COSINE_TOPK_SQL}) e
+  JOIN ({IVF_TOPK_SQL}) a
+    ON e.query_id = a.query_id AND e.match_id = a.match_id
+  GROUP BY e.query_id
+) h ON q.query_id = h.query_id
+"""
+
+
 # --- F4: TextRank keyword extraction (iterative PageRank) --------------------
 
 
@@ -2646,6 +2697,7 @@ QUERIES = {
     "docs_length_outliers": docs_length_outliers,
     "multimodal_window_energy": multimodal_window_energy,
     "emb_pq_adc_topk": emb_pq_adc_topk,
+    "emb_ivf_recall": emb_ivf_recall,
     "docs_jaccard_ppjoin": docs_jaccard_ppjoin,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_ngram_novelty": docs_ngram_novelty,
@@ -2704,6 +2756,7 @@ ORACLES = {
     "docs_length_outliers": LENGTH_OUTLIERS_SQL,
     "multimodal_window_energy": WINDOW_ENERGY_SQL,
     "emb_pq_adc_topk": EMB_PQ_ADC_SQL,
+    "emb_ivf_recall": EMB_IVF_RECALL_SQL,
     "docs_jaccard_ppjoin": JACCARD_INDEX_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "docs_ngram_novelty": NGRAM_NOVELTY_SQL,

@@ -856,8 +856,97 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_time_to_convert(spark, sf_dir):
+    """Funnel timing: for each user's FIRST signup, the delay to their
+    first subsequent purchase, summarized as exact integer median /
+    p90-by-rank per tenant. The 'how long does conversion take' product
+    query; conversion pairing is one per-user sort (as-of shape), the
+    order statistics are rank-picked BIGINT seconds (no interpolation,
+    bit-identical cross-engine)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    firsts = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("f"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("f.ts").alias("ts"),
+        )
+    )
+    s = firsts.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    p = firsts.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    d = (
+        s.join(p, "user_id")
+        .filter(F.col("purchase_ts") >= F.col("signup_ts"))
+        .select(
+            (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+            ).alias("delay_s"),
+        )
+    )
+    w = Window.partitionBy("tenant_id").orderBy("delay_s", "user_id")
+    n = Window.partitionBy("tenant_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(n)
+    )
+    return (
+        ranked.groupBy("tenant_id")
+        .agg(
+            F.max("cnt").alias("n_converted"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("delay_s")
+                )
+            ).alias("median_delay_s"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1), F.floor(F.col("cnt") * 9 / 10)
+                    ),
+                    F.col("delay_s"),
+                )
+            ).alias("p90_delay_s"),
+        )
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts ORDER BY ts, event_id) AS ts
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id, event_type
+), s AS (SELECT user_id, ts AS signup_ts FROM firsts WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts AS purchase_ts FROM firsts WHERE event_type = 'purchase'),
+d AS (
+  SELECT (s.user_id % 10)::VARCHAR AS tenant_id, s.user_id,
+         epoch_ms(purchase_ts) // 1000 - epoch_ms(signup_ts) // 1000 AS delay_s
+  FROM s JOIN p USING (user_id)
+  WHERE purchase_ts >= signup_ts
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tenant_id ORDER BY delay_s, user_id) AS rn,
+         count(*) OVER (PARTITION BY tenant_id) AS cnt
+  FROM d
+)
+SELECT tenant_id, max(cnt)::BIGINT AS n_converted,
+       max(CASE WHEN rn = (cnt + 1) // 2 THEN delay_s END)::BIGINT AS median_delay_s,
+       max(CASE WHEN rn = greatest(1, cnt * 9 // 10) THEN delay_s END)::BIGINT AS p90_delay_s
+FROM ranked GROUP BY tenant_id
+"""
+
+
 QUERIES = {
     "events_ewma_smooth": events_ewma_smooth,
+    "events_time_to_convert": events_time_to_convert,
     "events_error_rate": events_error_rate,
     "events_active_users": events_active_users,
     "events_top_paths": events_top_paths,
@@ -887,6 +976,7 @@ ORACLES = {
     "events_top_paths": TOP_PATHS_SQL,
     "events_active_users": ACTIVE_USERS_SQL,
     "events_error_rate": ERROR_RATE_SQL,
+    "events_time_to_convert": TIME_TO_CONVERT_SQL,
     "events_hll_user_estimate": HLL_USERS_SQL,
     "events_latest_state": LATEST_STATE_SQL,
     "events_zorder_key": ZORDER_SQL,
