@@ -405,3 +405,16 @@ def test_spark_sql_api_parity_on_q1(spark):
     got = sorted(tuple(r) for r in sql.collect())
     want = sorted(tuple(r) for r in q1_pricing_summary(spark, SF_SMOKE).collect())
     assert got == want and got
+
+
+def test_driver_window_covers_all_round5_entries():
+    """Catalog-order regression guard: every round-5 entry (none has a
+    pre-round-5 driver record) must sit inside the first 50 names the
+    driver's correctness gate checks."""
+    from prometheus_pulsar_remote_write_spark.plans.catalog import _PRIORITY
+
+    names = list(QUERIES)
+    assert len(_PRIORITY) <= 50, "priority list exceeds the driver window"
+    window = set(names[:50])
+    missing = [n for n in _PRIORITY if n not in window]
+    assert not missing, f"priority entries fell out of the window: {missing}"
