@@ -51,10 +51,17 @@ class RemoteWriteListener:
         self._port = port
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # observability counters (reference produce.go exposes the same
+        # accepted/refused split via prometheus metrics)
+        self._lock = threading.Lock()
+        self.accepted = 0
+        self.rejected = 0
+        self.accepted_by_tenant: dict = {}
 
     def start(self) -> tuple[str, int]:
         spool = self.spool_dir
         os.makedirs(spool, exist_ok=True)
+        outer = self
 
         class _Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet test output
@@ -73,6 +80,8 @@ class RemoteWriteListener:
                     if req is None:
                         raise ValueError("not a WriteRequest")
                 except Exception:
+                    with outer._lock:
+                        outer.rejected += 1
                     self.send_response(400)
                     self.end_headers()
                     return
@@ -86,6 +95,11 @@ class RemoteWriteListener:
                 with open(tmp, "wb") as fh:
                     fh.write(body)
                 os.rename(tmp, os.path.join(target_dir, name))
+                with outer._lock:
+                    outer.accepted += 1
+                    outer.accepted_by_tenant[tenant] = (
+                        outer.accepted_by_tenant.get(tenant, 0) + 1
+                    )
                 self.send_response(200)
                 self.end_headers()
 
