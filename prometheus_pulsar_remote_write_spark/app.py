@@ -74,6 +74,11 @@ class AppConfig:
             raise ValueError(f"unknown Pulsar serializer config {fmt!r}")
         if self.mode == "produce" and not self.drop_dir:
             raise ValueError("produce requires drop_dir (web.write-path analog)")
+        if self.listen and not self.drop_dir:
+            raise ValueError(
+                "--web.listen requires --web.write-path: the HTTP listener "
+                "spools accepted bodies there"
+            )
         if self.mode == "consume" and not self.remote_write_url:
             raise ValueError("consume requires remote_write_url (remote-write.url)")
         return self

@@ -103,6 +103,13 @@ def pagerank_fixed_point(
     ``rank * w < 2^53`` -- with micro-scale ranks that holds until a
     single token carries ~9e15 micro-rank-weight, far beyond any corpus.
 
+    The rank table is the set of nodes WITH OUT-EDGES (wdeg), retained
+    every iteration via a left join -- a node with no in-edges keeps the
+    (1-d) base rank instead of silently vanishing, so directed graphs
+    with source-only nodes are ranked correctly. Pure sinks (no
+    out-edges) are outside the node set by construction; pass both edge
+    directions if every endpoint must be ranked (undirected usage).
+
     One shuffle per iteration (groupBy dst); the edge list is cached and
     ``localCheckpoint`` keeps the loop's lineage flat, the same shape as
     :func:`connected_components`. Returns (node, rank_micro, wdeg).
@@ -122,22 +129,32 @@ def pagerank_fixed_point(
     ranks = wdeg.select(
         F.col(src).alias("_node"), F.lit(scale).cast("bigint").alias("rank")
     )
+    nodes = wdeg.select(F.col(src).alias("_node")).localCheckpoint(eager=True)
     for _ in range(iters):
-        ranks = (
+        contrib = (
             out.join(ranks, out["_src"] == ranks["_node"])
             .withColumn(
                 "c", F.floor(F.col("rank") * F.col("_w") / F.col("wdeg"))
             )
             .groupBy("_dst")
-            .agg(
+            .agg(F.sum("c").alias("csum"))
+        )
+        # left join keeps source-only nodes (no in-edges) at the base rank
+        ranks = (
+            nodes.join(contrib, nodes["_node"] == contrib["_dst"], "left")
+            .select(
+                "_node",
                 (
                     F.lit(base)
-                    + F.floor(F.lit(damping_pct) * F.sum("c") / F.lit(100))
+                    + F.floor(
+                        F.lit(damping_pct)
+                        * F.coalesce(F.col("csum"), F.lit(0))
+                        / F.lit(100)
+                    )
                 )
                 .cast("bigint")
-                .alias("rank")
+                .alias("rank"),
             )
-            .select(F.col("_dst").alias("_node"), "rank")
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.join(wdeg, ranks["_node"] == wdeg[src]).select(

@@ -230,15 +230,24 @@ def stream_continuous_aggregate(
     """Incremental materialized-view maintenance for a streaming
     aggregate (the continuous-aggregate pattern): the update-mode stream
     emits re-aggregated rows per micro-batch, and ``foreachBatch`` merges
-    them into a parquet MV by overwriting only the PARTITIONS the batch
-    touched (dynamic partition overwrite keyed by the first key column).
+    them into a parquet MV with a read-modify-write of only the
+    PARTITIONS the batch touched (dynamic partition overwrite keyed by
+    the first key column).
 
-    Exactly-once: a replayed micro-batch rewrites the same partitions
-    with the same rows (the upsert is idempotent), so the MV converges
-    to the batch aggregate regardless of replays. At 100 TB the touched
-    partition set per batch is bounded by the watermark horizon -- late
-    windows past the watermark stop changing, so old partitions are
-    never rewritten.
+    The merge is a true upsert on the FULL group key, not a blind
+    partition overwrite: existing rows in a touched partition whose
+    group key is absent from the batch are retained (left_anti against
+    the batch's keys, then union).  Without that, two groups sharing a
+    partition value but updating in different micro-batches would erase
+    each other and the MV would diverge from the batch aggregate.
+
+    Exactly-once: a replayed micro-batch upserts the same keys with the
+    same rows (idempotent), so the MV converges to the batch aggregate
+    regardless of replays. At 100 TB the touched partition set per
+    batch is bounded by the watermark horizon -- late windows past the
+    watermark stop changing, so old partitions are never rewritten --
+    and the read-modify-write only scans those partitions (partition
+    pruning on ``part_col``), never the whole MV.
 
     Returns the started StreamingQuery.
     """
@@ -247,8 +256,28 @@ def stream_continuous_aggregate(
     def _merge(batch_df, batch_id):
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        merged = batch
+        try:
+            existing = spark.read.parquet(path).select(*batch.columns)
+            parts = [r[0] for r in batch.select(part_col).distinct().collect()]
+            keep = (
+                existing.where(F.col(part_col).isin(parts))
+                .join(
+                    F.broadcast(batch.select(*key_cols).distinct()),
+                    on=key_cols,
+                    how="left_anti",
+                )
+            )
+            merged = keep.unionByName(batch)
+        except Exception:
+            pass  # first batch: MV path does not exist yet
+        # cut lineage so the overwrite below does not re-scan the path
+        # it is about to rewrite
+        merged = merged.localCheckpoint(eager=True)
         (
-            batch_df.write.mode("overwrite")
+            merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(part_col)
             .parquet(path)

@@ -1674,8 +1674,9 @@ WITH base AS (
 SELECT doc_id,
        nwin::INT AS n_windows,
        md5(array_to_string(energies, ',')) AS energy_digest,
-       list_max(energies)::BIGINT AS max_energy,
-       (list_position(energies, list_max(energies)) - 1)::INT AS max_energy_win
+       coalesce(list_max(energies), 0)::BIGINT AS max_energy,
+       coalesce(list_position(energies, list_max(energies)) - 1, -1)::INT
+         AS max_energy_win
 FROM e
 """
 

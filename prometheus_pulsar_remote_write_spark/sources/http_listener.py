@@ -23,11 +23,27 @@ from __future__ import annotations
 
 import base64
 import os
+import re
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from . import prompb, snappy_codec
+
+# Tenant names become one path component under the spool, so the charset is
+# restricted the same way Cortex/Mimir restrict tenant IDs: a bare token, no
+# separators, never "." or "..".  Anything else is a 400 (never a silent
+# rewrite -- a client must not discover that "../../x" mapped somewhere).
+_TENANT_RE = re.compile(r"^[A-Za-z0-9_.\-]{1,128}$")
+
+
+def tenant_is_safe(tenant: str) -> bool:
+    """True iff ``tenant`` is safe to use as a single spool path component."""
+    if not _TENANT_RE.match(tenant):
+        return False
+    if tenant in (".", ".."):
+        return False
+    return True
 
 
 def _tenant_from_headers(headers) -> str:
@@ -86,7 +102,21 @@ class RemoteWriteListener:
                     self.end_headers()
                     return
                 tenant = _tenant_from_headers(self.headers)
+                if tenant and not tenant_is_safe(tenant):
+                    with outer._lock:
+                        outer.rejected += 1
+                    self.send_response(400)
+                    self.end_headers()
+                    return
                 target_dir = os.path.join(spool, tenant) if tenant else spool
+                # belt-and-braces: the resolved dir must stay under the spool
+                spool_real = os.path.realpath(spool)
+                if not os.path.realpath(target_dir).startswith(spool_real + os.sep) and os.path.realpath(target_dir) != spool_real:
+                    with outer._lock:
+                        outer.rejected += 1
+                    self.send_response(400)
+                    self.end_headers()
+                    return
                 os.makedirs(target_dir, exist_ok=True)
                 # .bin suffix: both the binaryFile produce source
                 # (pathGlobFilter *.bin) and the blob DataSource accept it

@@ -240,3 +240,63 @@ def test_http_listener_bridges_posts_into_blob_source(spark, tmp_path):
         n = sum(len(ts["samples"]) for ts in r["timeseries"])
         by_tenant[r["tenant_dir"]] = by_tenant.get(r["tenant_dir"], 0) + n
     assert by_tenant == {"tenant-a": 3, "tenant-b": 2, None: 1}
+
+
+def test_http_listener_rejects_traversal_tenants(tmp_path):
+    """A hostile tenant string (Basic Auth username or X-Scope-OrgID) must
+    not escape the spool: '../..'-style and absolute-path tenants get a
+    400 and nothing is written outside the spool root."""
+    import base64
+    import urllib.error
+    import urllib.request
+
+    from prometheus_pulsar_remote_write_spark.sources import prompb, snappy_codec
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        RemoteWriteListener,
+        tenant_is_safe,
+    )
+
+    assert tenant_is_safe("tenant-a") and tenant_is_safe("T_1.x")
+    for bad in ("../../x", "a/b", "a\\b", "..", ".", "/abs", "", "x" * 129):
+        assert not tenant_is_safe(bad)
+
+    spool = tmp_path / "nested" / "spool"
+    outside = tmp_path / "nested" / "escaped"
+    listener = RemoteWriteListener(str(spool))
+    host, port = listener.start()
+    body = snappy_codec.compress(
+        prompb.encode_write_request(
+            {
+                "timeseries": [
+                    {
+                        "labels": [{"name": "__name__", "value": "m"}],
+                        "samples": [{"value": 1.0, "timestamp": 1}],
+                    }
+                ]
+            }
+        )
+    )
+
+    def post(headers):
+        r = urllib.request.Request(
+            f"http://{host}:{port}/write", data=body, headers=headers
+        )
+        try:
+            return urllib.request.urlopen(r).status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post({"X-Scope-OrgID": "../escaped"}) == 400
+    assert post({"X-Scope-OrgID": "/tmp/escaped"}) == 400
+    assert (
+        post(
+            {"Authorization": "Basic " + base64.b64encode(b"../escaped:pw").decode()}
+        )
+        == 400
+    )
+    assert post({"X-Scope-OrgID": "tenant-ok"}) == 200
+    listener.stop()
+
+    assert not outside.exists()
+    assert listener.rejected == 3 and listener.accepted == 1
+    assert (spool / "tenant-ok").is_dir()

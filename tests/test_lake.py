@@ -344,3 +344,43 @@ def test_promql_rate_over_lake_prunes_to_tenant(spark, tmp_path):
     got = rate(lake)
     want = rate(samples.filter(F.col("tenant_id") == "3"))
     assert got == want and got
+
+
+def test_continuous_aggregate_merges_across_batches(spark, tmp_path):
+    """The MV upsert is keyed on the FULL group key, not the partition
+    column: two groups sharing a partition value (grp) but arriving in
+    different micro-batches must BOTH survive in the MV. A blind
+    dynamic-partition overwrite would let batch 2's (g1, b) erase batch
+    1's (g1, a)."""
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        stream_continuous_aggregate,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "a", 2.0)], "grp string, k string, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # second file lands after the first; maxFilesPerTrigger=1 forces the
+    # two files into separate micro-batches
+    spark.createDataFrame(
+        [("g1", "b", 5.0), ("g2", "a", 7.0)], "grp string, k string, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("grp string, k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("grp", "k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    mv = str(tmp_path / "mv")
+    q = stream_continuous_aggregate(
+        stream, mv, str(tmp_path / "ckpt"), key_cols=["grp", "k"]
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["grp"], r["k"]): (r["n"], r["s"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got == {("g1", "a"): (2, 3.0), ("g1", "b"): (1, 5.0), ("g2", "a"): (1, 7.0)}
