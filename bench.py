@@ -64,17 +64,19 @@ def main() -> None:
         lambda it: it, "x int"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: the first execution of each query pays one-time codegen /
-    # file-index costs that a long-running engine amortizes away; the min of
-    # two runs measures steady-state plan throughput. If the two runs
-    # disagree by >1.5x the host is contended (round 3: every query ran
-    # uniformly ~3x slower while the driver's correctness job shared the
-    # cores) -- take one extra run so the minimum reflects the plan, not
-    # the neighbor.
+    # One UNTIMED warmup execution per query absorbs the one-time codegen /
+    # file-index / Python-worker-fork costs a long-running engine amortizes
+    # away, so every timed run measures steady-state plan throughput (r5
+    # noise_ratio 1.4 was entirely first-run JIT). Then best-of-2 timed
+    # runs; if they disagree by >1.5x the host is contended (round 3: every
+    # query ran uniformly ~3x slower while the driver's correctness job
+    # shared the cores) -- take one extra run so the minimum reflects the
+    # plan, not the neighbor.
     timings: dict[str, float] = {}
     spreads: dict[str, list] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
+        run_query(fn(spark, sf_dir))  # untimed warmup
         runs = []
         for _ in range(2):
             t0 = time.time()
@@ -89,11 +91,11 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s (runs: {spreads[name]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # max over per-query steady-state (max/min) run ratios, EXCLUDING each
-    # query's first run (which legitimately pays one-time codegen):
-    # ~1.0 = quiet host, >>1 = contended -- lets round-over-round
-    # comparisons discount host noise instead of reading it as regression
-    steady = [r[1:] for r in spreads.values() if len(r) > 2 and min(r[1:]) > 0]
+    # max over per-query (max/min) run ratios -- every timed run is
+    # post-warmup, so ~1.0 = quiet host, >>1 = contended; lets
+    # round-over-round comparisons discount host noise instead of reading
+    # it as regression
+    steady = [r for r in spreads.values() if len(r) >= 2 and min(r) > 0]
     noise = round(
         max((max(r) / min(r) for r in steady), default=1.0), 3
     )

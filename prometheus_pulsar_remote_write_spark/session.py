@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep Python workers warm across pandas-UDF stages: re-forking per
+        # stage made repeated mapInPandas plans (MinHash signatures) bimodal
+        .config("spark.python.worker.reuse", "true")
         # historical testdata carried TIMESTAMP(NANOS); the flag reads those
         # as epoch-nanos longs (schema.load_tables converts back to
         # TimestampType at micros, the same truncation DuckDB applies) and
