@@ -76,13 +76,23 @@ def main() -> None:
     spreads: dict[str, list] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
+        # a JVM GC between queries keeps one query's garbage (noop write
+        # buffers, broadcast blocks) from surfacing as a GC pause inside
+        # the next query's timed window
+        spark._jvm.System.gc()
         run_query(fn(spark, sf_dir))  # untimed warmup
         runs = []
         for _ in range(2):
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
-        if max(runs) > 1.5 * min(runs):
+        # retry (up to 2 extra runs) until the two best runs agree within
+        # 1.2x: a single GC pause / contended run then costs one retry
+        # instead of poisoning the reported spread
+        while len(runs) < 4:
+            best2 = sorted(runs)[:2]
+            if best2[1] <= 1.2 * best2[0]:
+                break
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
@@ -91,13 +101,21 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s (runs: {spreads[name]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # max over per-query (max/min) run ratios -- every timed run is
-    # post-warmup, so ~1.0 = quiet host, >>1 = contended; lets
-    # round-over-round comparisons discount host noise instead of reading
-    # it as regression
-    steady = [r for r in spreads.values() if len(r) >= 2 and min(r) > 0]
+    # reproducibility of the reported minimum: max over queries of
+    # (second-best / best) run time -- ~1.0 = the reported timing is
+    # steady-state, >>1 = even the two best runs disagree (host
+    # contended); outlier runs that triggered a retry don't count,
+    # they're visible in "spread"
     noise = round(
-        max((max(r) / min(r) for r in steady), default=1.0), 3
+        max(
+            (
+                (lambda s: s[1] / s[0])(sorted(r))
+                for r in spreads.values()
+                if len(r) >= 2 and min(r) > 0
+            ),
+            default=1.0,
+        ),
+        3,
     )
     print(
         json.dumps(
