@@ -2,15 +2,23 @@
 
 Image/audio/video ride as opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side machinery -- schema, Arrow batching
-through mapInPandas, partition-friendly layout -- is real and tested; the
-actual media decode is stubbed (no image/audio libraries in this
-container) behind ``decode_media``:
+through mapInPandas, partition-friendly layout -- is real and tested, and
+``decode_media`` has two tiers:
 
   - ``fake=True`` (default): a deterministic fake decoder that derives
     width/height/duration from the payload bytes, so pipelines and tests
-    exercise the full path reproducibly.
-  - ``fake=False``: raises NotImplementedError where a real
-    PIL/ffmpeg/soundfile call would go.
+    exercise the full path reproducibly regardless of payload format.
+  - ``fake=False``: REAL metadata decode for the container formats a
+    stdlib can parse -- WAV (RIFF header via the ``wave`` module), PNG
+    (IHDR chunk), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER)
+    and JPEG (SOF marker scan). Formats that need a full codec stack
+    (PIL/ffmpeg/soundfile -- not in this container) raise
+    NotImplementedError, the honest stub tier.
+
+``wav_bytes`` / ``png_bytes`` build REAL, spec-conformant payloads (PCM
+WAV that the stdlib ``wave`` module accepts; zlib-compressed 8-bit
+grayscale PNG) so the real tier is exercised end-to-end on genuine media
+bytes, not just synthetic markers.
 
 At 100 TB the binary payloads dominate I/O: keep them in their own
 parquet column (never a join key), filter on the metadata struct first so
@@ -19,10 +27,12 @@ column pruning skips payload pages for rows the query rejects.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,6 +69,124 @@ def attach_media(df: DataFrame, payload_expr, media_type: str = "image/png") -> 
     )
 
 
+# --- real payload encoders (fixture-grade but spec-conformant) ---------------
+
+
+def wav_bytes(samples: bytes, framerate: int = 8000) -> bytes:
+    """A real PCM WAV file: 44-byte RIFF/fmt/data header + 8-bit mono
+    samples. Readable by any WAV consumer including the stdlib ``wave``
+    module (the real-decode tier parses it back with exactly that)."""
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, framerate, framerate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def png_bytes(pixels: bytes, width: int) -> bytes:
+    """A real 8-bit grayscale PNG: signature + IHDR + zlib IDAT + IEND
+    with correct CRCs. ``pixels`` fill rows of ``width``; the last row is
+    zero-padded. Height is ``max(1, ceil(len/width))`` so empty input
+    still yields a decodable 1-row image."""
+    height = max(1, -(-len(pixels) // width))
+    padded = pixels.ljust(width * height, b"\x00")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + padded[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def wav_col(samples: Column, framerate: int = 8000) -> Column:
+    """Column of real WAV payloads built from a binary samples column."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: wav_bytes(bytes(b), framerate))
+
+    return _enc(samples)
+
+
+def png_col(pixels: Column, width: int = 32) -> Column:
+    """Column of real grayscale PNG payloads from a binary pixels column."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: png_bytes(bytes(b), width))
+
+    return _enc(pixels)
+
+
+# --- real metadata decoders (stdlib-only, magic-byte dispatch) ---------------
+
+
+def _decode_real(data: bytes) -> tuple[int | None, int | None, int | None, str]:
+    """(width, height, duration_ms, status) from real container headers.
+
+    Dispatches on magic bytes the way a real decoder front-end sniffs
+    content type; raises NotImplementedError for formats that need a full
+    codec stack (the honest stub boundary)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data)) as w:
+            frames, rate = w.getnframes(), w.getframerate()
+        return None, None, frames * 1000 // rate, "ok:wav"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if data[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        width, height = struct.unpack(">II", data[16:24])
+        return width, height, None, "ok:png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        width, height = struct.unpack("<HH", data[6:10])
+        return width, height, None, "ok:gif"
+    if data[:2] == b"BM":
+        hdr_size = struct.unpack("<I", data[14:18])[0]
+        if hdr_size >= 40:  # BITMAPINFOHEADER
+            width, height = struct.unpack("<ii", data[18:26])
+            return width, abs(height), None, "ok:bmp"
+        width, height = struct.unpack("<HH", data[18:22])  # BITMAPCOREHEADER
+        return width, height, None, "ok:bmp"
+    if data[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF segment
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = struct.unpack(">HH", data[i + 5 : i + 9])
+                return width, height, None, "ok:jpeg"
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF marker")
+    raise NotImplementedError(
+        "payload is not a stdlib-decodable container (WAV/PNG/GIF/BMP/JPEG); "
+        "a full decode needs PIL/ffmpeg/soundfile -- not in this container"
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake 'decode': dimensions derived from content bytes."""
     n = len(payload)
@@ -73,9 +201,14 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
-    The UDF signature, output schema, and batch shape are exactly what a
-    real decoder needs; only the per-payload body is stubbed. Narrow stage:
-    scales with input partitions, no shuffle.
+    ``fake=True``: deterministic fake decode (payload-derived dims), any
+    bytes accepted. ``fake=False``: REAL header decode via
+    :func:`_decode_real` -- WAV duration through the stdlib ``wave``
+    module, PNG/GIF/BMP/JPEG dimensions from their container headers;
+    non-stdlib formats raise NotImplementedError (honest stub tier).
+    Malformed payloads of a recognized format become ``error:`` status
+    rows (the skip-bad-record posture), they never fail the stage.
+    Narrow stage: scales with input partitions, no shuffle.
     """
     keep_fields = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(keep_fields + DECODED_FIELDS)
@@ -86,15 +219,17 @@ def decode_media(
             out = pdf[keep].copy()
             widths, heights, durations, statuses = [], [], [], []
             for payload in pdf[payload_col]:
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode needs PIL/ffmpeg/soundfile -- not in "
-                        "this container; run with fake=True"
-                    )
+                data = bytes(payload)
                 try:
-                    w, h, d = _fake_decode(bytes(payload))
+                    if fake:
+                        w, h, d = _fake_decode(data)
+                        s = "ok"
+                    else:
+                        w, h, d, s = _decode_real(data)
                     widths.append(w), heights.append(h), durations.append(d)
-                    statuses.append("ok")
+                    statuses.append(s)
+                except NotImplementedError:
+                    raise
                 except Exception as exc:
                     widths.append(None), heights.append(None), durations.append(None)
                     statuses.append(f"error: {exc}")

@@ -28,63 +28,23 @@ for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
 
-#: Round-5 window head: every entry with no green driver record yet
-#: (docs_fingerprints / multimodal_frame_sample failed r4 only in the
-#: driver's list-cell canonicalizer -- now reshaped to scalar digests;
-#: events_markov_transitions / multimodal_resize were never in a
-#: recorded window) plus entries whose code changed this round.
+#: Round-6 window head (the driver records the first 50): entries whose
+#: code or oracle changed this round first (the new real-decode entry,
+#: the pagerank/window-energy/curation-memo touches), then every
+#: remaining entry ordered by STALEST latest-green driver record --
+#: after r5's 50/50 all 145 prior entries are green, so the window's job
+#: now is rotating the oldest evidence (r1 docs/emb basics, r3
+#: relational showcases) up to a fresh record. Everything outside the
+#: window stays locally strict-verified via scripts/check_oracle.py and
+#: the full-catalog pytest oracle run.
 _PRIORITY = [
-    "docs_fingerprints",
-    "multimodal_frame_sample",
-    "events_markov_transitions",
-    "multimodal_resize",
-    # new operators this round
-    "docs_boilerplate_removal",
-    "docs_unigram_logprob",
-    "docs_stratified_sample",
-    "emb_rp_projection",
+    # new / changed in round 6
+    "multimodal_real_decode",
     "docs_textrank_keywords",
-    "consume_changes_resets",
-    "consume_deriv_predict",
-    "bloom_semijoin_prefilter",
-    "docs_containment_pairs",
-    "events_ewma_smooth",
-    "emb_pq_assign",
-    "consume_label_replace_join",
-    "consume_absent_series",
-    "data_validation_report",
-    "docs_bigram_logprob",
-    "events_top_paths",
-    "docs_length_outliers",
     "multimodal_window_energy",
-    "emb_pq_adc_topk",
-    "docs_jaccard_ppjoin",
-    "docs_weighted_sample",
-    "docs_ngram_novelty",
-    "events_active_users",
-    "consume_vector_matching",
-    "consume_offset_compare",
-    "consume_subquery_max_rate",
-    "docs_dup_rate_by_source",
-    "events_error_rate",
-    "consume_staleness_report",
-    "events_time_to_convert",
-    "emb_ivf_recall",
-    "emb_norm_stats",
-    "docs_vocab_growth",
-    "emb_int8_quantize",
-    "docs_split_assign",
-    "docs_char_entropy",
-    "docs_pii_scrub",
-    "docs_cms_heavy_hitters",  # cms_estimate join change (left-join fix)
-    "docs_mixture_sample",  # oracle TRY_CAST hardening
-    "events_latest_state",  # sort-key / NULL-parity hardening
-]
-
-#: parked outside the driver's 50-entry window: unchanged since their
-#: green records (r1-r4 all hash-green), locally strict-verified via
-#: scripts/check_oracle.py meanwhile.
-_DEPRIORITIZED = [
+    "docs_curation_pipeline",
+    "docs_neardup_dedup",
+    # latest green r1
     "docs_token_stats",
     "docs_lang_profile",
     "docs_language_id",
@@ -92,18 +52,50 @@ _DEPRIORITIZED = [
     "docs_exact_dedup",
     "emb_cosine_topk",
     "emb_neardup_lsh",
-    "consume_topk_series",
-    "consume_avg_over_time",
-    "consume_quantile_over_time",
+    # latest green r3 (stalest-first order)
+    "events_tumbling_hourly",
+    "events_funnel_conversion",
+    "events_sliding_10m_5m",
+    "events_dedup_per_minute",
+    "events_type_value_buckets",
+    "events_asof_attribution",
+    "events_range_join_conversions",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "semi_join_high_quantity",
+    "anti_join_customers_no_orders",
+    "rollup_order_counts",
+    "cube_lineitem_flags",
+    "window_top3_orders_per_segment",
+    "window_running_revenue",
+    "top_parts_by_retailprice",
+    "setop_nation_coverage",
+    "scalar_functions_showcase",
+    "date_functions_showcase",
+    "agg_stats_by_status",
+    "having_frequent_customers",
+    "pivot_status_by_priority",
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_join",
+    "groupingsets_order_revenue",
+    "correlated_above_brand_avg",
+    "array_functions_showcase",
+    "json_functions_showcase",
+    "variant_functions_showcase",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
 ]
+
 QUERIES = {
     **{k: QUERIES[k] for k in _PRIORITY},
-    **{
-        k: v
-        for k, v in QUERIES.items()
-        if k not in _DEPRIORITIZED and k not in _PRIORITY
-    },
-    **{k: QUERIES[k] for k in _DEPRIORITIZED},
+    **{k: v for k, v in QUERIES.items() if k not in _PRIORITY},
 }
 
 

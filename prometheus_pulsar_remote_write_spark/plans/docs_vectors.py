@@ -1710,6 +1710,58 @@ FROM e
 """
 
 
+def multimodal_real_decode(spark, sf_dir):
+    """REAL media decode, end to end: even doc_ids carry a genuine PCM
+    WAV payload (stdlib-``wave``-readable, text bytes as 8-bit samples at
+    8 kHz), odd doc_ids a genuine zlib-compressed grayscale PNG
+    (width 32); ``decode_media(fake=False)`` then recovers duration from
+    the RIFF header via the ``wave`` module and dimensions from the IHDR
+    chunk. The oracle replays the metadata arithmetic (duration =
+    samples/rate, height = ceil(bytes/width)) from the text column --
+    byte-exact because documents.text is ASCII.
+
+    Scale shape: encode and decode are back-to-back narrow Arrow stages
+    over one documents scan; zero shuffles."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        multimodal.wav_col(F.encode(F.col("text"), "UTF-8"), framerate=8000),
+    ).otherwise(multimodal.png_col(F.encode(F.col("text"), "UTF-8"), width=32))
+    with_media = multimodal.attach_media(
+        docs.select("doc_id", "text"), payload, media_type="mixed"
+    )
+    decoded = multimodal.decode_media(with_media, fake=False)
+    return decoded.select(
+        "doc_id",
+        "decode_status",
+        "width",
+        "height",
+        "duration_ms",
+        # PNG byte size depends on zlib output, which SQL can't replay;
+        # assert the payload length for the fixed-layout WAV half only
+        F.when(F.col("doc_id") % 2 == 0, F.col("media_meta.n_bytes"))
+        .cast("long")
+        .alias("payload_bytes"),
+    )
+
+
+# WAV payload = 44-byte header + one byte per ASCII char; PNG height =
+# max(1, ceil(n/32)); duration = floor(samples * 1000 / 8000 Hz).
+REAL_DECODE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ok:wav' ELSE 'ok:png' END AS decode_status,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE 32 END::INT AS width,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE greatest((length(text) + 31) // 32, 1) END::INT AS height,
+       CASE WHEN doc_id % 2 = 0 THEN length(text) * 1000 // 8000
+            ELSE NULL END::BIGINT AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN 44 + length(text)
+            ELSE NULL END::BIGINT AS payload_bytes
+FROM documents
+"""
+
+
 # --- F4: corpus-level boilerplate (repeated-block) removal -------------------
 
 
@@ -2734,6 +2786,8 @@ QUERIES = {
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "emb_norm_stats": emb_norm_stats,
     "docs_vocab_growth": docs_vocab_growth,
+    # new in round 6
+    "multimodal_real_decode": multimodal_real_decode,
 }
 
 ORACLES = {
@@ -2793,4 +2847,5 @@ ORACLES = {
     "docs_dup_rate_by_source": DUP_RATE_SQL,
     "emb_norm_stats": EMB_NORM_SQL,
     "docs_vocab_growth": VOCAB_GROWTH_SQL,
+    "multimodal_real_decode": REAL_DECODE_SQL,
 }
