@@ -10,6 +10,11 @@ The reference's process model maps onto Spark like this:
   pulsar.topic / pulsar.url            -> bus_dir (message-bus directory;
                                           a real broker client drops into
                                           FilePublisher / read_payload_stream)
+  pulsar client construction           -> client ("file" | "module:factory"
+                                          returning a streaming/bus.py
+                                          MessageBusClient -- the A2/A3
+                                          adapter seam, pulsar.go:75-121,
+                                          226-263)
   pulsar.serializer                    -> serializer ("json" | "json-compat" |
                                           "avro-json-compat" |
                                           "avro-json-compat=<schema file>",
@@ -26,10 +31,11 @@ The reference's process model maps onto Spark like this:
   batch size 100 (write.go:20-24)      -> batch_size
   send-timeout                         -> send_timeout_s
 
-Flags the reference needs because it is a long-lived daemon (web.listen
-address, pprof, TLS client material, connection pools) have no Spark-job
-analog and are intentionally absent; observability rides DeliveryMetrics
-and Spark's own UI/listeners instead.
+Flags the reference needs because it is a long-lived daemon (pprof, TLS
+client material, connection pools) have no Spark-job analog and are
+intentionally absent; observability rides DeliveryMetrics and Spark's
+own UI/listeners instead. ``--web.listen`` IS implemented (a live HTTP
+receiver writing the drop_dir spool).
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ class AppConfig:
     mode: str  # "produce" | "consume"
     bus_dir: str  # message-bus directory (pulsar.topic analog)
     serializer: str = "json"
+    client: str = "file"  # bus client: "file" | "module:factory" (broker seam)
     # produce
     drop_dir: str | None = None  # remote-write body drop (web.write-path analog)
     listen: str | None = None  # "host:port" -> start a live HTTP receiver
@@ -87,6 +94,14 @@ class AppConfig:
         base = self.work_dir or os.path.join(self.bus_dir, "_app")
         return os.path.join(base, name)
 
+    def bus(self):
+        """The MessageBusClient this config selects (streaming/bus.py):
+        FileBus for the default, or the --pulsar.client factory's return
+        -- the single seam where a real broker SDK plugs in."""
+        from .streaming.bus import resolve_bus
+
+        return resolve_bus(self.client, self.bus_dir)
+
 
 def parse_args(argv: list) -> AppConfig:
     """Parse the reference's CLI surface (``produce``/``consume`` command +
@@ -101,6 +116,7 @@ def parse_args(argv: list) -> AppConfig:
         "web.listen": "listen",
         "remote-write.url": "remote_write_url",
         "pulsar.subscription": "subscription",
+        "pulsar.client": "client",
         "work-dir": "work_dir",
         "dlq-dir": "dlq_dir",
         "poison-dir": "poison_dir",
@@ -164,6 +180,7 @@ def run(spark: SparkSession, cfg: AppConfig):
             out_dir=cfg.bus_dir,
             checkpoint_dir=cfg._work(f"ckpt-produce-{cfg.subscription}"),
             serializer_format=cfg.serializer,
+            publisher=cfg.bus().sink(),
             trigger_once=cfg.trigger_once,
             replica_labels=cfg.replica_labels,
         )
@@ -189,5 +206,6 @@ def run(spark: SparkSession, cfg: AppConfig):
         fmt=cfg.serializer,
         trigger_once=cfg.trigger_once,
         trigger_interval_ms=cfg.batch_max_delay_ms,
+        source=cfg.bus().source(spark),
     )
     return query, sink

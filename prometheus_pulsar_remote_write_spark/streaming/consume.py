@@ -299,17 +299,25 @@ def run_consume_pipeline(
     fmt: str = "json",
     trigger_once: bool = True,
     trigger_interval_ms: int = 1000,
+    source: DataFrame | None = None,
 ):
     """Wire the consume stream: parse -> split poison -> sink. Returns the query.
 
     ``trigger_interval_ms`` is the Spark analog of the reference's
     consume batch-max-delay (app.go:36-38): a micro-batch closes at most
     this long after it opens, so an under-size per-tenant batch waits at
-    most one trigger interval before the D1 delay flush ships it."""
+    most one trigger interval before the D1 delay flush ships it.
+
+    ``source`` overrides the default file-backed payload stream with a
+    bus client's consumer stream (streaming/bus.py MessageBusClient
+    .source -- the A3 broker seam); it must produce (key, payload,
+    tenant_id) string columns."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         poison_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
     )
-    parsed = parse_samples(read_payload_stream(spark, in_dir), fmt)
+    if source is None:
+        source = read_payload_stream(spark, in_dir)
+    parsed = parse_samples(source, fmt)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         good = batch_df.filter(F.col("timestamp").isNotNull()).drop("payload")

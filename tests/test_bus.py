@@ -1,0 +1,189 @@
+"""A2/A3 broker adapter seam (streaming/bus.py): the MessageBusClient
+protocol, the FileBus default, a stub broker impl driven end to end
+through BOTH pipelines, and the --pulsar.client config selection
+(reference client surface: pkg/pulsar/pulsar.go:75-121, 226-263).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from prometheus_pulsar_remote_write_spark.app import parse_args
+from prometheus_pulsar_remote_write_spark.streaming.bus import (
+    BrokerBus,
+    FileBus,
+    MessageBusClient,
+    resolve_bus,
+)
+from tests.conftest import SF_SMOKE  # noqa: F401  (fixture wiring)
+
+#: module-level stub broker log (local[<n>] executors share the process
+#: filesystem, so a directory stands in for the broker's topic store)
+_STUB_DIRS: dict = {}
+
+
+class _StubBrokerBus:
+    """A minimal MessageBusClient over an in-directory 'topic': send()
+    appends JSON lines executor-side, source() streams them back."""
+
+    def __init__(self, bus_dir: str):
+        self.bus_dir = bus_dir
+
+    def sink(self):
+        topic = os.path.join(self.bus_dir, "topic")
+
+        def factory():
+            os.makedirs(topic, exist_ok=True)
+
+            class _Producer:
+                def __init__(self):
+                    self.path = os.path.join(topic, f"w-{os.getpid()}.jsonl")
+                    self.pending = []
+
+                def send(self, key, payload):
+                    if isinstance(payload, bytes):
+                        payload = payload.decode()
+                    self.pending.append({"key": key, "payload": payload})
+
+                def flush(self):
+                    with open(self.path, "a") as fh:
+                        for m in self.pending:
+                            fh.write(json.dumps(m) + "\n")
+                    self.pending.clear()
+
+            return _Producer()
+
+        from prometheus_pulsar_remote_write_spark.streaming.produce import (
+            BrokerPublisher,
+        )
+
+        return BrokerPublisher(factory, cache_key=f"stub-{self.bus_dir}")
+
+    def source(self, spark):
+        return (
+            spark.readStream.schema("key string, payload string")
+            .json(os.path.join(self.bus_dir, "topic"))
+            .withColumn("tenant_id", F.lit(""))
+        )
+
+
+def make_stub_bus(bus_dir: str):
+    """Factory resolved by --pulsar.client=tests.test_bus:make_stub_bus."""
+    return _StubBrokerBus(bus_dir)
+
+
+def test_filebus_satisfies_protocol_and_roundtrips(spark, tmp_path):
+    bus = FileBus(str(tmp_path / "bus"))
+    assert isinstance(bus, MessageBusClient)
+    rows = spark.createDataFrame(
+        [("k1", '{"v":1}', "t-a"), ("k2", '{"v":2}', "t-b")],
+        "key string, payload string, tenant_id string",
+    )
+    bus.sink()(rows, epoch_id=0)
+    back = (
+        bus.source(spark)
+        .writeStream.format("memory")
+        .queryName("filebus_rt")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    back.awaitTermination(60)
+    # tenant_id becomes a partition directory in the file layout (the
+    # wire payload carries it; consume re-derives it from there), so the
+    # raw source column is null -- key/payload are the bus contract
+    got = {
+        (r["key"], r["payload"]) for r in spark.sql("select * from filebus_rt").collect()
+    }
+    assert got == {("k1", '{"v":1}'), ("k2", '{"v":2}')}
+
+
+def test_resolve_bus_selects_impls(tmp_path):
+    assert isinstance(resolve_bus("file", str(tmp_path)), FileBus)
+    assert isinstance(resolve_bus("", str(tmp_path)), FileBus)
+    stub = resolve_bus("tests.test_bus:make_stub_bus", str(tmp_path))
+    # pytest imports this module under two names; compare structurally
+    assert type(stub).__name__ == "_StubBrokerBus"
+    assert isinstance(stub, MessageBusClient)
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_bus("not-a-spec", str(tmp_path))
+
+
+def test_app_config_selects_stub_broker(tmp_path):
+    cfg = parse_args(
+        [
+            "produce",
+            f"--pulsar.topic={tmp_path}/bus",
+            f"--web.write-path={tmp_path}/drop",
+            "--pulsar.client=tests.test_bus:make_stub_bus",
+        ]
+    )
+    assert cfg.client == "tests.test_bus:make_stub_bus"
+    assert type(cfg.bus()).__name__ == "_StubBrokerBus"
+
+
+def test_stub_broker_bus_end_to_end_through_both_pipelines(spark, tmp_path):
+    """Produce publishes through the stub broker's producer (executor-side
+    factory, flush per partition), consume reads through the stub's
+    source stream -- the full A2->A3 hop over the declared seam with the
+    file bus nowhere in the path."""
+    from prometheus_pulsar_remote_write_spark.sources import prompb, snappy_codec
+    from prometheus_pulsar_remote_write_spark.streaming.consume import (
+        parse_samples,
+    )
+    from prometheus_pulsar_remote_write_spark.streaming.produce import (
+        run_produce_pipeline,
+    )
+
+    drop = tmp_path / "drop" / "tenant-a"
+    drop.mkdir(parents=True)
+    body = snappy_codec.compress(
+        prompb.encode_write_request(
+            {
+                "timeseries": [
+                    {
+                        "labels": [{"name": "__name__", "value": "m"}],
+                        "samples": [
+                            {"value": float(i), "timestamp": 1000 + i}
+                            for i in range(5)
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    (drop / "b0.bin").write_bytes(body)
+
+    bus = make_stub_bus(str(tmp_path / "bus"))
+    q = run_produce_pipeline(
+        spark,
+        drop_dir=str(tmp_path / "drop"),
+        out_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ckpt-p"),
+        publisher=bus.sink(),
+    )
+    q.awaitTermination(120)
+    topic_files = os.listdir(tmp_path / "bus" / "topic")
+    assert topic_files, "stub broker received nothing"
+
+    parsed = parse_samples(bus.source(spark), fmt="json")
+    back = (
+        parsed.writeStream.format("memory")
+        .queryName("stub_bus_consume")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt-c"))
+        .start()
+    )
+    back.awaitTermination(120)
+    vals = sorted(
+        r["value"]
+        for r in spark.sql(
+            "select value from stub_bus_consume where timestamp is not null"
+        ).collect()
+    )
+    assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
