@@ -18,6 +18,7 @@ executors as a side output of the existing plan.
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -103,6 +104,23 @@ class MetricsListener:
                 out["n_samples"] += metrics.get("n_samples") or 0
         return out
 
+    def exposition(self) -> str:
+        """Prometheus text exposition of the stream-side totals (the
+        produce-path halves of the reference's received counter ride the
+        query's observed metrics rather than sink callbacks)."""
+        t = self.totals()
+        return (
+            "# HELP stream_input_rows_total Total rows ingested by the streaming query.\n"
+            "# TYPE stream_input_rows_total counter\n"
+            f"stream_input_rows_total {t['num_input_rows']}\n"
+            "# HELP stream_observed_samples_total Total samples observed by the plan's metrics.\n"
+            "# TYPE stream_observed_samples_total counter\n"
+            f"stream_observed_samples_total {t['n_samples']}\n"
+            "# HELP stream_batches_total Micro-batches processed.\n"
+            "# TYPE stream_batches_total counter\n"
+            f"stream_batches_total {len(self.progress)}\n"
+        )
+
 
 @dataclass
 class DeliveryMetrics:
@@ -113,11 +131,15 @@ class DeliveryMetrics:
     sent: dict = field(default_factory=dict)
     failed: dict = field(default_factory=dict)
     retries: int = 0
+    retries_by_tenant: dict = field(default_factory=dict)
     duration_buckets: list = field(
         default_factory=lambda: [0] * (len(DURATION_BUCKETS) + 1)
     )
     duration_sum: float = 0.0
     duration_count: int = 0
+    #: per-tenant histograms (the reference keys SentBatchDuration by
+    #: (remote, tenant)); the flat fields above stay as the global rollup
+    tenant_duration: dict = field(default_factory=dict)
 
     def count_received(self, tenant_id: str, n: int = 1) -> None:
         self.received[tenant_id] = self.received.get(tenant_id, 0) + n
@@ -128,19 +150,30 @@ class DeliveryMetrics:
     def count_failed(self, tenant_id: str, n: int = 1) -> None:
         self.failed[tenant_id] = self.failed.get(tenant_id, 0) + n
 
-    def count_retry(self) -> None:
+    def count_retry(self, tenant_id: str = "") -> None:
         self.retries += 1
+        self.retries_by_tenant[tenant_id] = (
+            self.retries_by_tenant.get(tenant_id, 0) + 1
+        )
 
-    def observe_duration(self, seconds: float) -> None:
+    def observe_duration(self, seconds: float, tenant_id: str = "") -> None:
         self.duration_sum += seconds
         self.duration_count += 1
+        h = self.tenant_duration.setdefault(
+            tenant_id,
+            {"buckets": [0] * (len(DURATION_BUCKETS) + 1), "sum": 0.0, "count": 0},
+        )
+        h["sum"] += seconds
+        h["count"] += 1
         for i, bound in enumerate(DURATION_BUCKETS):
             if seconds <= bound:
                 self.duration_buckets[i] += 1
+                h["buckets"][i] += 1
                 return
         self.duration_buckets[-1] += 1
+        h["buckets"][-1] += 1
 
-    def time_send(self):
+    def time_send(self, tenant_id: str = ""):
         """Context manager: times one POST into the histogram."""
         metrics = self
 
@@ -150,10 +183,86 @@ class DeliveryMetrics:
                 return self
 
             def __exit__(self, *exc):
-                metrics.observe_duration(time.monotonic() - self.t0)
+                metrics.observe_duration(time.monotonic() - self.t0, tenant_id)
                 return False
 
         return _Timer()
+
+    def exposition(self, remote: str = "remote") -> str:
+        """Prometheus text exposition (format 0.0.4) of the reference's
+        five metric families (pkg/metrics/metrics.go:20-59):
+        received_samples_total{tenant}, sent_samples_total{remote,tenant},
+        failed_samples_total{remote,tenant},
+        retryable_failed_writes{remote,tenant},
+        sent_batch_duration_seconds{remote,tenant} -- names, HELP strings
+        and label keys byte-compatible with the reference's registry, so a
+        Prometheus scraping this endpoint sees the same series."""
+        out = []
+
+        def fam(name, help_text, mtype):
+            out.append(f"# HELP {name} {help_text}")
+            out.append(f"# TYPE {name} {mtype}")
+
+        def esc(v: str) -> str:
+            return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+        fam("received_samples_total", "Total number of received samples.", "counter")
+        for tenant in sorted(self.received):
+            out.append(
+                f'received_samples_total{{tenant="{esc(tenant)}"}} '
+                f"{self.received[tenant]}"
+            )
+        fam(
+            "sent_samples_total",
+            "Total number of processed samples sent to remote storage.",
+            "counter",
+        )
+        for tenant in sorted(self.sent):
+            out.append(
+                f'sent_samples_total{{remote="{esc(remote)}",tenant="{esc(tenant)}"}} '
+                f"{self.sent[tenant]}"
+            )
+        fam(
+            "failed_samples_total",
+            "Total number of processed samples which failed on send to remote storage.",
+            "counter",
+        )
+        for tenant in sorted(self.failed):
+            out.append(
+                f'failed_samples_total{{remote="{esc(remote)}",tenant="{esc(tenant)}"}} '
+                f"{self.failed[tenant]}"
+            )
+        fam(
+            "retryable_failed_writes",
+            "Number of retryable failures when sending to remote storage",
+            "counter",
+        )
+        for tenant in sorted(self.retries_by_tenant):
+            out.append(
+                f'retryable_failed_writes{{remote="{esc(remote)}",tenant="{esc(tenant)}"}} '
+                f"{self.retries_by_tenant[tenant]}"
+            )
+        fam(
+            "sent_batch_duration_seconds",
+            "Duration of sample batch send calls to the remote storage.",
+            "histogram",
+        )
+        for tenant in sorted(self.tenant_duration):
+            h = self.tenant_duration[tenant]
+            labels = f'remote="{esc(remote)}",tenant="{esc(tenant)}"'
+            cum = 0
+            for i, bound in enumerate(DURATION_BUCKETS):
+                cum += h["buckets"][i]
+                out.append(
+                    f'sent_batch_duration_seconds_bucket{{{labels},le="{bound}"}} {cum}'
+                )
+            cum += h["buckets"][-1]
+            out.append(
+                f'sent_batch_duration_seconds_bucket{{{labels},le="+Inf"}} {cum}'
+            )
+            out.append(f"sent_batch_duration_seconds_sum{{{labels}}} {h['sum']}")
+            out.append(f"sent_batch_duration_seconds_count{{{labels}}} {h['count']}")
+        return "\n".join(out) + "\n"
 
     def snapshot(self) -> dict:
         return {
@@ -167,3 +276,103 @@ class DeliveryMetrics:
                 "count": self.duration_count,
             },
         }
+
+
+# --- promlint-style exposition checks ----------------------------------------
+
+_METRIC_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+_LABEL_PAIR_RE = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
+_SAMPLE_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)$")
+
+
+def parse_exposition(text: str) -> dict:
+    """Parse text exposition into {family: {"type": ..., "help": ...,
+    "samples": [(name, {label: value}, value_str)]}}. Strict enough for
+    the lint below; not a full openmetrics parser."""
+    families: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("# HELP "):
+            _, _, rest = line.partition("# HELP ")
+            name, _, help_text = rest.partition(" ")
+            families.setdefault(name, {"samples": []})["help"] = help_text
+        elif line.startswith("# TYPE "):
+            _, _, rest = line.partition("# TYPE ")
+            name, _, mtype = rest.partition(" ")
+            families.setdefault(name, {"samples": []})["type"] = mtype
+        elif line.startswith("#"):
+            continue
+        else:
+            m = _SAMPLE_RE.match(line)
+            if not m:
+                raise ValueError(f"unparsable sample line: {line!r}")
+            name, labels_raw, value = m.groups()
+            labels = {}
+            if labels_raw:
+                for part in _LABEL_PAIR_RE.findall(labels_raw):
+                    labels[part[0]] = part[1]
+            base = name
+            for suffix in ("_bucket", "_sum", "_count"):
+                if name.endswith(suffix) and name[: -len(suffix)] in families:
+                    base = name[: -len(suffix)]
+                    break
+            families.setdefault(base, {"samples": []})["samples"].append(
+                (name, labels, value)
+            )
+    return families
+
+
+def lint_exposition(text: str, names: list | None = None) -> list:
+    """promlint-style checks (the reference gates its integration test on
+    testutil.GatherAndLint, consume_integration_test.go:235-253): metric
+    and label name charset, counters suffixed ``_total``, histograms
+    carrying a base unit (``_seconds``) plus +Inf bucket / _sum / _count,
+    every family typed and helped. Returns a list of problem strings
+    (empty = lint-clean). ``names`` restricts the check the way
+    GatherAndLint's variadic names do."""
+    problems = []
+    families = parse_exposition(text)
+    for name, fam in families.items():
+        if names is not None and name not in names:
+            continue
+        mtype = fam.get("type")
+        if not _METRIC_NAME_RE.match(name):
+            problems.append(f"{name}: invalid metric name")
+        if mtype is None:
+            problems.append(f"{name}: no TYPE declared")
+            continue
+        if not fam.get("help"):
+            problems.append(f"{name}: no HELP string")
+        if mtype == "counter" and not name.endswith("_total"):
+            problems.append(f"{name}: counter metrics should have \"_total\" suffix")
+        if mtype == "histogram" and not any(
+            name.endswith(u) for u in ("_seconds", "_bytes", "_ratio", "_total")
+        ):
+            problems.append(f"{name}: histogram should have a base-unit suffix")
+        for sample_name, labels, _ in fam["samples"]:
+            for label in labels:
+                if not _LABEL_NAME_RE.match(label):
+                    problems.append(f"{name}: invalid label name {label!r}")
+                if label.startswith("__"):
+                    problems.append(f"{name}: reserved label {label!r}")
+        if mtype == "histogram" and fam["samples"]:
+            by_series: dict = {}
+            for sample_name, labels, _ in fam["samples"]:
+                key = tuple(
+                    sorted((k, v) for k, v in labels.items() if k != "le")
+                )
+                by_series.setdefault(key, set()).add(
+                    (sample_name, labels.get("le"))
+                )
+            for key, parts in by_series.items():
+                names_seen = {n for n, _ in parts}
+                if f"{name}_sum" not in names_seen:
+                    problems.append(f"{name}: series {key} missing _sum")
+                if f"{name}_count" not in names_seen:
+                    problems.append(f"{name}: series {key} missing _count")
+                if (f"{name}_bucket", "+Inf") not in parts:
+                    problems.append(f"{name}: series {key} missing +Inf bucket")
+    return problems

@@ -202,17 +202,17 @@ class RemoteWriteSink:
                 self.metrics.count_received(tenant_id, n)
             try:
                 if self.metrics is not None:
-                    with self.metrics.time_send():
+                    with self.metrics.time_send(tenant_id):
                         status = self._post(tenant_id, body)
                 else:
                     status = self._post(tenant_id, body)
             except Exception as exc:  # transport error: recoverable
                 if self.metrics is not None:
-                    self.metrics.count_retry()
+                    self.metrics.count_retry(tenant_id)
                 raise RecoverableError(str(exc))
             if status >= 500:  # D5: recoverable -> replay micro-batch
                 if self.metrics is not None:
-                    self.metrics.count_retry()
+                    self.metrics.count_retry(tenant_id)
                 raise RecoverableError(f"HTTP {status} for tenant {tenant_id!r}")
             if status >= 400:  # D6: unrecoverable -> DLQ + continue
                 self._dlq_write(epoch_id, tenant_id, batch_seq, body)
@@ -257,7 +257,7 @@ class RemoteWriteSink:
             for tenant_id, batch_seq, status, n, elapsed in statuses:
                 if self.metrics is not None:
                     self.metrics.count_received(tenant_id, n)
-                    self.metrics.observe_duration(elapsed)
+                    self.metrics.observe_duration(elapsed, tenant_id)
                 if status >= 500:  # D5 (599 = transport error)
                     recoverable.append((tenant_id, batch_seq, status))
                 elif status >= 400:  # D6
@@ -282,9 +282,9 @@ class RemoteWriteSink:
                         self.metrics.count_failed(tenant_id, n)
                     self._settle(epoch_id, tenant_id, batch_seq)
             if recoverable:
-                if self.metrics is not None:
-                    self.metrics.count_retry()
                 t, b, code = recoverable[0]
+                if self.metrics is not None:
+                    self.metrics.count_retry(t)
                 raise RecoverableError(f"HTTP {code} for tenant {t!r} batch {b}")
         finally:
             batched.unpersist()

@@ -111,3 +111,101 @@ def test_sink_records_delivery_metrics(spark, tmp_path):
     assert sum(snap["sent"].values()) + sum(snap["failed"].values()) == n_good
     assert snap["send_duration"]["count"] == 2  # one POST per tenant batch
     assert snap["retries"] == 0
+
+
+def test_exposition_matches_reference_families_and_lints_clean():
+    """Metric exposition + lint parity (reference pkg/metrics/metrics.go:20-59
+    and the GatherAndCount/GatherAndLint gate in
+    integration/consume_integration_test.go:235-253): the five families
+    carry the reference's exact names/HELP/labels, the series counts match
+    the activity, and the three families the reference lints are
+    promlint-clean."""
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        lint_exposition,
+        parse_exposition,
+    )
+
+    m = DeliveryMetrics()
+    m.count_received("tenant-a", 5)
+    m.count_received("tenant-b", 3)
+    m.count_sent("tenant-a", 5)
+    m.count_failed("tenant-b", 3)
+    m.count_retry("tenant-b")
+    with m.time_send("tenant-a"):
+        pass
+    m.observe_duration(0.2, "tenant-b")
+
+    text = m.exposition(remote="http://rw.example/api/v1/write")
+    fams = parse_exposition(text)
+    assert set(fams) == {
+        "received_samples_total",
+        "sent_samples_total",
+        "failed_samples_total",
+        "retryable_failed_writes",
+        "sent_batch_duration_seconds",
+    }
+    # GatherAndCount analog: series per family match activity
+    assert len(fams["received_samples_total"]["samples"]) == 2
+    assert len(fams["sent_samples_total"]["samples"]) == 1
+    assert len(fams["failed_samples_total"]["samples"]) == 1
+    # histogram: 2 tenants x (11 finite buckets + Inf + sum + count)
+    assert len(fams["sent_batch_duration_seconds"]["samples"]) == 2 * 14
+    # label keys mirror the reference's CounterVec label sets
+    name, labels, value = fams["received_samples_total"]["samples"][0]
+    assert set(labels) == {"tenant"}
+    name, labels, value = fams["sent_samples_total"]["samples"][0]
+    assert set(labels) == {"remote", "tenant"} and value == "5"
+
+    # the reference lints these three families; they must be clean
+    problems = lint_exposition(
+        text,
+        names=[
+            "received_samples_total",
+            "sent_samples_total",
+            "sent_batch_duration_seconds",
+        ],
+    )
+    assert problems == []
+    # full-text lint flags exactly the reference's one non-conforming
+    # name (retryable_failed_writes lacks _total -- kept for parity)
+    assert lint_exposition(text) == [
+        'retryable_failed_writes: counter metrics should have "_total" suffix'
+    ]
+
+
+def test_lint_exposition_catches_problems():
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        lint_exposition,
+    )
+
+    bad = (
+        "# HELP wrong_counter a counter without total\n"
+        "# TYPE wrong_counter counter\n"
+        'wrong_counter{__reserved="x"} 1\n'
+        "untyped_series 2\n"
+        "# HELP short_hist histogram missing parts\n"
+        "# TYPE short_hist histogram\n"
+        'short_hist_bucket{le="1.0"} 1\n'
+    )
+    problems = lint_exposition(bad)
+    assert any("_total" in p for p in problems)
+    assert any("reserved label" in p for p in problems)
+    assert any("no TYPE" in p for p in problems)
+    assert any("base-unit suffix" in p for p in problems)
+    assert any("missing _sum" in p for p in problems)
+    assert any("missing +Inf bucket" in p for p in problems)
+
+
+def test_metrics_listener_exposition_lints_clean():
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        lint_exposition,
+    )
+
+    listener = MetricsListener()
+    listener.progress.append(
+        {"batch_id": 0, "num_input_rows": 7, "duration_ms": 3,
+         "observed": {"samples": {"n_samples": 7}}}
+    )
+    text = listener.exposition()
+    assert "stream_input_rows_total 7" in text
+    assert lint_exposition(text) == []
