@@ -754,8 +754,11 @@ def test_tws_batcher_matches_applyinpandas_semantics(spark, tmp_path):
     sequence numbers, arrival order preserved.
 
     Spark's TWS control channel needs the protobuf package (the engine
-    itself never does -- sources/prompb.py is a pure-Python codec);
-    skipped where protobuf isn't installed."""
+    itself never does -- sources/prompb.py is a pure-Python codec;
+    tests/_shims aliases the image's vendored runtime where protobuf
+    isn't pip-installed) and the RocksDB state store provider (typed
+    state variables are column families, which the HDFS-backed provider
+    lacks)."""
     pytest.importorskip("google.protobuf")
     from prometheus_pulsar_remote_write_spark.streaming.batcher import tws_batches
 
@@ -768,15 +771,27 @@ def test_tws_batcher_matches_applyinpandas_semantics(spark, tmp_path):
     ]
     stream = _samples_stream(spark, tmp_path, rows)
     batched = tws_batches(stream, batch_size=100, max_delay_ms=3_000)
-    q = (
-        batched.writeStream.format("memory")
-        .queryName("tws_batcher")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q.awaitTermination(180)
+    try:
+        q = (
+            batched.writeStream.format("memory")
+            .queryName("tws_batcher")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     out = spark.sql("SELECT * FROM tws_batcher").collect()
     by_tenant = {}
     for r in out:
