@@ -285,6 +285,7 @@ def pq_assign(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product quantization assignment: split each vector into ``n_sub``
     subvectors and code each against a per-subspace codebook, giving a
@@ -297,6 +298,11 @@ def pq_assign(
     places with code-id tiebreak, so the full assignment is SQL-replayable.
     One broadcast join (codebook = n_sub * n_codes tiny rows) + one
     per-(vector, subspace) rank + one regroup -- no corpus self-join.
+
+    ``codebook`` overrides the derived codebook with an existing one
+    ((code, s, cv) rows, e.g. a persisted index's `_codebook`) -- the
+    incremental-maintenance path, where new vectors must code against
+    the FROZEN book the serving index was built with.
 
     Returns (id, s, code, dist_r) -- one row per vector per subspace.
     """
@@ -312,12 +318,15 @@ def pq_assign(
     corpus_sub = corpus.select(
         F.col(id_col), F.explode(sub_structs).alias("e")
     ).select(id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    cb_sub = (
-        corpus.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("code"), F.explode(sub_structs).alias("e"))
-        .select("code", F.col("e.s").alias("s"), F.col("e.sub").alias("cv"))
-    )
+    if codebook is not None:
+        cb_sub = codebook.select("code", "s", "cv")
+    else:
+        cb_sub = (
+            corpus.orderBy(id_col)
+            .limit(n_codes)
+            .select(F.col(id_col).alias("code"), F.explode(sub_structs).alias("e"))
+            .select("code", F.col("e.s").alias("s"), F.col("e.sub").alias("cv"))
+        )
     dist = F.round(
         F.aggregate(
             F.zip_with(
@@ -519,19 +528,8 @@ def persist_ivfpq_index(
     along in `_centroids` / `_codebook` subdirs."""
     centroids = corpus.orderBy(id_col).limit(n_cells)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    codes = (
-        pq_assign(corpus, n_sub, sub_dim, n_codes, id_col, vec_col)
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("s").alias("s"), F.col("code").alias("code"))
-                    )
-                ),
-                lambda x: x.getField("code"),
-            ).alias("codes")
-        )
+    codes = _pq_code_words(
+        pq_assign(corpus, n_sub, sub_dim, n_codes, id_col, vec_col), id_col
     )
     assigned.select(id_col, "cell").join(codes, id_col).write.mode(
         "overwrite"
@@ -563,6 +561,92 @@ def persist_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/_codebook")
     )
+
+
+def append_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Incremental IVF maintenance: assign NEW vectors to the index's
+    EXISTING (frozen) centroids and append them to their cell partitions.
+
+    Only the touched cell directories gain files -- untouched cells are
+    never opened, let alone rewritten (at 100 TB a nightly append
+    touches the cells the new data lands in, not the whole index).
+    Idempotent: ids already present in a touched cell are anti-joined
+    out first (partition-pruned read of just those cells), so a replayed
+    append is a no-op. Centroid re-training is deliberately NOT done
+    here; that is the offline rebuild (``persist_ivf_index``), the same
+    split real ANN serving uses.
+
+    Returns the list of touched cell ids."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    centroids = cent.select(
+        F.col("cell").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    cells = sorted(r[0] for r in assigned.select("cell").distinct().collect())
+    existing_ids = (
+        spark.read.parquet(path).where(F.col("cell").isin(cells)).select(id_col)
+    )
+    fresh = assigned.join(existing_ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    fresh.write.mode("append").partitionBy("cell").parquet(path)
+    return cells
+
+
+def _pq_code_words(codes_long: DataFrame, id_col: str) -> DataFrame:
+    """(id, s, code) rows -> (id, codes array ordered by subspace)."""
+    return codes_long.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("s").alias("s"), F.col("code").alias("code"))
+                )
+            ),
+            lambda x: x.getField("code"),
+        ).alias("codes")
+    )
+
+
+def append_ivfpq_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Incremental IVF-PQ maintenance: cell-assign against the frozen
+    centroids AND code against the frozen ``_codebook``, then append the
+    8-byte code rows to the touched cell partitions only. Same
+    idempotence contract as :func:`append_ivf_index`. Returns touched
+    cells."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    centroids = cent.select(
+        F.col("cell").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+    codebook = spark.read.parquet(f"{path}/_codebook")
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    codes = _pq_code_words(
+        pq_assign(
+            new_vectors, n_sub, sub_dim, 0, id_col, vec_col, codebook=codebook
+        ),
+        id_col,
+    )
+    rows = assigned.select(id_col, "cell").join(codes, id_col)
+    cells = sorted(r[0] for r in rows.select("cell").distinct().collect())
+    existing_ids = (
+        spark.read.parquet(path).where(F.col("cell").isin(cells)).select(id_col)
+    )
+    fresh = rows.join(existing_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    fresh.write.mode("append").partitionBy("cell").parquet(path)
+    return cells
 
 
 def ivfpq_topk_indexed(

@@ -368,3 +368,110 @@ def test_ppjoin_equals_plain_index_join_with_fewer_candidates(spark):
         .count()
     )
     assert pp_cand < plain_cand, (pp_cand, plain_cand)
+
+
+def _partition_file_snapshot(idx_path):
+    import os
+
+    out = {}
+    for cell_dir in os.listdir(idx_path):
+        if not cell_dir.startswith("cell="):
+            continue
+        files = sorted(
+            f for f in os.listdir(os.path.join(idx_path, cell_dir))
+            if f.endswith(".parquet")
+        )
+        out[cell_dir] = files
+    return out
+
+
+def test_incremental_ivf_append_matches_full_rebuild(spark, tmp_path):
+    """append_ivf_index on a grown corpus == persist_ivf_index rebuilt on
+    the same corpus (frozen centroids), only the touched cell dirs gain
+    files, and a replayed append is a no-op (idempotent)."""
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+
+    idx = str(tmp_path / "incr")
+    persist_ivf_index(base, idx, n_cells=8)
+    before = _partition_file_snapshot(idx)
+
+    touched = append_ivf_index(spark, extra, idx)
+    after = _partition_file_snapshot(idx)
+    # untouched cells: byte-identical file lists
+    for cell_dir, files in before.items():
+        cell = int(cell_dir.split("=")[1])
+        if cell not in touched:
+            assert after[cell_dir] == files
+
+    # incremental result == full rebuild over the same corpus with the
+    # same (frozen) centroid set -- base keeps the low ids, so the
+    # rebuild derives identical centroids
+    full = str(tmp_path / "full")
+    persist_ivf_index(emb, full, n_cells=8)
+    got = {
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(idx).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(full).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+    # replayed append: no new rows, no new files
+    append_ivf_index(spark, extra, idx)
+    assert spark.read.parquet(idx).count() == emb.count()
+
+    # the serving query over the incrementally-built index matches the
+    # rebuilt one exactly
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, idx, queries, nprobe=2, k=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ivf_topk_indexed(spark, full, queries, nprobe=2, k=3).collect()
+    )
+    assert a == b
+
+
+def test_incremental_ivfpq_append_matches_full_rebuild(spark, tmp_path):
+    """Same contract for the code-only IVF-PQ layout: frozen centroids AND
+    frozen codebook, append touches only its cells, result rows equal the
+    full rebuild."""
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        append_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+
+    idx = str(tmp_path / "incr")
+    persist_ivfpq_index(base, idx, n_cells=8)
+    before = _partition_file_snapshot(idx)
+    touched = append_ivfpq_index(spark, extra, idx)
+    after = _partition_file_snapshot(idx)
+    for cell_dir, files in before.items():
+        if int(cell_dir.split("=")[1]) not in touched:
+            assert after[cell_dir] == files
+
+    full = str(tmp_path / "full")
+    persist_ivfpq_index(emb, full, n_cells=8)
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(full).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+    append_ivfpq_index(spark, extra, idx)  # idempotent replay
+    assert spark.read.parquet(idx).count() == emb.count()
