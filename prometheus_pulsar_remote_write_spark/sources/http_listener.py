@@ -59,9 +59,22 @@ def _tenant_from_headers(headers) -> str:
 
 
 class RemoteWriteListener:
-    """Minimal threaded remote-write receiver writing the blob spool."""
+    """Minimal threaded remote-write receiver writing the blob spool.
 
-    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    Ops surface (the reference's web endpoints, pkg/app/app.go):
+    ``POST /write`` / ``/api/v1/push`` ingest; ``GET /ready`` liveness;
+    ``GET /metrics`` Prometheus text exposition of the listener's
+    accepted/rejected counters plus, when a ``delivery_metrics``
+    (operators.metrics.DeliveryMetrics) is attached, the five
+    reference delivery families."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        delivery_metrics=None,
+    ):
         self.spool_dir = spool_dir
         self._host = host
         self._port = port
@@ -73,6 +86,33 @@ class RemoteWriteListener:
         self.accepted = 0
         self.rejected = 0
         self.accepted_by_tenant: dict = {}
+        self.delivery_metrics = delivery_metrics
+
+    def exposition(self) -> str:
+        """Prometheus text exposition of the ingest counters (promlint-
+        clean; see operators.metrics.lint_exposition)."""
+        with self._lock:
+            accepted_by_tenant = dict(self.accepted_by_tenant)
+            rejected = self.rejected
+        out = [
+            "# HELP listener_accepted_requests_total Remote-write bodies accepted and spooled.",
+            "# TYPE listener_accepted_requests_total counter",
+        ]
+        for tenant in sorted(accepted_by_tenant):
+            safe = tenant.replace("\\", "\\\\").replace('"', '\\"')
+            out.append(
+                f'listener_accepted_requests_total{{tenant="{safe}"}} '
+                f"{accepted_by_tenant[tenant]}"
+            )
+        out += [
+            "# HELP listener_rejected_requests_total Bodies refused with 400 (undecodable or bad tenant).",
+            "# TYPE listener_rejected_requests_total counter",
+            f"listener_rejected_requests_total {rejected}",
+        ]
+        text = "\n".join(out) + "\n"
+        if self.delivery_metrics is not None:
+            text += self.delivery_metrics.exposition()
+        return text
 
     def start(self) -> tuple[str, int]:
         spool = self.spool_dir
@@ -82,6 +122,23 @@ class RemoteWriteListener:
         class _Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet test output
                 pass
+
+            def do_GET(self):
+                if self.path == "/ready":
+                    body = b"ready\n"
+                elif self.path == "/metrics":
+                    body = outer.exposition().encode()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_POST(self):
                 if self.path not in ("/write", "/api/v1/push"):

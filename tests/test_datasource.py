@@ -300,3 +300,64 @@ def test_http_listener_rejects_traversal_tenants(tmp_path):
     assert not outside.exists()
     assert listener.rejected == 3 and listener.accepted == 1
     assert (spool / "tenant-ok").is_dir()
+
+
+def test_http_listener_ops_endpoints(tmp_path):
+    """A7 web/ops surface: GET /ready answers 200, GET /metrics serves a
+    promlint-clean Prometheus exposition of the ingest counters (and the
+    delivery families when a DeliveryMetrics is attached)."""
+    import urllib.request
+
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        DeliveryMetrics,
+        lint_exposition,
+    )
+    from prometheus_pulsar_remote_write_spark.sources import prompb, snappy_codec
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        RemoteWriteListener,
+    )
+
+    dm = DeliveryMetrics()
+    dm.count_sent("tenant-a", 4)
+    listener = RemoteWriteListener(str(tmp_path / "spool"), delivery_metrics=dm)
+    host, port = listener.start()
+
+    body = snappy_codec.compress(
+        prompb.encode_write_request(
+            {
+                "timeseries": [
+                    {
+                        "labels": [{"name": "__name__", "value": "m"}],
+                        "samples": [{"value": 1.0, "timestamp": 1}],
+                    }
+                ]
+            }
+        )
+    )
+    req = urllib.request.Request(
+        f"http://{host}:{port}/write",
+        data=body,
+        headers={"X-Scope-OrgID": "tenant-a"},
+    )
+    assert urllib.request.urlopen(req).status == 200
+
+    assert urllib.request.urlopen(f"http://{host}:{port}/ready").read() == b"ready\n"
+    resp = urllib.request.urlopen(f"http://{host}:{port}/metrics")
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    text = resp.read().decode()
+    listener.stop()
+
+    assert 'listener_accepted_requests_total{tenant="tenant-a"} 1' in text
+    assert "listener_rejected_requests_total 0" in text
+    assert 'sent_samples_total{remote="remote",tenant="tenant-a"} 4' in text
+    assert (
+        lint_exposition(
+            text,
+            names=[
+                "listener_accepted_requests_total",
+                "listener_rejected_requests_total",
+                "sent_samples_total",
+            ],
+        )
+        == []
+    )
