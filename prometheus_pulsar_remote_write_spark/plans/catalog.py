@@ -40,6 +40,7 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 _PRIORITY = [
     # new / changed in round 6
     "multimodal_real_decode",
+    "emb_semdedup",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q13_order_count_distribution",
-    "q15_top_supplier",
 ]
 
 QUERIES = {

@@ -28,9 +28,11 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import (
     _hyperplane_signs,
+    cosine_expr,
     cosine_pairs_exact,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_assign,
     ivf_topk,
 )
 from ..operators.text import (
@@ -1710,6 +1712,88 @@ FROM e
 """
 
 
+_SEMDEDUP_THR = 0.4
+_SEMDEDUP_CELLS = 8
+
+
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus, then within each cluster drop every vector whose
+    cosine to a LOWER-id cluster member reaches the threshold -- the
+    published recipe for semantic (not lexical) dedup of web-scale
+    training data. Clustering uses the repo's deterministic seed
+    centroids (lowest vec_ids, cosine assignment = ivf_assign), so the
+    whole pipeline is SQL-replayable.
+
+    Scale shape: this is THE point of SemDeDup -- the O(n^2) cosine join
+    is confined inside clusters (sum of cluster_size^2, not corpus^2),
+    and the cluster self-join shuffles on the cell key that the IVF
+    index already partitions by. The drop set is a tiny distinct
+    projection; the final anti-join broadcasts. Emits every vector with
+    its cluster and kept flag."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    centroids = emb.orderBy("vec_id").limit(_SEMDEDUP_CELLS)
+    assigned = ivf_assign(emb, centroids).select("vec_id", "embedding", "cell")
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    drop = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine_expr(
+                    F.transform("va", lambda x: x.cast("double")),
+                    F.transform("vb", lambda x: x.cast("double")),
+                ),
+                6,
+            )
+            >= _SEMDEDUP_THR
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(F.broadcast(drop.withColumn("__drop", F.lit(True))), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+EMB_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}),
+a AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+               cent.cell ASC) AS r
+    FROM e CROSS JOIN cent) WHERE r = 1
+),
+drop_ids AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        >= {_SEMDEDUP_THR}
+)
+SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM drop_ids) AS kept
+FROM a
+"""
+
+
 def multimodal_real_decode(spark, sf_dir):
     """REAL media decode, end to end: even doc_ids carry a genuine PCM
     WAV payload (stdlib-``wave``-readable, text bytes as 8-bit samples at
@@ -2788,6 +2872,7 @@ QUERIES = {
     "docs_vocab_growth": docs_vocab_growth,
     # new in round 6
     "multimodal_real_decode": multimodal_real_decode,
+    "emb_semdedup": emb_semdedup,
 }
 
 ORACLES = {
@@ -2848,4 +2933,5 @@ ORACLES = {
     "emb_norm_stats": EMB_NORM_SQL,
     "docs_vocab_growth": VOCAB_GROWTH_SQL,
     "multimodal_real_decode": REAL_DECODE_SQL,
+    "emb_semdedup": EMB_SEMDEDUP_SQL,
 }
