@@ -28,7 +28,6 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import (
     _hyperplane_signs,
-    cosine_expr,
     cosine_pairs_exact,
     cosine_topk,
     embedding_neardup_pairs,
@@ -1731,29 +1730,36 @@ def emb_semdedup(spark, sf_dir):
     index already partitions by. The drop set is a tiny distinct
     projection; the final anti-join broadcasts. Emits every vector with
     its cluster and kept flag."""
+    from ..operators.similarity import dot_expr, norm_expr
+
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     centroids = emb.orderBy("vec_id").limit(_SEMDEDUP_CELLS)
-    assigned = ivf_assign(emb, centroids).select("vec_id", "embedding", "cell")
+    # norms computed ONCE per row before the pair join (higher-order array
+    # exprs are interpreted, not codegen'd -- see similarity.py note): the
+    # join then pays a single dot product per pair
+    assigned = (
+        ivf_assign(emb, centroids)
+        .select("vec_id", "embedding", "cell")
+        .withColumn("nrm", norm_expr(F.col("embedding")))
+    )
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     drop = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(
-                cosine_expr(
-                    F.transform("va", lambda x: x.cast("double")),
-                    F.transform("vb", lambda x: x.cast("double")),
-                ),
-                6,
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             )
             >= _SEMDEDUP_THR
         )
