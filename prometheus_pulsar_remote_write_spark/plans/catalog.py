@@ -41,6 +41,7 @@ _PRIORITY = [
     # new / changed in round 6
     "multimodal_real_decode",
     "emb_semdedup",
+    "docs_bpe_learn_merges",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "variant_functions_showcase",
     "q7_volume_shipping",
     "q8_market_share",
-    "q13_order_count_distribution",
 ]
 
 QUERIES = {

@@ -629,6 +629,134 @@ FROM ({_TOKS_SQL})
 """
 
 
+_BPE_SEP = "\x1f"  # unit separator: never occurs in [a-z]+ words
+_BPE_MERGES = 4
+
+
+def _bpe_pair_counts(vocab):
+    """(l, r, w): adjacent-symbol pair counts over the weighted vocab."""
+    arr = F.split(F.col("syms"), _BPE_SEP)
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("w"))
+    )
+
+
+def docs_bpe_learn_merges(spark, sf_dir):
+    """REAL BPE tokenizer training (the Sennrich et al. merge-learning
+    loop): build the weighted word vocabulary, then iteratively find the
+    corpus-wide most frequent adjacent symbol pair and merge it greedily
+    left-to-right inside every word, emitting the learned merge table
+    (rank, left, right, pair_weight) -- the artifact an LLM data
+    pipeline ships to its tokenizer.
+
+    Determinism: ties on pair weight break lexicographically (l, r);
+    the within-word merge is a sequential left-to-right fold over the
+    symbol string, expressed as the SAME string-accumulator reduction in
+    Spark (F.aggregate) and DuckDB (list_reduce), so greedy overlap
+    handling ('aaa' + (a,a) -> [aa, a]) is bit-identical.
+
+    Scale shape: everything operates on the WORD VOCABULARY (distinct
+    words x freq), which is orders of magnitude smaller than the corpus
+    -- the classic BPE-training trick. Per iteration: one groupBy over
+    the vocab's adjacent pairs (small shuffle) + a driver-collected
+    top-1 row (a few bytes of control flow, like the k-means/pagerank
+    loops) + a narrow fold re-deriving the vocab; localCheckpoint keeps
+    the K-iteration lineage flat."""
+    docs = _docs_spread(spark, sf_dir)
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.select(
+        "freq", F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        top = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("w"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        l, r, w = top["l"], top["r"], top["w"]
+        merges.append((rank, l, r, w))
+        sep_l = _BPE_SEP + l
+        arr = F.split(F.col("syms"), _BPE_SEP)
+        folded = F.aggregate(
+            arr,
+            F.lit(""),
+            lambda acc, x: F.when(acc == "", x)
+            .when(
+                (x == F.lit(r)) & ((acc == F.lit(l)) | acc.endswith(F.lit(sep_l))),
+                F.concat(
+                    F.substring(acc, F.lit(1), F.length(acc) - len(l)),
+                    F.lit(l + r),
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+        )
+        vocab = vocab.select("freq", folded.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_weight bigint"
+    )
+
+
+def _bpe_sql() -> str:
+    sep = _BPE_SEP
+    prev = (
+        "SELECT freq, array_to_string(string_split_regex(word, ''), "
+        f"chr(31)) AS syms FROM words"
+    )
+    tops = []
+    for k in range(1, _BPE_MERGES + 1):
+        tops.append(
+            f"t{k} AS (SELECT l, r, sum(w)::BIGINT AS pw FROM ("
+            f"  SELECT v.freq::BIGINT AS w, a[i] AS l, a[i+1] AS r"
+            f"  FROM (SELECT freq, string_split(syms, chr(31)) AS a FROM v{k-1}) v,"
+            f"       UNNEST(range(1, len(a))) AS u(i)"
+            f") GROUP BY l, r ORDER BY pw DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if k < _BPE_MERGES:
+            tops.append(
+                f"v{k} AS (SELECT freq, list_reduce("
+                f"  list_prepend('', string_split(syms, chr(31))),"
+                f"  (acc, x) -> CASE"
+                f"    WHEN acc = '' THEN x"
+                f"    WHEN x = t{k}.r AND (acc = t{k}.l OR ends_with(acc, chr(31) || t{k}.l))"
+                f"      THEN left(acc, len(acc) - len(t{k}.l)) || t{k}.l || t{k}.r"
+                f"    ELSE acc || chr(31) || x END) AS syms"
+                f" FROM v{k-1} CROSS JOIN t{k})"
+            )
+    assert sep == chr(31)
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS rank, l AS left, r AS right, pw AS pair_weight FROM t{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return (
+        "WITH toks AS (SELECT list_filter(string_split(text, ' '), "
+        "t -> len(t) > 0) AS tk FROM documents),\n"
+        "words AS (SELECT t AS word, count(*)::BIGINT AS freq FROM "
+        "(SELECT unnest(tk) AS t FROM toks) "
+        "WHERE regexp_full_match(t, '[a-z]+') GROUP BY t),\n"
+        f"v0 AS ({prev}),\n" + ",\n".join(tops) + "\n" + selects
+    )
+
+
+BPE_LEARN_SQL = _bpe_sql()
+
+
 def docs_fingerprints(spark, sf_dir):
     """Winnowed k-gram document fingerprints (k=8 chars, window 4).
 
@@ -2879,6 +3007,7 @@ QUERIES = {
     # new in round 6
     "multimodal_real_decode": multimodal_real_decode,
     "emb_semdedup": emb_semdedup,
+    "docs_bpe_learn_merges": docs_bpe_learn_merges,
 }
 
 ORACLES = {
@@ -2940,4 +3069,5 @@ ORACLES = {
     "docs_vocab_growth": VOCAB_GROWTH_SQL,
     "multimodal_real_decode": REAL_DECODE_SQL,
     "emb_semdedup": EMB_SEMDEDUP_SQL,
+    "docs_bpe_learn_merges": BPE_LEARN_SQL,
 }
