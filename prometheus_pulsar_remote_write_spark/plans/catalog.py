@@ -42,6 +42,8 @@ _PRIORITY = [
     "multimodal_real_decode",
     "emb_semdedup",
     "docs_bpe_learn_merges",
+    "events_scd2_intervals",
+    "docs_dup_span_coverage",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -89,8 +91,6 @@ _PRIORITY = [
     "array_functions_showcase",
     "json_functions_showcase",
     "variant_functions_showcase",
-    "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 QUERIES = {

@@ -629,6 +629,115 @@ FROM ({_TOKS_SQL})
 """
 
 
+_SPAN_K = 8
+
+
+def docs_dup_span_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage (the fixed-K formulation of
+    Lee et al.'s 'Deduplicating Training Data Makes Language Models
+    Better' suffix-array method): hash EVERY sliding 8-token span
+    (stride 1 -- unlike boilerplate removal's fixed blocks, this catches
+    duplicated passages at any alignment), flag spans occurring in >= 2
+    distinct documents, and report per document how many tokens the
+    union of its flagged spans covers (interval union via a sorted
+    lead() fold: each flagged start contributes min(K, next_start -
+    start), the last contributes K).
+
+    Scale shape: span construction is a narrow transform+explode (rows ~=
+    corpus token count); the one big shuffle is the span-hash groupBy --
+    the same cost profile as n-gram counting, AQE-skew-safe because hot
+    boilerplate hashes are exactly what LSH-era pipelines salt. The
+    flagged join carries only (doc, pos) pairs; the coverage fold is a
+    per-doc window over flagged positions, bounded by doc length."""
+    docs = _docs_spread(spark, sf_dir)
+    tk = docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    base = tk.select("doc_id", F.size("tk").alias("n_tokens"))
+    spans = tk.filter(F.size("tk") >= _SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - _SPAN_K + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice("tk", i, _SPAN_K), " ")).alias("h"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("doc_id", F.col("sp.pos").alias("pos"), F.col("sp.h").alias("h"))
+    flagged_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    fs = spans.join(flagged_hashes, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = fs.withColumn(
+        "c",
+        F.least(
+            F.lit(_SPAN_K),
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(_SPAN_K)),
+        ),
+    )
+    cov = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_flagged_spans"),
+        F.sum("c").alias("dup_tokens_covered"),
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_flagged_spans", F.lit(0)).cast("bigint").alias(
+            "n_flagged_spans"
+        ),
+        F.coalesce("dup_tokens_covered", F.lit(0)).cast("bigint").alias(
+            "dup_tokens_covered"
+        ),
+        F.when(F.col("n_tokens") > 0,
+               F.floor(F.lit(1000) * F.coalesce("dup_tokens_covered", F.lit(0))
+                       / F.col("n_tokens")))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("dup_frac_milli"),
+    )
+
+
+DUP_SPAN_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM documents
+), base AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM tk),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tk[i:i+{_SPAN_K - 1}], ' ')) AS h
+  FROM tk, UNNEST(range(1, len(tk) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(tk) >= {_SPAN_K}
+),
+flagged AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM spans GROUP BY h)
+  WHERE df >= 2
+),
+fs AS (SELECT s.doc_id, s.pos FROM spans s JOIN flagged USING (h)),
+contrib AS (
+  SELECT doc_id,
+         least({_SPAN_K}, coalesce(
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+           {_SPAN_K})) AS c
+  FROM fs
+),
+cov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_flagged_spans, sum(c)::BIGINT AS covered
+  FROM contrib GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(cov.n_flagged_spans, 0)::BIGINT AS n_flagged_spans,
+       coalesce(cov.covered, 0)::BIGINT AS dup_tokens_covered,
+       CASE WHEN b.n_tokens > 0
+            THEN floor(1000 * coalesce(cov.covered, 0) / b.n_tokens)
+            ELSE 0 END::BIGINT AS dup_frac_milli
+FROM base b LEFT JOIN cov USING (doc_id)
+"""
+
+
 _BPE_SEP = "\x1f"  # unit separator: never occurs in [a-z]+ words
 _BPE_MERGES = 4
 
@@ -3008,6 +3117,7 @@ QUERIES = {
     "multimodal_real_decode": multimodal_real_decode,
     "emb_semdedup": emb_semdedup,
     "docs_bpe_learn_merges": docs_bpe_learn_merges,
+    "docs_dup_span_coverage": docs_dup_span_coverage,
 }
 
 ORACLES = {
@@ -3070,4 +3180,5 @@ ORACLES = {
     "multimodal_real_decode": REAL_DECODE_SQL,
     "emb_semdedup": EMB_SEMDEDUP_SQL,
     "docs_bpe_learn_merges": BPE_LEARN_SQL,
+    "docs_dup_span_coverage": DUP_SPAN_SQL,
 }

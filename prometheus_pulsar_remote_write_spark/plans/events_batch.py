@@ -53,6 +53,77 @@ FROM sketch JOIN exact USING (event_type)
 """
 
 
+def events_scd2_intervals(spark, sf_dir):
+    """SCD2 dimension-history build from the append-only event log (the
+    gaps-and-islands pattern): per user, consecutive runs of the same
+    event_type collapse into validity intervals (valid_from, valid_to,
+    state, n_events), valid_to = next interval's start (NULL = current).
+    This is the change-data-capture complement of events_latest_state:
+    that one materializes the head, this one the full history a
+    warehouse dimension table keeps.
+
+    Scale shape: one shuffle on user_id shared by both window passes and
+    the groupBy (same partitioning, Catalyst reuses the exchange); state
+    per user is bounded by their run count, never the log length."""
+    ev = _events(spark, sf_dir)
+    ms = (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "ts", "event_id", "event_type", ms.alias("ts_ms"))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("interval_seq", F.sum("chg").over(w))
+    )
+    per = marked.groupBy("user_id", "interval_seq").agg(
+        F.min("event_type").alias("state"),  # constant within the island
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.max("ts_ms").alias("last_event_ms"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("interval_seq")
+    return per.select(
+        "user_id",
+        "interval_seq",
+        "state",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w2).alias("valid_to_ms"),
+        "last_event_ms",
+        "n_events",
+    )
+
+
+SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS interval_seq
+  FROM marked
+), per AS (
+  SELECT user_id, interval_seq, min(event_type) AS state,
+         min(ts_ms) AS valid_from_ms, max(ts_ms) AS last_event_ms,
+         count(*) AS n_events
+  FROM grp GROUP BY user_id, interval_seq
+)
+SELECT user_id, interval_seq::BIGINT AS interval_seq, state, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY interval_seq)
+         AS valid_to_ms,
+       last_event_ms, n_events
+FROM per
+"""
+
+
 def events_latest_state(spark, sf_dir):
     """Changelog compaction / upsert view: materialize each user's current
     state (their latest event) from the append-only log -- the CDC
@@ -945,6 +1016,7 @@ FROM ranked GROUP BY tenant_id
 
 
 QUERIES = {
+    "events_scd2_intervals": events_scd2_intervals,
     "events_ewma_smooth": events_ewma_smooth,
     "events_time_to_convert": events_time_to_convert,
     "events_error_rate": events_error_rate,
@@ -972,6 +1044,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_scd2_intervals": SCD2_SQL,
     "events_ewma_smooth": EWMA_SQL,
     "events_top_paths": TOP_PATHS_SQL,
     "events_active_users": ACTIVE_USERS_SQL,
