@@ -1974,10 +1974,14 @@ def emb_semdedup(spark, sf_dir):
     # norms computed ONCE per row before the pair join (higher-order array
     # exprs are interpreted, not codegen'd -- see similarity.py note): the
     # join then pays a single dot product per pair
+    # materialized once: the assignment subplan (a window over the
+    # centroid cross-score) feeds three consumers (both join sides + the
+    # final projection) and would otherwise re-evaluate per consumer
     assigned = (
         ivf_assign(emb, centroids)
         .select("vec_id", "embedding", "cell")
         .withColumn("nrm", norm_expr(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("cell"),
