@@ -945,6 +945,23 @@ def test_app_config_entry_end_to_end(spark, drop_dir, tmp_path):
     assert sink.metrics.duration_count == 2  # one POST per tenant batch
     assert len(os.listdir(post_dir)) == 2
 
+    # the reference's integration gate (consume_integration_test.go:235-253):
+    # after a clean consume run, the gathered metrics carry one series per
+    # active label set for received/sent/duration and lint clean
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        lint_exposition,
+        parse_exposition,
+    )
+
+    text = sink.metrics.exposition(remote="http://downstream/api/v1/push")
+    fams = parse_exposition(text)
+    assert len(fams["received_samples_total"]["samples"]) == 2  # two tenants
+    assert len(fams["sent_samples_total"]["samples"]) == 2
+    assert len(fams["failed_samples_total"]["samples"]) == 0  # no errors
+    gate = ["received_samples_total", "sent_samples_total",
+            "sent_batch_duration_seconds"]
+    assert lint_exposition(text, names=gate) == []
+
 
 def test_app_config_validation():
     from prometheus_pulsar_remote_write_spark.app import AppConfig, parse_args
