@@ -44,6 +44,7 @@ _PRIORITY = [
     "docs_bpe_learn_merges",
     "events_scd2_intervals",
     "docs_dup_span_coverage",
+    "consume_irate_idelta",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "correlated_above_brand_avg",
     "array_functions_showcase",
     "json_functions_showcase",
-    "variant_functions_showcase",
 ]
 
 QUERIES = {

@@ -821,6 +821,90 @@ FROM d GROUP BY 1, 2, 3
 """
 
 
+def consume_irate_idelta(spark, sf_dir):
+    """PromQL irate() / idelta(): instant rate and instant delta from the
+    LAST TWO samples per (tenant, series) per 15-minute window -- the
+    function Prometheus users reach for on fast-moving counters where
+    rate()'s whole-window average lags. irate applies the counter-reset
+    rule (last < prev => delta is the raw last value); idelta is the
+    plain gauge difference. Values in exact centi-units, rate floored to
+    micro-units, so both engines agree bit-for-bit.
+
+    Scale shape: one shuffle on the group key shared by the rank window
+    and the pivot aggregation (Catalyst reuses the exchange); only the
+    top-2 rows per group survive the rank filter, so the aggregation
+    input is two rows per series-window regardless of scrape rate."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 900000) * 900").alias("window_start"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    w = Window.partitionBy("window_start", "tenant_id", "name").orderBy(
+        F.desc("timestamp"), F.desc("event_id")
+    )
+    top2 = s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    piv = (
+        top2.groupBy("window_start", "tenant_id", "name")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.struct("timestamp", "yc"))).alias("a"),
+            F.max(F.when(F.col("rn") == 2, F.struct("timestamp", "yc"))).alias("b"),
+            F.count("*").alias("n_top"),
+        )
+        .filter(F.col("n_top") == 2)
+    )
+    dt = F.col("a.timestamp") - F.col("b.timestamp")
+    dy = F.col("a.yc") - F.col("b.yc")
+    counter_dy = F.when(F.col("a.yc") < F.col("b.yc"), F.col("a.yc")).otherwise(dy)
+    return piv.select(
+        "window_start",
+        "tenant_id",
+        "name",
+        F.col("b.timestamp").alias("prev_ts_ms"),
+        F.col("a.timestamp").alias("last_ts_ms"),
+        dy.cast("bigint").alias("idelta_centi"),
+        F.when(
+            dt > 0,
+            F.floor(counter_dy.cast("double") * 1e7 / dt.cast("double")),
+        )
+        .cast("bigint")
+        .alias("irate_micro"),
+    )
+
+
+CONSUME_IRATE_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 900000) * 900 AS window_start, tenant_id,
+         event_type AS name, timestamp, event_id,
+         round(value * 100)::BIGINT AS yc
+  FROM ({_SAMPLES_SQL})
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start, tenant_id, name
+                               ORDER BY timestamp DESC, event_id DESC) AS rn
+  FROM s
+), p AS (
+  SELECT window_start, tenant_id, name,
+         max(CASE WHEN rn = 1 THEN timestamp END) AS last_ts_ms,
+         max(CASE WHEN rn = 1 THEN yc END) AS ya,
+         max(CASE WHEN rn = 2 THEN timestamp END) AS prev_ts_ms,
+         max(CASE WHEN rn = 2 THEN yc END) AS yb,
+         count(*) AS nt
+  FROM r WHERE rn <= 2 GROUP BY 1, 2, 3
+)
+SELECT window_start, tenant_id, name, prev_ts_ms, last_ts_ms,
+       (ya - yb)::BIGINT AS idelta_centi,
+       (CASE WHEN last_ts_ms > prev_ts_ms THEN
+          floor((CASE WHEN ya < yb THEN ya ELSE ya - yb END) * 1e7
+                / (last_ts_ms - prev_ts_ms)) END)::BIGINT AS irate_micro
+FROM p WHERE nt = 2
+"""
+
+
 def consume_deriv_predict(spark, sf_dir):
     """PromQL deriv() and predict_linear(): least-squares slope of value
     over time per (tenant, series) per 10-minute window, and the value
@@ -1183,6 +1267,7 @@ FROM per CROSS JOIN g
 
 QUERIES = {
     "consume_staleness_report": consume_staleness_report,
+    "consume_irate_idelta": consume_irate_idelta,
     "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
@@ -1211,6 +1296,7 @@ QUERIES = {
 
 ORACLES = {
     "consume_staleness_report": CONSUME_STALENESS_SQL,
+    "consume_irate_idelta": CONSUME_IRATE_SQL,
     "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
