@@ -45,6 +45,7 @@ _PRIORITY = [
     "events_scd2_intervals",
     "docs_dup_span_coverage",
     "consume_irate_idelta",
+    "events_ddsketch_quantiles",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "groupingsets_order_revenue",
     "correlated_above_brand_avg",
     "array_functions_showcase",
-    "json_functions_showcase",
 ]
 
 QUERIES = {

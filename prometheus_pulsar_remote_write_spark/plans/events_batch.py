@@ -53,6 +53,133 @@ FROM sketch JOIN exact USING (event_type)
 """
 
 
+def events_ddsketch_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (DDSketch family, Masson et al. 2019)
+    with a fully integer, cross-engine-deterministic bucket function:
+    centi-quantized values map to log-buckets idx = 4*floor(log2(yc)) +
+    sub, where the 2-bit sub-bucket comes from the top mantissa bits --
+    gamma = 2^(1/4), so quantile estimates carry <= ~9% relative error.
+    bit-length is computed via base-2 string conversion (conv/bin), so
+    NO floating log anywhere: the sketch is bit-identical across
+    engines and buckets merge by addition (the F8 mergeability
+    contract, same as the HLL registers and CMS counters).
+
+    Emits per event_type the sketch's p50/p95/p99 estimates next to the
+    exact order statistics, so the error is visible in the result (the
+    HLL entry's exact_distinct pattern). At 100 TB the exact branch is
+    the one you drop: the sketch state is <= ~70 bucket counters per
+    group regardless of input size."""
+    ev = _events(spark, sf_dir)
+    s = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    ).filter(F.col("yc") >= 1)
+    bucketed = s.withColumn(
+        "b", (F.length(F.conv(F.col("yc"), 10, 2)) - 1).cast("int")
+    ).withColumn(
+        "idx",
+        (
+            F.col("b") * 4
+            + F.expr("(yc * 4 div shiftleft(1L, b)) - 4").cast("int")
+        ).cast("int"),
+    )
+    counts = bucketed.groupBy("event_type", "idx").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("idx")
+    cum = counts.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+
+    def est_idx(q):
+        rank = F.floor((F.col("n") * q + 99) / 100)  # == ceil(q*n/100)
+        return F.min(F.when(F.col("cum") >= rank, F.col("idx")))
+
+    sketch = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        est_idx(50).alias("i50"),
+        est_idx(95).alias("i95"),
+        est_idx(99).alias("i99"),
+    )
+
+    def est_micro(icol):
+        return F.expr(
+            f"cast(shiftleft(1L, cast({icol} div 4 as int))"
+            f" * (9 + 2 * ({icol} % 4)) * 1250 as bigint)"
+        )
+
+    we = Window.partitionBy("event_type").orderBy("yc")
+    ranked = s.withColumn("rn", F.row_number().over(we)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("cnt") * q + 99) / 100),
+                    F.col("yc"),
+                )
+            ).alias(f"exact_p{q}_centi")
+            for q in (50, 95, 99)
+        ]
+    )
+    return sketch.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        est_micro("i50").alias("p50_est_micro"),
+        est_micro("i95").alias("p95_est_micro"),
+        est_micro("i99").alias("p99_est_micro"),
+        "exact_p50_centi",
+        "exact_p95_centi",
+        "exact_p99_centi",
+    )
+
+
+DDSKETCH_SQL = """
+WITH s AS (
+  SELECT event_type, event_id, round(value * 100)::BIGINT AS yc
+  FROM events WHERE round(value * 100) >= 1
+), bucketed AS (
+  SELECT event_type, yc,
+         (length(bin(yc)) - 1)::INT AS b,
+         ((length(bin(yc)) - 1) * 4
+          + (yc * 4 // (1::BIGINT << (length(bin(yc)) - 1))) - 4)::INT AS idx
+  FROM s
+), counts AS (
+  SELECT event_type, idx, count(*)::BIGINT AS c
+  FROM bucketed GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, idx, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY idx
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+), sketch AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN idx END) AS i50,
+         min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN idx END) AS i95,
+         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN idx END) AS i99
+  FROM cum GROUP BY event_type
+), ranked AS (
+  SELECT event_type, yc,
+         row_number() OVER (PARTITION BY event_type ORDER BY yc) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM s
+), exact AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN yc END) AS exact_p50_centi,
+         max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN yc END) AS exact_p95_centi,
+         max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN yc END) AS exact_p99_centi
+  FROM ranked GROUP BY event_type
+)
+SELECT s.event_type, s.n,
+       ((1::BIGINT << (i50 // 4)) * (9 + 2 * (i50 % 4)) * 1250)::BIGINT AS p50_est_micro,
+       ((1::BIGINT << (i95 // 4)) * (9 + 2 * (i95 % 4)) * 1250)::BIGINT AS p95_est_micro,
+       ((1::BIGINT << (i99 // 4)) * (9 + 2 * (i99 % 4)) * 1250)::BIGINT AS p99_est_micro,
+       exact_p50_centi, exact_p95_centi, exact_p99_centi
+FROM sketch s JOIN exact USING (event_type)
+"""
+
+
 def events_scd2_intervals(spark, sf_dir):
     """SCD2 dimension-history build from the append-only event log (the
     gaps-and-islands pattern): per user, consecutive runs of the same
@@ -1016,6 +1143,7 @@ FROM ranked GROUP BY tenant_id
 
 
 QUERIES = {
+    "events_ddsketch_quantiles": events_ddsketch_quantiles,
     "events_scd2_intervals": events_scd2_intervals,
     "events_ewma_smooth": events_ewma_smooth,
     "events_time_to_convert": events_time_to_convert,
@@ -1044,6 +1172,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_ddsketch_quantiles": DDSKETCH_SQL,
     "events_scd2_intervals": SCD2_SQL,
     "events_ewma_smooth": EWMA_SQL,
     "events_top_paths": TOP_PATHS_SQL,
