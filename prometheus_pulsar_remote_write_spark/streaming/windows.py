@@ -308,6 +308,107 @@ def latest_state_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def scd2_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of the batch events_scd2_intervals: per-user SCD2
+    validity intervals maintained incrementally with
+    ``applyInPandasWithState``. State per key is ONE open interval
+    (seq, state, from_ms, last_ms, n) -- when a row's event_type differs
+    from the open state, the open interval CLOSES (emitted with valid_to
+    = the new row's start) and a new one opens; otherwise the open
+    interval extends. Update-mode upsert changelog: the latest row per
+    (user_id, interval_seq) is that interval's current truth, exactly
+    what a MERGE into the history table applies.
+
+    Ordering contract matches ewma_stream: rows inside a micro-batch
+    sort by (ts, event_id); across micro-batches the file-replay source
+    delivers in order. State is O(1) per user regardless of history
+    length -- closed intervals live in the sink table, not in state.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("interval_seq", T.LongType(), False),
+            T.StructField("state", T.StringType(), False),
+            T.StructField("valid_from_ms", T.LongType(), False),
+            T.StructField("valid_to_ms", T.LongType(), True),
+            T.StructField("last_event_ms", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("etype", T.StringType(), True),
+            T.StructField("from_ms", T.LongType(), True),
+            T.StructField("last_ms", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def _scd2(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        open_iv = list(state.get) if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        out = []
+        for ts_ms, event_id, etype in zip(
+            pdf["ts_ms"], pdf["event_id"], pdf["event_type"]
+        ):
+            ts_ms, etype = int(ts_ms), str(etype)
+            if open_iv is None:
+                open_iv = [1, etype, ts_ms, ts_ms, 1]
+            elif etype != open_iv[1]:
+                out.append(  # close the open interval
+                    {
+                        "user_id": user_id,
+                        "interval_seq": open_iv[0],
+                        "state": open_iv[1],
+                        "valid_from_ms": open_iv[2],
+                        "valid_to_ms": ts_ms,
+                        "last_event_ms": open_iv[3],
+                        "n_events": open_iv[4],
+                    }
+                )
+                open_iv = [open_iv[0] + 1, etype, ts_ms, ts_ms, 1]
+            else:
+                open_iv[3] = ts_ms
+                open_iv[4] += 1
+        state.update(tuple(open_iv))
+        out.append(  # current truth of the (still) open interval
+            {
+                "user_id": user_id,
+                "interval_seq": open_iv[0],
+                "state": open_iv[1],
+                "valid_from_ms": open_iv[2],
+                "valid_to_ms": None,
+                "last_event_ms": open_iv[3],
+                "n_events": open_iv[4],
+            }
+        )
+        yield pd.DataFrame(out)
+
+    keyed = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000").alias("ts_ms"),  # integer floor
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _scd2,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup bounded by the watermark horizon.
 

@@ -1234,3 +1234,39 @@ def test_app_produce_with_live_http_listener(spark, tmp_path):
         .collect()
     )
     assert len(msgs) == 1 and '"sig"' in msgs[0]["payload"]
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """The streaming SCD2 history must converge to exactly the batch
+    events_scd2_intervals gaps-and-islands build after the stream drains:
+    latest update per (user, interval_seq) == the batch interval row."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_scd2_intervals,
+    )
+
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    q = (
+        windows.scd2_stream(ev)
+        .writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in spark.sql("SELECT * FROM scd2_stream").collect():
+        final[(r["user_id"], r["interval_seq"])] = (
+            r["state"], r["valid_from_ms"], r["valid_to_ms"],
+            r["last_event_ms"], r["n_events"],
+        )
+    batch = {
+        (r["user_id"], r["interval_seq"]): (
+            r["state"], r["valid_from_ms"], r["valid_to_ms"],
+            r["last_event_ms"], r["n_events"],
+        )
+        for r in events_scd2_intervals(spark, SF).collect()
+    }
+    assert final == batch and final
