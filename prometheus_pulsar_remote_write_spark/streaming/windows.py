@@ -224,6 +224,40 @@ def sample_rate_5m(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def ddsketch_tumbling_values(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming DDSketch-style value histogram per tumbling hour: one
+    watermarked aggregation emitting (window_start, event_type, idx, c)
+    log-bucket counter rows. Same fully-integer bucket function as the
+    batch events_ddsketch_quantiles (bit-length via base-2 string
+    conversion, 2-bit sub-buckets, gamma = 2^(1/4)); state is <= ~70
+    counters per (window, event_type) regardless of traffic, and emitted
+    counter tables merge with plain addition across windows/streams --
+    the same mergeability contract as the HLL/CMS twins."""
+    yc = F.round(F.col("value") * 100).cast("bigint")
+    rows = (
+        ev.withWatermark("ts", watermark)
+        .select("ts", "event_type", yc.alias("yc"))
+        .filter(F.col("yc") >= 1)
+        .withColumn("b", (F.length(F.conv(F.col("yc"), 10, 2)) - 1).cast("int"))
+        .withColumn(
+            "idx",
+            (
+                F.col("b") * 4
+                + F.expr("(yc * 4 div shiftleft(1L, b)) - 4").cast("int")
+            ).cast("int"),
+        )
+    )
+    agg = rows.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type", "idx"
+    ).agg(F.count("*").alias("c"))
+    return agg.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        "event_type",
+        "idx",
+        "c",
+    )
+
+
 def latest_state_stream(ev: DataFrame) -> DataFrame:
     """Streaming CDC latest-wins materialization: per-user current state
     maintained with ``applyInPandasWithState`` (the streaming twin of the
