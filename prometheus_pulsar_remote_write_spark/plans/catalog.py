@@ -46,6 +46,7 @@ _PRIORITY = [
     "docs_dup_span_coverage",
     "consume_irate_idelta",
     "events_ddsketch_quantiles",
+    "consume_rate_extrapolated",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q19_disjunctive_join",
     "groupingsets_order_revenue",
     "correlated_above_brand_avg",
-    "array_functions_showcase",
 ]
 
 QUERIES = {

@@ -821,6 +821,103 @@ FROM d GROUP BY 1, 2, 3
 """
 
 
+def consume_rate_extrapolated(spark, sf_dir):
+    """PromQL's REAL rate()/increase() boundary extrapolation
+    (promql/functions.go extrapolatedRate): the plain last-first delta is
+    scaled by how far the window edges can be credibly extrapolated --
+    extend toward each edge by the gap to it if that gap is under 1.1x
+    the average sample spacing, else by half the average spacing. This is
+    the part of rate() `consume_rate_5m` deliberately omits; here it is
+    implemented exactly (gauge values, so no counter-reset correction --
+    that lives in consume_changes_resets).
+
+    Determinism: first/last/n come from the same single struct-min/max
+    hash aggregation as consume_rate_5m; the extrapolation is one fixed
+    double expression tree over exact integer millisecond durations,
+    floored to micro-units at the end."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 300000) * 300000").alias("range_start_ms"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        "value",
+    )
+    agg = (
+        s.groupBy("range_start_ms", "tenant_id", "name")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct("timestamp", "event_id", "value")).alias("f"),
+            F.max(F.struct("timestamp", "event_id", "value")).alias("l"),
+        )
+        .filter(F.col("n") >= 2)
+        .filter(F.col("l.timestamp") > F.col("f.timestamp"))  # zero-span guard
+    )
+    sampled_ms = (F.col("l.timestamp") - F.col("f.timestamp")).cast("double")
+    avg_ms = sampled_ms / (F.col("n") - 1).cast("double")
+    to_start_ms = (F.col("f.timestamp") - F.col("range_start_ms")).cast("double")
+    to_end_ms = (
+        F.col("range_start_ms") + 300000 - F.col("l.timestamp")
+    ).cast("double")
+    threshold = avg_ms * 1.1
+    extend_start = F.when(to_start_ms < threshold, to_start_ms).otherwise(
+        avg_ms / 2.0
+    )
+    extend_end = F.when(to_end_ms < threshold, to_end_ms).otherwise(avg_ms / 2.0)
+    factor = (sampled_ms + extend_start + extend_end) / sampled_ms
+    increase = (F.col("l.value") - F.col("f.value")) * factor
+    return agg.select(
+        F.expr("range_start_ms div 1000").alias("window_start"),
+        "tenant_id",
+        "name",
+        "n",
+        F.floor(increase * 1e6).cast("bigint").alias("increase_micro"),
+        F.floor(increase / 300.0 * 1e6).cast("bigint").alias("rate_micro"),
+    )
+
+
+CONSUME_RATE_EXTRAP_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 300000) * 300000 AS range_start_ms, tenant_id,
+         event_type AS name, timestamp, event_id, value
+  FROM ({_SAMPLES_SQL})
+), sel AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY range_start_ms, tenant_id, name
+                            ORDER BY timestamp, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY range_start_ms, tenant_id, name
+                            ORDER BY timestamp DESC, event_id DESC) AS rn_d
+  FROM s
+), agg AS (
+  SELECT range_start_ms, tenant_id, name, count(*) AS n,
+         min(timestamp) AS ft, max(timestamp) AS lt,
+         max(CASE WHEN rn_a = 1 THEN value END) AS fv,
+         max(CASE WHEN rn_d = 1 THEN value END) AS lv
+  FROM sel GROUP BY 1, 2, 3 HAVING count(*) >= 2 AND max(timestamp) > min(timestamp)
+), x AS (
+  SELECT *,
+         (lt - ft)::DOUBLE AS sampled_ms,
+         (lt - ft)::DOUBLE / (n - 1)::DOUBLE AS avg_ms,
+         (ft - range_start_ms)::DOUBLE AS to_start_ms,
+         (range_start_ms + 300000 - lt)::DOUBLE AS to_end_ms
+  FROM agg
+), y AS (
+  SELECT *,
+         (sampled_ms
+          + (CASE WHEN to_start_ms < avg_ms * 1.1 THEN to_start_ms
+                  ELSE avg_ms / 2.0 END)
+          + (CASE WHEN to_end_ms < avg_ms * 1.1 THEN to_end_ms
+                  ELSE avg_ms / 2.0 END)) / sampled_ms AS factor
+  FROM x
+)
+SELECT range_start_ms // 1000 AS window_start, tenant_id, name, n,
+       floor((lv - fv) * factor * 1e6)::BIGINT AS increase_micro,
+       floor((lv - fv) * factor / 300.0 * 1e6)::BIGINT AS rate_micro
+FROM y
+"""
+
+
 def consume_irate_idelta(spark, sf_dir):
     """PromQL irate() / idelta(): instant rate and instant delta from the
     LAST TWO samples per (tenant, series) per 15-minute window -- the
@@ -1268,6 +1365,7 @@ FROM per CROSS JOIN g
 QUERIES = {
     "consume_staleness_report": consume_staleness_report,
     "consume_irate_idelta": consume_irate_idelta,
+    "consume_rate_extrapolated": consume_rate_extrapolated,
     "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
@@ -1297,6 +1395,7 @@ QUERIES = {
 ORACLES = {
     "consume_staleness_report": CONSUME_STALENESS_SQL,
     "consume_irate_idelta": CONSUME_IRATE_SQL,
+    "consume_rate_extrapolated": CONSUME_RATE_EXTRAP_SQL,
     "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
