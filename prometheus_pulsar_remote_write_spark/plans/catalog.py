@@ -47,6 +47,7 @@ _PRIORITY = [
     "consume_irate_idelta",
     "events_ddsketch_quantiles",
     "consume_rate_extrapolated",
+    "consume_rate_counter",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q18_large_volume_orders",
     "q19_disjunctive_join",
     "groupingsets_order_revenue",
-    "correlated_above_brand_avg",
 ]
 
 QUERIES = {

@@ -918,6 +918,115 @@ FROM y
 """
 
 
+def consume_rate_counter(spark, sf_dir):
+    """The COMPLETE PromQL counter rate(): counter-reset correction
+    (promql/functions.go: every drop between adjacent samples adds the
+    post-drop value back, i.e. corrected increase = sum over adjacent
+    pairs of (d if d >= 0 else v_next)) composed with the boundary
+    extrapolation of consume_rate_extrapolated. Together with that entry
+    and consume_changes_resets this completes the rate family: plain
+    gauge delta, extrapolated gauge, and true counter semantics.
+
+    Plan shape: ONE shuffle on the group key shared by the lag window
+    and the aggregation; values centi-quantized so the reset-corrected
+    sum is an exact BIGINT, extrapolation is the same fixed double tree,
+    floored to micro."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 300000) * 300000").alias("range_start_ms"),
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    w = Window.partitionBy("range_start_ms", "tenant_id", "name").orderBy(
+        "timestamp", "event_id"
+    )
+    with_lag = s.withColumn("prev_yc", F.lag("yc").over(w))
+    d = F.col("yc") - F.col("prev_yc")
+    step = F.when(F.col("prev_yc").isNull(), F.lit(0)).otherwise(
+        F.when(d >= 0, d).otherwise(F.col("yc"))
+    )
+    agg = (
+        with_lag.groupBy("range_start_ms", "tenant_id", "name")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("timestamp").alias("ft"),
+            F.max("timestamp").alias("lt"),
+            F.sum(step).cast("bigint").alias("inc_centi"),
+            F.sum(F.when(d < 0, 1).otherwise(0)).cast("bigint").alias("resets"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("lt") > F.col("ft")))
+    )
+    sampled_ms = (F.col("lt") - F.col("ft")).cast("double")
+    avg_ms = sampled_ms / (F.col("n") - 1).cast("double")
+    to_start_ms = (F.col("ft") - F.col("range_start_ms")).cast("double")
+    to_end_ms = (F.col("range_start_ms") + 300000 - F.col("lt")).cast("double")
+    threshold = avg_ms * 1.1
+    factor = (
+        sampled_ms
+        + F.when(to_start_ms < threshold, to_start_ms).otherwise(avg_ms / 2.0)
+        + F.when(to_end_ms < threshold, to_end_ms).otherwise(avg_ms / 2.0)
+    ) / sampled_ms
+    inc = F.col("inc_centi").cast("double") / 100.0 * factor
+    return agg.select(
+        F.expr("range_start_ms div 1000").alias("window_start"),
+        "tenant_id",
+        "name",
+        "n",
+        "resets",
+        "inc_centi",
+        F.floor(inc * 1e6).cast("bigint").alias("increase_micro"),
+        F.floor(inc / 300.0 * 1e6).cast("bigint").alias("rate_micro"),
+    )
+
+
+CONSUME_RATE_COUNTER_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 300000) * 300000 AS range_start_ms, tenant_id,
+         event_type AS name, timestamp, event_id,
+         round(value * 100)::BIGINT AS yc
+  FROM ({_SAMPLES_SQL})
+), lagged AS (
+  SELECT *, lag(yc) OVER (PARTITION BY range_start_ms, tenant_id, name
+                          ORDER BY timestamp, event_id) AS prev_yc
+  FROM s
+), agg AS (
+  SELECT range_start_ms, tenant_id, name, count(*) AS n,
+         min(timestamp) AS ft, max(timestamp) AS lt,
+         sum(CASE WHEN prev_yc IS NULL THEN 0
+                  WHEN yc - prev_yc >= 0 THEN yc - prev_yc
+                  ELSE yc END)::BIGINT AS inc_centi,
+         sum(CASE WHEN yc - prev_yc < 0 THEN 1 ELSE 0 END)::BIGINT AS resets
+  FROM lagged GROUP BY 1, 2, 3
+  HAVING count(*) >= 2 AND max(timestamp) > min(timestamp)
+), x AS (
+  SELECT *,
+         (lt - ft)::DOUBLE AS sampled_ms,
+         (lt - ft)::DOUBLE / (n - 1)::DOUBLE AS avg_ms,
+         (ft - range_start_ms)::DOUBLE AS to_start_ms,
+         (range_start_ms + 300000 - lt)::DOUBLE AS to_end_ms
+  FROM agg
+), y AS (
+  SELECT *,
+         (sampled_ms
+          + (CASE WHEN to_start_ms < avg_ms * 1.1 THEN to_start_ms
+                  ELSE avg_ms / 2.0 END)
+          + (CASE WHEN to_end_ms < avg_ms * 1.1 THEN to_end_ms
+                  ELSE avg_ms / 2.0 END)) / sampled_ms AS factor
+  FROM x
+)
+SELECT range_start_ms // 1000 AS window_start, tenant_id, name, n, resets,
+       inc_centi,
+       floor(inc_centi::DOUBLE / 100.0 * factor * 1e6)::BIGINT AS increase_micro,
+       floor(inc_centi::DOUBLE / 100.0 * factor / 300.0 * 1e6)::BIGINT AS rate_micro
+FROM y
+"""
+
+
 def consume_irate_idelta(spark, sf_dir):
     """PromQL irate() / idelta(): instant rate and instant delta from the
     LAST TWO samples per (tenant, series) per 15-minute window -- the
@@ -1366,6 +1475,7 @@ QUERIES = {
     "consume_staleness_report": consume_staleness_report,
     "consume_irate_idelta": consume_irate_idelta,
     "consume_rate_extrapolated": consume_rate_extrapolated,
+    "consume_rate_counter": consume_rate_counter,
     "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
@@ -1396,6 +1506,7 @@ ORACLES = {
     "consume_staleness_report": CONSUME_STALENESS_SQL,
     "consume_irate_idelta": CONSUME_IRATE_SQL,
     "consume_rate_extrapolated": CONSUME_RATE_EXTRAP_SQL,
+    "consume_rate_counter": CONSUME_RATE_COUNTER_SQL,
     "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
