@@ -42,6 +42,7 @@ _PRIORITY = [
     "multimodal_real_decode",
     "emb_semdedup",
     "docs_bpe_learn_merges",
+    "docs_bpe_tokenize",
     "events_scd2_intervals",
     "docs_dup_span_coverage",
     "consume_irate_idelta",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q14_promo_revenue",
     "q18_large_volume_orders",
     "q19_disjunctive_join",
-    "groupingsets_order_revenue",
 ]
 
 QUERIES = {

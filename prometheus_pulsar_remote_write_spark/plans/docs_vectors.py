@@ -778,6 +778,16 @@ def docs_bpe_learn_merges(spark, sf_dir):
     top-1 row (a few bytes of control flow, like the k-means/pagerank
     loops) + a narrow fold re-deriving the vocab; localCheckpoint keeps
     the K-iteration lineage flat."""
+    merges, _ = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_weight bigint"
+    )
+
+
+def _bpe_learn(spark, sf_dir):
+    """Shared BPE training loop: returns (merge list, final word vocab
+    DataFrame (word, freq, syms) after all merges applied) -- the learn
+    entry ships the merges, the tokenize entry applies the vocab."""
     docs = _docs_spread(spark, sf_dir)
     words = (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
@@ -786,7 +796,9 @@ def docs_bpe_learn_merges(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
     )
     vocab = words.select(
-        "freq", F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("syms")
+        "word",
+        "freq",
+        F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("syms"),
     ).localCheckpoint(eager=True)
 
     merges = []
@@ -814,19 +826,59 @@ def docs_bpe_learn_merges(spark, sf_dir):
             )
             .otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
         )
-        vocab = vocab.select("freq", folded.alias("syms")).localCheckpoint(
+        vocab = vocab.select("word", "freq", folded.alias("syms")).localCheckpoint(
             eager=True
         )
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_weight bigint"
+    return merges, vocab
+
+
+def docs_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer INFERENCE over the just-learned merges: apply the
+    final merged vocabulary to every document and report the per-doc
+    subword piece count against the word count -- the compression ratio
+    a tokenizer team tracks when sizing a merge table. Train + apply in
+    one declarative pipeline: the vocabulary (tiny) broadcasts to the
+    corpus-side token join, so the apply pass adds zero wide shuffles
+    beyond the per-doc aggregation."""
+    _, vocab = _bpe_learn(spark, sf_dir)
+    pieces = vocab.select(
+        "word", F.size(F.split(F.col("syms"), _BPE_SEP)).alias("pieces")
+    )
+    docs = _docs_spread(spark, sf_dir)
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    per = (
+        doc_words.join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_alpha_words"),
+            F.sum("pieces").alias("n_pieces"),
+        )
+    )
+    base = docs.select("doc_id")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_alpha_words", F.lit(0)).cast("bigint").alias("n_alpha_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+        F.when(
+            F.coalesce("n_alpha_words", F.lit(0)) > 0,
+            F.floor(F.lit(1000) * F.col("n_pieces") / F.col("n_alpha_words")),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pieces_per_word_milli"),
     )
 
 
-def _bpe_sql() -> str:
-    sep = _BPE_SEP
+def _bpe_chain_sql(final_vocab: bool) -> str:
+    """The shared WITH-chain: word vocab -> K unrolled (top-pair, merge)
+    CTEs. ``final_vocab`` also materializes v{K} (the fully merged vocab
+    the tokenize entry applies); the learn entry stops at t{K}."""
+    assert _BPE_SEP == chr(31)
     prev = (
-        "SELECT freq, array_to_string(string_split_regex(word, ''), "
-        f"chr(31)) AS syms FROM words"
+        "SELECT word, freq, array_to_string(string_split_regex(word, ''), "
+        "chr(31)) AS syms FROM words"
     )
     tops = []
     for k in range(1, _BPE_MERGES + 1):
@@ -837,9 +889,9 @@ def _bpe_sql() -> str:
             f"       UNNEST(range(1, len(a))) AS u(i)"
             f") GROUP BY l, r ORDER BY pw DESC, l ASC, r ASC LIMIT 1)"
         )
-        if k < _BPE_MERGES:
+        if k < _BPE_MERGES or final_vocab:
             tops.append(
-                f"v{k} AS (SELECT freq, list_reduce("
+                f"v{k} AS (SELECT word, freq, list_reduce("
                 f"  list_prepend('', string_split(syms, chr(31))),"
                 f"  (acc, x) -> CASE"
                 f"    WHEN acc = '' THEN x"
@@ -848,22 +900,44 @@ def _bpe_sql() -> str:
                 f"    ELSE acc || chr(31) || x END) AS syms"
                 f" FROM v{k-1} CROSS JOIN t{k})"
             )
-    assert sep == chr(31)
-    selects = " UNION ALL ".join(
-        f"SELECT {k} AS rank, l AS left, r AS right, pw AS pair_weight FROM t{k}"
-        for k in range(1, _BPE_MERGES + 1)
-    )
     return (
-        "WITH toks AS (SELECT list_filter(string_split(text, ' '), "
+        "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
         "t -> len(t) > 0) AS tk FROM documents),\n"
         "words AS (SELECT t AS word, count(*)::BIGINT AS freq FROM "
         "(SELECT unnest(tk) AS t FROM toks) "
         "WHERE regexp_full_match(t, '[a-z]+') GROUP BY t),\n"
-        f"v0 AS ({prev}),\n" + ",\n".join(tops) + "\n" + selects
+        f"v0 AS ({prev}),\n" + ",\n".join(tops)
     )
 
 
-BPE_LEARN_SQL = _bpe_sql()
+BPE_LEARN_SQL = _bpe_chain_sql(final_vocab=False) + "\n" + " UNION ALL ".join(
+    f"SELECT {k} AS rank, l AS left, r AS right, pw AS pair_weight FROM t{k}"
+    for k in range(1, _BPE_MERGES + 1)
+)
+
+BPE_TOKENIZE_SQL = _bpe_chain_sql(final_vocab=True) + f""",
+pieces AS (
+  SELECT word, len(string_split(syms, chr(31)))::BIGINT AS pieces
+  FROM v{_BPE_MERGES}
+),
+docw AS (
+  SELECT doc_id, t AS word
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+  WHERE regexp_full_match(t, '[a-z]+')
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_alpha_words,
+         sum(pieces)::BIGINT AS n_pieces
+  FROM docw JOIN pieces USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_alpha_words, 0)::BIGINT AS n_alpha_words,
+       coalesce(per.n_pieces, 0)::BIGINT AS n_pieces,
+       CASE WHEN coalesce(per.n_alpha_words, 0) > 0
+            THEN floor(1000 * per.n_pieces / per.n_alpha_words)
+            ELSE 0 END::BIGINT AS pieces_per_word_milli
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
 
 
 def docs_fingerprints(spark, sf_dir):
@@ -3121,6 +3195,7 @@ QUERIES = {
     "multimodal_real_decode": multimodal_real_decode,
     "emb_semdedup": emb_semdedup,
     "docs_bpe_learn_merges": docs_bpe_learn_merges,
+    "docs_bpe_tokenize": docs_bpe_tokenize,
     "docs_dup_span_coverage": docs_dup_span_coverage,
 }
 
@@ -3184,5 +3259,6 @@ ORACLES = {
     "multimodal_real_decode": REAL_DECODE_SQL,
     "emb_semdedup": EMB_SEMDEDUP_SQL,
     "docs_bpe_learn_merges": BPE_LEARN_SQL,
+    "docs_bpe_tokenize": BPE_TOKENIZE_SQL,
     "docs_dup_span_coverage": DUP_SPAN_SQL,
 }
