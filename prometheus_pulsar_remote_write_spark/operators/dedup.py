@@ -75,6 +75,42 @@ def minhash_signature_cols(text: Column, num_hashes: int, shingle_k: int = 3) ->
     ]
 
 
+def minhash_signatures_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle_k: int = 3,
+) -> DataFrame:
+    """All-JVM MinHash tier: explode shingles, hash each ONCE with the
+    built-in md5, take the ``num_hashes`` affine minima as ONE hash
+    aggregation. Semantics identical to :func:`minhash_signatures` /
+    ``minhash_signature_cols`` (same tokenizer, shingle set, hash
+    family; docs with < k tokens yield all-null signatures).
+
+    Why a third tier: the expression tier re-evaluates the md5 transform
+    once per signature column (higher-order exprs are not CSE'd), and
+    the pandas tier runs on Python workers. Partial aggregation folds
+    the per-shingle rows map-side, so the groupBy shuffle carries ~8
+    partial minima per (doc, partition) and every operator is
+    whole-stage codegen. Measured at sf0.1 (local[16], warm): 0.59s/run
+    vs the pandas tier's 0.35s -- the vectorized numpy affine pass beats
+    JVM md5-per-row once workers are warm, so the pandas tier stays the
+    default; use this tier where Python workers are unavailable or
+    their fork/warm-up jitter matters more than 0.2s of throughput."""
+    assert num_hashes <= len(MINHASH_A)
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(F.col(text_col), shingle_k)).alias("__sh"),
+    )
+    h = _base_hash28(F.col("__sh"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_k: int = 3,

@@ -475,3 +475,25 @@ def test_incremental_ivfpq_append_matches_full_rebuild(spark, tmp_path):
 
     append_ivfpq_index(spark, extra, idx)  # idempotent replay
     assert spark.read.parquet(idx).count() == emb.count()
+
+
+def test_minhash_agg_tier_equals_pandas_tier(spark):
+    """The all-JVM explode+partial-agg MinHash tier must be bit-identical
+    to the default Arrow/pandas tier (same tokenizer, shingles, hash
+    family, null semantics for short docs)."""
+    from prometheus_pulsar_remote_write_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_agg,
+    )
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    extra = docs.sparkSession.createDataFrame(
+        [(100001, "one two"), (100002, "")], "doc_id long, text string"
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    a = {tuple(r) for r in minhash_signatures(both, num_hashes=8).collect()}
+    b = {tuple(r) for r in minhash_signatures_agg(both, num_hashes=8).collect()}
+    assert a == b and len(a) == both.count()
+    # short/empty docs carry all-null signatures in both tiers
+    nulls = {r for r in a if r[1] is None}
+    assert {r[0] for r in nulls} >= {100001, 100002}
