@@ -41,6 +41,7 @@ _PRIORITY = [
     # new / changed in round 6
     "multimodal_real_decode",
     "emb_semdedup",
+    "emb_residual_pq_assign",
     "docs_bpe_learn_merges",
     "docs_bpe_tokenize",
     "events_scd2_intervals",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_join",
 ]
 
 QUERIES = {

@@ -2929,6 +2929,134 @@ FROM agg a JOIN e ON a.vec_id = e.vec_id
 """
 
 
+def emb_residual_pq_assign(spark, sf_dir):
+    """RESIDUAL product quantization -- the encoding real IVF-PQ systems
+    use (Jegou et al. 2011): quantize each vector's residual against its
+    IVF centroid instead of the raw vector, so the codebook spends its
+    16 codes on the within-cell distribution rather than re-describing
+    the coarse cell structure. Deterministic like the raw-PQ entry: seed
+    centroids are the lowest-id vectors (cosine assignment), the
+    residual codebook is the lowest-16 ids' residuals, distances round
+    to 9 places with code-id tiebreak.
+
+    Plan shape: one broadcast centroid join for the residual projection
+    (the assignment subplan is checkpoint-materialized once), then the
+    same broadcast-codebook rank + regroup as pq_assign. Note the
+    benchmark embeddings are unit-norm zero-centered noise, where no
+    residual structure exists; the quality win (residual recon error <
+    raw) is pytest-asserted on a deterministic clustered corpus
+    (test_similarity.py), which is the data regime real IVF-PQ serves."""
+    from ..operators.similarity import ivf_assign, pq_assign
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    centroids = e.orderBy("vec_id").limit(8)
+    assigned = ivf_assign(e, centroids).localCheckpoint(eager=True)
+    cent = centroids.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    resid = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("embedding", "cv", lambda a, b: a - b).alias("residual"),
+        )
+        .localCheckpoint(eager=True)  # pq_assign reads its input twice
+    )
+    codes = pq_assign(resid, vec_col="residual")
+    per_vec = codes.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("s").alias("s"), F.col("code").alias("code"))
+                    )
+                ),
+                lambda x: x.getField("code").cast("string"),
+            ),
+        ).alias("codes"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("s").alias("s"), F.col("dist_r").alias("d"))
+                        )
+                    ),
+                    lambda x: x.getField("d"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("recon_err_r"),
+    )
+    return per_vec.join(assigned.select("vec_id", "cell"), "vec_id").select(
+        "vec_id",
+        "cell",
+        F.md5("codes").alias("codes_digest"),
+        F.split("codes", ",").getItem(0).cast("int").alias("code0"),
+        F.split("codes", ",").getItem(7).cast("int").alias("code7"),
+        "recon_err_r",
+    )
+
+
+EMB_RESIDUAL_PQ_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+a AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+               cent.cell ASC) AS r
+    FROM e CROSS JOIN cent) WHERE r = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.v[i] - cent.cv[i]) AS rv
+  FROM a JOIN cent USING (cell)
+),
+cb AS (SELECT vec_id AS code, rv AS crv FROM resid ORDER BY vec_id LIMIT 16),
+subs AS (
+  SELECT vec_id, s, rv[s * 8 + 1 : s * 8 + 8] AS sub
+  FROM resid, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), cbsubs AS (
+  SELECT code, s, crv[s * 8 + 1 : s * 8 + 8] AS csub
+  FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), scored AS (
+  SELECT vec_id, subs.s, code,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9), i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
+               (a, b) -> a + b), 9) AS dist_r
+  FROM subs JOIN cbsubs ON subs.s = cbsubs.s
+), best AS (
+  SELECT vec_id, s, code, dist_r FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist_r ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), agg AS (
+  SELECT vec_id,
+         string_agg(code::VARCHAR, ',' ORDER BY s) AS codes,
+         round(list_reduce(list_prepend(0.0, list(dist_r ORDER BY s)),
+               (a, b) -> a + b), 6) AS recon_err_r
+  FROM best GROUP BY vec_id
+)
+SELECT g.vec_id, a.cell, md5(g.codes) AS codes_digest,
+       string_split(g.codes, ',')[1]::INT AS code0,
+       string_split(g.codes, ',')[8]::INT AS code7,
+       g.recon_err_r
+FROM agg g JOIN a USING (vec_id)
+"""
+
+
 def emb_pq_adc_topk(spark, sf_dir):
     """PQ asymmetric-distance top-3 for the first 5 query vectors
     (operators/similarity.py pq_adc_topk): distance tables against the
@@ -3197,6 +3325,7 @@ QUERIES = {
     "docs_bpe_learn_merges": docs_bpe_learn_merges,
     "docs_bpe_tokenize": docs_bpe_tokenize,
     "docs_dup_span_coverage": docs_dup_span_coverage,
+    "emb_residual_pq_assign": emb_residual_pq_assign,
 }
 
 ORACLES = {
@@ -3261,4 +3390,5 @@ ORACLES = {
     "docs_bpe_learn_merges": BPE_LEARN_SQL,
     "docs_bpe_tokenize": BPE_TOKENIZE_SQL,
     "docs_dup_span_coverage": DUP_SPAN_SQL,
+    "emb_residual_pq_assign": EMB_RESIDUAL_PQ_SQL,
 }

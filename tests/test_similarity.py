@@ -497,3 +497,50 @@ def test_minhash_agg_tier_equals_pandas_tier(spark):
     # short/empty docs carry all-null signatures in both tiers
     nulls = {r for r in a if r[1] is None}
     assert {r[0] for r in nulls} >= {100001, 100002}
+
+
+def test_residual_pq_beats_raw_pq_on_clustered_data(spark):
+    """The point of residual encoding: on CLUSTERED data the codebook
+    stops re-describing the coarse cell structure, so residual PQ
+    reconstructs with lower error than raw PQ. (The benchmark embeddings
+    table is unit-norm zero-centered noise -- mean vector norm ~0.04 --
+    where no residual structure exists; this test builds a deterministic
+    clustered corpus where the claim is measurable.)"""
+    import hashlib
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        ivf_assign,
+        pq_assign,
+    )
+
+    def h(i, j):  # deterministic pseudo-noise in [-0.05, 0.05]
+        v = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6], 16)
+        return (v % 1000) / 10000.0 - 0.05
+
+    centers = [[(c + 1) * (1.0 if (d % 4) == c else 0.1) for d in range(16)]
+               for c in range(4)]
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, [centers[c][d] + h(i, d) for d in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def avg_err(df, vec_col):
+        codes = pq_assign(df, n_sub=4, sub_dim=4, n_codes=8, vec_col=vec_col)
+        return (
+            codes.groupBy("vec_id")
+            .agg(F.sum("dist_r").alias("e"))
+            .agg(F.avg("e"))
+            .collect()[0][0]
+        )
+
+    raw = avg_err(emb, "embedding")
+    cent = emb.orderBy("vec_id").limit(4)
+    assigned = ivf_assign(emb, cent).localCheckpoint(eager=True)
+    cv = cent.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+    resid = assigned.join(F.broadcast(cv), "cell").select(
+        "vec_id",
+        F.zip_with("embedding", "cv", lambda a, b: a - b).alias("residual"),
+    )
+    res = avg_err(resid, "residual")
+    assert res < raw, f"residual PQ err {res} not below raw PQ err {raw}"
