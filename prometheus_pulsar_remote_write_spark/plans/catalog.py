@@ -50,6 +50,7 @@ _PRIORITY = [
     "events_ddsketch_quantiles",
     "consume_rate_extrapolated",
     "consume_rate_counter",
+    "consume_series_similarity",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q4_priority_with_returns",
     "q6_forecast_revenue",
     "q14_promo_revenue",
-    "q18_large_volume_orders",
 ]
 
 QUERIES = {

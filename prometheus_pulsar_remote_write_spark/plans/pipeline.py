@@ -821,6 +821,146 @@ FROM d GROUP BY 1, 2, 3
 """
 
 
+def consume_series_similarity(spark, sf_dir):
+    """Time-series SHAPE similarity search over the metrics series (the
+    distributed series-similarity problem of EDBT'19 / REPOSE ICDE'21,
+    expressed Spark-first): resample each (tenant, name) series to its
+    daily mean profile, z-normalize, and return the top-3 most similar
+    OTHER series per query series (tenant '0') by euclidean distance
+    over the normalized shapes -- 'which metrics move like this one',
+    the ops query behind correlated-alert grouping.
+
+    Determinism: daily means come from exact centi-integer sums; the
+    mean/variance/distance reductions are ordered folds over the
+    day-sorted profile (same sequential order both engines), distances
+    rounded to 6 with lexicographic (tenant, name) tiebreak.
+
+    Scale shape: profile construction is one (series, day) aggregation
+    + one series-level regroup -- state per series is D daily points,
+    not raw samples. The query side (one tenant's series) broadcasts;
+    at 100 TB the corpus side stays partitioned and each executor
+    scores its series locally (the REPOSE layout)."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        F.expr("timestamp div 86400000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    n_days = s.select(F.count_distinct("day").alias("nd"))
+    daily = s.groupBy("tenant_id", "name", "day").agg(
+        F.count("*").alias("n_d"), F.sum("yc").alias("s_d")
+    )
+    prof = (
+        daily.groupBy("tenant_id", "name")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "s_d", "n_d"))
+            ).alias("pts")
+        )
+        .crossJoin(F.broadcast(n_days))
+        .filter(F.size("pts") == F.col("nd"))  # complete daily coverage
+    )
+    vals = F.transform(F.col("pts"), lambda p: p["s_d"] / (100.0 * p["n_d"]))
+    mu = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.col("nd")
+    var = F.aggregate(
+        vals, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)
+    ) / F.col("nd")
+    z = prof.select(
+        "tenant_id",
+        "name",
+        F.transform(vals, lambda x: (x - mu) / F.sqrt(var)).alias("z"),
+    ).filter(var > 0)
+    q = z.filter(F.col("tenant_id") == "0").select(
+        F.col("tenant_id").alias("q_tenant"),
+        F.col("name").alias("q_name"),
+        F.col("z").alias("qz"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qz"), F.col("z"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        z.join(F.broadcast(q))
+        .filter(
+            (F.col("tenant_id") != F.col("q_tenant"))
+            | (F.col("name") != F.col("q_name"))
+        )
+        .select("q_tenant", "q_name", "tenant_id", "name", dist.alias("dist_r"))
+    )
+    w = Window.partitionBy("q_tenant", "q_name").orderBy(
+        F.asc("dist_r"), F.asc("tenant_id"), F.asc("name")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_tenant",
+            "q_name",
+            F.col("tenant_id").alias("match_tenant"),
+            F.col("name").alias("match_name"),
+            "rank",
+            "dist_r",
+        )
+    )
+
+
+CONSUME_SERIES_SIM_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp // 86400000 AS day,
+         round(value * 100)::BIGINT AS yc
+  FROM ({_SAMPLES_SQL})
+), nd AS (SELECT count(DISTINCT day) AS nd FROM s),
+daily AS (
+  SELECT tenant_id, name, day, count(*)::BIGINT AS n_d, sum(yc)::BIGINT AS s_d
+  FROM s GROUP BY 1, 2, 3
+), prof AS (
+  SELECT tenant_id, name,
+         list_transform(
+           list_sort(list(struct_pack(day := day, s_d := s_d, n_d := n_d))),
+           p -> p.s_d / (100.0 * p.n_d)) AS vals
+  FROM daily CROSS JOIN nd
+  GROUP BY tenant_id, name, nd.nd
+  HAVING count(*) = nd
+), zed AS (
+  SELECT tenant_id, name,
+         list_transform(vals, x -> (x - mu) / sqrt(var)) AS z
+  FROM (
+    SELECT tenant_id, name, vals,
+           list_reduce(list_prepend(0.0, vals), (a, x) -> a + x) / len(vals) AS mu,
+           list_reduce(list_prepend(0.0,
+             list_transform(vals, x -> (x - list_reduce(list_prepend(0.0, vals),
+                 (a, y) -> a + y) / len(vals))
+               * (x - list_reduce(list_prepend(0.0, vals),
+                 (a, y) -> a + y) / len(vals)))), (a, x) -> a + x) / len(vals) AS var
+    FROM prof
+  ) WHERE var > 0
+), scored AS (
+  SELECT q.tenant_id AS q_tenant, q.name AS q_name,
+         c.tenant_id, c.name,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(q.z) + 1),
+                   i -> (q.z[i] - c.z[i]) * (q.z[i] - c.z[i]))),
+               (a, x) -> a + x), 6) AS dist_r
+  FROM zed q JOIN zed c
+    ON q.tenant_id = '0' AND (c.tenant_id <> q.tenant_id OR c.name <> q.name)
+)
+SELECT q_tenant, q_name, tenant_id AS match_tenant, name AS match_name,
+       rank, dist_r
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_tenant, q_name
+              ORDER BY dist_r ASC, tenant_id ASC, name ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def consume_rate_extrapolated(spark, sf_dir):
     """PromQL's REAL rate()/increase() boundary extrapolation
     (promql/functions.go extrapolatedRate): the plain last-first delta is
@@ -1476,6 +1616,7 @@ QUERIES = {
     "consume_irate_idelta": consume_irate_idelta,
     "consume_rate_extrapolated": consume_rate_extrapolated,
     "consume_rate_counter": consume_rate_counter,
+    "consume_series_similarity": consume_series_similarity,
     "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
@@ -1507,6 +1648,7 @@ ORACLES = {
     "consume_irate_idelta": CONSUME_IRATE_SQL,
     "consume_rate_extrapolated": CONSUME_RATE_EXTRAP_SQL,
     "consume_rate_counter": CONSUME_RATE_COUNTER_SQL,
+    "consume_series_similarity": CONSUME_SERIES_SIM_SQL,
     "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
