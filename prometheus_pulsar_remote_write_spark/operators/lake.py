@@ -125,6 +125,69 @@ def compact_lake_partition(
     shutil.rmtree(f"{path}/_spark_metadata", ignore_errors=True)
 
 
+def compaction_plan(
+    path: str, target_bytes: int, min_files: int = 2
+) -> list:
+    """Lake-wide small-file compaction PLAN: for every (tenant, day)
+    partition with at least ``min_files`` data files, pack the files
+    into output groups of at most ``target_bytes`` via first-fit
+    decreasing -- the decision layer OPTIMIZE runs before rewriting
+    anything. Deterministic: files sort by (size desc, name asc), so
+    the same lake state always yields the same plan.
+
+    Returns [{tenant_id, day, group_id, files, n_files, group_bytes}].
+    A single file larger than the target forms its own group (it is
+    already "compact"); a partition whose files all fit in one group
+    becomes one rewrite task. This is a metadata-scale operation (file
+    listing only -- at 100 TB the same sizes come from the table
+    manifest, never from opening data files); the rewrites it plans are
+    executed per partition by :func:`compact_lake_partition`."""
+    import os
+    import re
+
+    plan = []
+    part_re = re.compile(r"tenant_id=([^/]*)/day=([^/]*)$")
+    for dirpath, _dirnames, filenames in os.walk(path):
+        m = part_re.search(dirpath.replace(os.sep, "/"))
+        if not m:
+            continue
+        files = sorted(
+            (
+                (os.path.getsize(os.path.join(dirpath, f)), f)
+                for f in filenames
+                if f.endswith(".parquet")
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if len(files) < min_files:
+            continue
+        groups: list = []  # (remaining_bytes, [names])
+        for size, name in files:
+            placed = False
+            for g in groups:
+                if g[0] >= size:
+                    g[0] -= size
+                    g[1].append(name)
+                    placed = True
+                    break
+            if not placed:
+                groups.append([max(target_bytes - size, 0), [name]])
+        for gid, (_rem, names) in enumerate(groups):
+            gbytes = sum(s for s, n in files if n in set(names))
+            plan.append(
+                {
+                    "tenant_id": m.group(1),
+                    "day": m.group(2),
+                    "group_id": gid,
+                    "files": sorted(names),
+                    "n_files": len(names),
+                    "group_bytes": gbytes,
+                }
+            )
+    plan.sort(key=lambda p: (p["tenant_id"], p["day"], p["group_id"]))
+    return plan
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -384,3 +384,56 @@ def test_continuous_aggregate_merges_across_batches(spark, tmp_path):
         for r in spark.read.parquet(mv).collect()
     }
     assert got == {("g1", "a"): (2, 3.0), ("g1", "b"): (1, 5.0), ("g2", "a"): (1, 7.0)}
+
+
+def test_compaction_plan_invariants_and_execution(spark, tmp_path):
+    """The FFD compaction plan covers every file exactly once, never
+    builds a multi-file group over the byte target, is deterministic,
+    and the partitions it flags compact down to the planned group count
+    with rows preserved."""
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        compact_lake_partition,
+        compaction_plan,
+    )
+
+    path = str(tmp_path / "lake")
+    samples = samples_from_events(spark, SF_SMOKE)
+    # many small files per partition: repartition before the partitioned write
+    (
+        with_lake_columns(samples)
+        .repartition(8)
+        .write.partitionBy("tenant_id", "day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+    import os
+
+    target = 256 * 1024
+    plan = compaction_plan(path, target_bytes=target, min_files=2)
+    assert plan and plan == compaction_plan(path, target_bytes=target, min_files=2)
+
+    by_part = {}
+    for p in plan:
+        by_part.setdefault((p["tenant_id"], p["day"]), []).append(p)
+    for (tenant, day), groups in by_part.items():
+        part_dir = os.path.join(path, f"tenant_id={tenant}", f"day={day}")
+        on_disk = sorted(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        planned = sorted(f for g in groups for f in g["files"])
+        assert planned == on_disk  # full cover, no dup
+        for g in groups:
+            assert g["n_files"] == 1 or g["group_bytes"] <= target
+
+    # execute on one flagged partition: file count drops to the planned
+    # group count, rows survive
+    (tenant, day), groups = max(
+        by_part.items(), key=lambda kv: sum(g["n_files"] for g in kv[1])
+    )
+    part_dir = os.path.join(path, f"tenant_id={tenant}", f"day={day}")
+    before_rows = spark.read.parquet(part_dir).count()
+    compact_lake_partition(spark, path, tenant, str(day), n_files=len(groups))
+    files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files_after) == len(groups)
+    assert spark.read.parquet(part_dir).count() == before_rows
