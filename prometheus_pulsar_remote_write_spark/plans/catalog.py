@@ -51,6 +51,7 @@ _PRIORITY = [
     "consume_rate_extrapolated",
     "consume_rate_counter",
     "consume_series_similarity",
+    "consume_alert_firing",
     "docs_textrank_keywords",
     "multimodal_window_energy",
     "docs_curation_pipeline",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "pivot_status_by_priority",
     "q4_priority_with_returns",
     "q6_forecast_revenue",
-    "q14_promo_revenue",
 ]
 
 QUERIES = {

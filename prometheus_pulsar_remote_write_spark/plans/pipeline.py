@@ -821,6 +821,102 @@ FROM d GROUP BY 1, 2, 3
 """
 
 
+def consume_alert_firing(spark, sf_dir):
+    """Prometheus ALERTING semantics over the sample stream: a rule
+    ``value > 100 FOR 10m`` fires when a series stays above the
+    threshold continuously for the FOR duration (prometheus
+    rules/alerting.go pending->firing transition). Expressed as
+    gaps-and-islands: maximal runs of above-threshold samples per
+    (tenant, series); runs spanning >= 10 minutes become firing
+    intervals with pending_since (run start), firing_at (start + FOR)
+    and resolved_at (run end). All-integer milliseconds and centi
+    values -- bit-identical across engines.
+
+    Scale shape: one shuffle on the series key shared by the lag window,
+    the island sum, and the run aggregation; state per series is its
+    run count. The alert evaluation a 1000-tenant deployment runs
+    nightly over the lake lands on exactly this plan."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") > 10000).alias("above"),
+    )
+    w = Window.partitionBy("tenant_id", "name").orderBy("timestamp", "event_id")
+    marked = (
+        s.withColumn("prev_above", F.lag("above").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_above").isNull()
+                | (F.col("prev_above") != F.col("above")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(w))
+    )
+    runs = (
+        marked.filter(F.col("above"))
+        .groupBy("tenant_id", "name", "run_id")
+        .agg(
+            F.min("timestamp").alias("pending_since_ms"),
+            F.max("timestamp").alias("resolved_at_ms"),
+            F.count("*").alias("n_samples"),
+        )
+        .filter(
+            F.col("resolved_at_ms") - F.col("pending_since_ms") >= 600000
+        )
+    )
+    w2 = Window.partitionBy("tenant_id", "name").orderBy("pending_since_ms")
+    return runs.select(
+        "tenant_id",
+        "name",
+        F.row_number().over(w2).cast("bigint").alias("firing_seq"),
+        "pending_since_ms",
+        (F.col("pending_since_ms") + 600000).alias("firing_at_ms"),
+        "resolved_at_ms",
+        "n_samples",
+    )
+
+
+CONSUME_ALERT_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id,
+         (round(value * 100) > 10000) AS above
+  FROM ({_SAMPLES_SQL})
+), marked AS (
+  SELECT *,
+         CASE WHEN lag(above) OVER w IS NULL
+                   OR lag(above) OVER w <> above THEN 1 ELSE 0 END AS chg
+  FROM s
+  WINDOW w AS (PARTITION BY tenant_id, name ORDER BY timestamp, event_id)
+), grp AS (
+  SELECT *, sum(chg) OVER (PARTITION BY tenant_id, name
+                           ORDER BY timestamp, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), runs AS (
+  SELECT tenant_id, name, run_id,
+         min(timestamp) AS pending_since_ms,
+         max(timestamp) AS resolved_at_ms,
+         count(*)::BIGINT AS n_samples
+  FROM grp WHERE above GROUP BY 1, 2, 3
+  HAVING max(timestamp) - min(timestamp) >= 600000
+)
+SELECT tenant_id, name,
+       row_number() OVER (PARTITION BY tenant_id, name
+                          ORDER BY pending_since_ms)::BIGINT AS firing_seq,
+       pending_since_ms,
+       (pending_since_ms + 600000)::BIGINT AS firing_at_ms,
+       resolved_at_ms, n_samples
+FROM runs
+"""
+
+
 def consume_series_similarity(spark, sf_dir):
     """Time-series SHAPE similarity search over the metrics series (the
     distributed series-similarity problem of EDBT'19 / REPOSE ICDE'21,
@@ -1617,6 +1713,7 @@ QUERIES = {
     "consume_rate_extrapolated": consume_rate_extrapolated,
     "consume_rate_counter": consume_rate_counter,
     "consume_series_similarity": consume_series_similarity,
+    "consume_alert_firing": consume_alert_firing,
     "consume_subquery_max_rate": consume_subquery_max_rate,
     "consume_vector_matching": consume_vector_matching,
     "consume_offset_compare": consume_offset_compare,
@@ -1649,6 +1746,7 @@ ORACLES = {
     "consume_rate_extrapolated": CONSUME_RATE_EXTRAP_SQL,
     "consume_rate_counter": CONSUME_RATE_COUNTER_SQL,
     "consume_series_similarity": CONSUME_SERIES_SIM_SQL,
+    "consume_alert_firing": CONSUME_ALERT_SQL,
     "consume_subquery_max_rate": CONSUME_SUBQUERY_SQL,
     "consume_vector_matching": CONSUME_VECTOR_MATCH_SQL,
     "consume_offset_compare": CONSUME_OFFSET_SQL,
