@@ -55,6 +55,17 @@ class AppConfig:
     bus_dir: str  # message-bus directory (pulsar.topic analog)
     serializer: str = "json"
     client: str = "file"  # bus client: "file" | "module:factory" (broker seam)
+    # broker client options (reference pkg/app/pulsar.go:73-93): parsed and
+    # validated here, handed verbatim to the --pulsar.client factory via
+    # client_options(); the FileBus ignores them (no connection to secure)
+    pulsar_url: str = ""
+    connect_timeout_s: float = 30.0
+    certificate_authority: str = ""
+    client_certificate: str = ""
+    client_key: str = ""
+    insecure_skip_tls_verify: bool = False
+    insecure_skip_tls_validate_hostname: bool = False
+    max_connections_per_broker: int = 1
     # produce
     drop_dir: str | None = None  # remote-write body drop (web.write-path analog)
     listen: str | None = None  # "host:port" -> start a live HTTP receiver
@@ -88,7 +99,31 @@ class AppConfig:
             )
         if self.mode == "consume" and not self.remote_write_url:
             raise ValueError("consume requires remote_write_url (remote-write.url)")
+        self.client_options()  # TLS pair validation (pulsar.go:96-103)
         return self
+
+    def client_options(self) -> dict:
+        """Broker client options (reference pulsarConfig.clientOptions,
+        pkg/app/pulsar.go:96-115): URL, connection timeout, TLS trust/
+        client material, hostname-verification toggles, pool size. TLS
+        client auth requires BOTH key and certificate (the reference's
+        rule). The dict is handed to the --pulsar.client factory; the
+        default FileBus has no connection and ignores it."""
+        if bool(self.client_key) != bool(self.client_certificate):
+            raise ValueError(
+                "both pulsar.client-key and pulsar.client-certificate need "
+                "to be specified"
+            )
+        return {
+            "url": self.pulsar_url,
+            "connection_timeout_s": self.connect_timeout_s,
+            "tls_trust_certs_file_path": self.certificate_authority,
+            "tls_client_cert_file_path": self.client_certificate,
+            "tls_client_key_file_path": self.client_key,
+            "tls_allow_insecure_connection": self.insecure_skip_tls_verify,
+            "tls_validate_hostname": not self.insecure_skip_tls_validate_hostname,
+            "max_connections_per_broker": self.max_connections_per_broker,
+        }
 
     def _work(self, name: str) -> str:
         base = self.work_dir or os.path.join(self.bus_dir, "_app")
@@ -97,10 +132,11 @@ class AppConfig:
     def bus(self):
         """The MessageBusClient this config selects (streaming/bus.py):
         FileBus for the default, or the --pulsar.client factory's return
-        -- the single seam where a real broker SDK plugs in."""
+        -- the single seam where a real broker SDK plugs in, receiving
+        client_options() when its factory accepts them."""
         from .streaming.bus import resolve_bus
 
-        return resolve_bus(self.client, self.bus_dir)
+        return resolve_bus(self.client, self.bus_dir, self.client_options())
 
 
 def parse_args(argv: list) -> AppConfig:
@@ -117,15 +153,31 @@ def parse_args(argv: list) -> AppConfig:
         "remote-write.url": "remote_write_url",
         "pulsar.subscription": "subscription",
         "pulsar.client": "client",
+        "pulsar.url": "pulsar_url",
+        "pulsar.certificate-authority": "certificate_authority",
+        "pulsar.client-certificate": "client_certificate",
+        "pulsar.client-key": "client_key",
         "work-dir": "work_dir",
         "dlq-dir": "dlq_dir",
         "poison-dir": "poison_dir",
+    }
+    bool_flags = {
+        "pulsar.insecure-skip-tls-verify": "insecure_skip_tls_verify",
+        "pulsar.insecure-skip-tls-validate-hostname": (
+            "insecure_skip_tls_validate_hostname"
+        ),
     }
     for arg in argv[1:]:
         if not arg.startswith("--") or "=" not in arg:
             raise ValueError(f"unrecognized argument {arg!r}")
         name, _, value = arg[2:].partition("=")
-        if name == "replica-label":  # repeatable (produce.go:49-50)
+        if name in bool_flags:
+            setattr(cfg, bool_flags[name], value.lower() in ("1", "true", "yes"))
+        elif name == "pulsar.connection-timeout":
+            cfg.connect_timeout_s = _duration_ms(value) / 1000.0
+        elif name == "pulsar.max-connections-per-broker":
+            cfg.max_connections_per_broker = int(value)
+        elif name == "replica-label":  # repeatable (produce.go:49-50)
             if cfg.replica_labels == ["__replica__"]:
                 cfg.replica_labels = []
             cfg.replica_labels.append(value)

@@ -127,13 +127,20 @@ class BrokerBus:
         return self.source_factory(spark)
 
 
-def resolve_bus(spec: str, bus_dir: str) -> MessageBusClient:
+def resolve_bus(
+    spec: str, bus_dir: str, client_options: dict | None = None
+) -> MessageBusClient:
     """Resolve a ``--pulsar.client`` value to a client instance.
 
     ``"file"`` -> :class:`FileBus`; ``"pkg.module:attr"`` -> import the
     attribute and call it with ``bus_dir`` (it must return a
     MessageBusClient). The dotted form is how a deployment selects its
-    broker adapter without this repo importing any broker SDK."""
+    broker adapter without this repo importing any broker SDK.
+
+    ``client_options`` (AppConfig.client_options(): URL, timeouts, TLS
+    material -- reference pkg/app/pulsar.go:96-115) is passed as a
+    second argument to factories that accept one; single-argument
+    factories and the FileBus (no connection to secure) ignore it."""
     if spec in ("", "file"):
         return FileBus(bus_dir)
     mod_name, sep, attr = spec.partition(":")
@@ -142,9 +149,17 @@ def resolve_bus(spec: str, bus_dir: str) -> MessageBusClient:
             f"unknown pulsar.client {spec!r}: expected 'file' or 'module:factory'"
         )
     import importlib
+    import inspect
 
     factory = getattr(importlib.import_module(mod_name), attr)
-    bus = factory(bus_dir)
+    try:
+        takes_options = len(inspect.signature(factory).parameters) >= 2
+    except (TypeError, ValueError):
+        takes_options = False
+    if takes_options:
+        bus = factory(bus_dir, client_options or {})
+    else:
+        bus = factory(bus_dir)
     if not isinstance(bus, MessageBusClient):
         raise TypeError(
             f"pulsar.client factory {spec!r} returned {type(bus).__name__}, "

@@ -187,3 +187,66 @@ def test_stub_broker_bus_end_to_end_through_both_pipelines(spark, tmp_path):
         ).collect()
     )
     assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_pulsar_client_option_flags(tmp_path):
+    """The reference's broker client flag surface (pkg/app/pulsar.go:73-115):
+    URL / timeout / TLS material / pool size parse into client_options(),
+    TLS client auth enforces the both-or-neither key+cert rule, and a
+    two-argument factory receives the options dict."""
+    import pytest
+
+    cfg = parse_args(
+        [
+            "produce",
+            f"--pulsar.topic={tmp_path}/bus",
+            f"--web.write-path={tmp_path}/drop",
+            "--pulsar.url=pulsar+ssl://proxy:6651",
+            "--pulsar.connection-timeout=45s",
+            "--pulsar.certificate-authority=/etc/ssl/ca.pem",
+            "--pulsar.client-certificate=/etc/ssl/client.pem",
+            "--pulsar.client-key=/etc/ssl/client.key",
+            "--pulsar.insecure-skip-tls-validate-hostname=true",
+            "--pulsar.max-connections-per-broker=4",
+        ]
+    )
+    opts = cfg.client_options()
+    assert opts == {
+        "url": "pulsar+ssl://proxy:6651",
+        "connection_timeout_s": 45.0,
+        "tls_trust_certs_file_path": "/etc/ssl/ca.pem",
+        "tls_client_cert_file_path": "/etc/ssl/client.pem",
+        "tls_client_key_file_path": "/etc/ssl/client.key",
+        "tls_allow_insecure_connection": False,
+        "tls_validate_hostname": False,
+        "max_connections_per_broker": 4,
+    }
+
+    with pytest.raises(ValueError, match="both pulsar.client-key"):
+        parse_args(
+            [
+                "produce",
+                f"--pulsar.topic={tmp_path}/bus",
+                f"--web.write-path={tmp_path}/drop",
+                "--pulsar.client-key=/etc/ssl/client.key",
+            ]
+        )
+
+    # a two-argument factory receives the options dict through the seam
+    seen = {}
+
+    def factory(bus_dir, options):
+        seen.update(options)
+        return _StubBrokerBus(bus_dir)
+
+    import sys
+
+    sys.modules[__name__].make_stub_bus_with_opts = factory
+    try:
+        cfg.client = f"{__name__}:make_stub_bus_with_opts"
+        bus = cfg.bus()
+        assert type(bus).__name__ == "_StubBrokerBus"
+        assert seen["url"] == "pulsar+ssl://proxy:6651"
+        assert seen["max_connections_per_broker"] == 4
+    finally:
+        del sys.modules[__name__].make_stub_bus_with_opts
