@@ -31,11 +31,15 @@ The reference's process model maps onto Spark like this:
   batch size 100 (write.go:20-24)      -> batch_size
   send-timeout                         -> send_timeout_s
 
-Flags the reference needs because it is a long-lived daemon (pprof, TLS
-client material, connection pools) have no Spark-job analog and are
-intentionally absent; observability rides DeliveryMetrics and Spark's
-own UI/listeners instead. ``--web.listen`` IS implemented (a live HTTP
-receiver writing the drop_dir spool).
+Flags the reference needs because it is a long-lived daemon (pprof,
+max-connection-age) have no Spark-job analog and are intentionally
+absent; observability rides DeliveryMetrics (with Prometheus text
+exposition) and Spark's own UI/listeners. ``--web.listen`` IS
+implemented (a live HTTP receiver with /write, /ready and /metrics),
+and the full broker client-option surface (pulsar.url, connection
+timeout, TLS trust/client material, hostname-verification toggles,
+pool size -- pkg/app/pulsar.go:73-115) parses into
+``AppConfig.client_options()`` for the ``--pulsar.client`` seam.
 """
 
 from __future__ import annotations
