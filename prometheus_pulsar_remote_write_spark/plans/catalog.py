@@ -46,6 +46,7 @@ _PRIORITY = [
     "docs_bpe_tokenize",
     "events_scd2_intervals",
     "docs_dup_span_coverage",
+    "docs_family_canonical",
     "consume_irate_idelta",
     "events_ddsketch_quantiles",
     "consume_rate_extrapolated",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "having_frequent_customers",
     "pivot_status_by_priority",
     "q4_priority_with_returns",
-    "q6_forecast_revenue",
 ]
 
 QUERIES = {

@@ -1136,6 +1136,55 @@ FROM fam
 """
 
 
+def docs_family_canonical(spark, sf_dir):
+    """The curation KEEP decision done right: within each near-dup family
+    (transitive connected components), keep the member with the highest
+    QUALITY score (tie -> lowest doc_id) instead of the naive lowest-id
+    rule -- the selection step production dedup actually runs, where the
+    canonical copy should be the best-written one, not the
+    first-crawled. One row per family: the kept doc, its quality, and
+    how many near-duplicates it replaces.
+
+    Plan shape: the family table (tiny -- only documents in >=1 pair)
+    joins the quality projection and takes one rank per family; the
+    expensive parts (pair mining, components) are the already-audited
+    subplans."""
+    fams = docs_dup_families(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = with_quality_features(docs).select("doc_id", "quality_score")
+    scored = fams.join(q, "doc_id")
+    w = Window.partitionBy("family").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "family",
+            "family_size",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality_score").alias("kept_quality"),
+            (F.col("family_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+FAMILY_CANONICAL_SQL = f"""
+WITH fams AS ({DUP_FAMILIES_SQL}),
+q AS (SELECT doc_id, quality_score FROM ({TOKEN_STATS_SQL})),
+ranked AS (
+  SELECT f.family, f.family_size, f.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY f.family
+                            ORDER BY q.quality_score DESC, f.doc_id ASC) AS rn
+  FROM fams f JOIN q USING (doc_id)
+)
+SELECT family, family_size, doc_id AS kept_doc,
+       quality_score AS kept_quality,
+       (family_size - 1)::BIGINT AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- End-to-end corpus curation (F1+F2+F4 composed) ---------------------------
 
 
@@ -3277,6 +3326,7 @@ QUERIES = {
     "docs_neardup_pairs": docs_neardup_pairs,
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_dup_families": docs_dup_families,
+    "docs_family_canonical": docs_family_canonical,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_chunking": docs_chunking,
     "docs_sequence_packing": docs_sequence_packing,
@@ -3346,6 +3396,7 @@ ORACLES = {
     "docs_neardup_pairs": NEARDUP_SQL,
     "docs_neardup_dedup": DEDUP_NEARDUP_SQL,
     "docs_dup_families": DUP_FAMILIES_SQL,
+    "docs_family_canonical": FAMILY_CANONICAL_SQL,
     "docs_curation_pipeline": CURATION_SQL,
     "docs_chunking": DOCS_CHUNK_SQL,
     "docs_sequence_packing": DOCS_PACKING_SQL,
