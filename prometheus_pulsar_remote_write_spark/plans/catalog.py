@@ -47,6 +47,7 @@ _PRIORITY = [
     "events_scd2_intervals",
     "docs_dup_span_coverage",
     "docs_family_canonical",
+    "docs_perplexity_sample",
     "consume_irate_idelta",
     "events_ddsketch_quantiles",
     "consume_rate_extrapolated",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "agg_stats_by_status",
     "having_frequent_customers",
     "pivot_status_by_priority",
-    "q4_priority_with_returns",
 ]
 
 QUERIES = {

@@ -2369,6 +2369,58 @@ def docs_unigram_logprob(spark, sf_dir):
     )
 
 
+_PPL_KEEP_PCT = [100, 75, 50, 25]  # keep-rate per surprisal quartile
+
+
+def docs_perplexity_sample(spark, sf_dir):
+    """Perplexity-stratified downsampling -- the LM-signal data-mixing
+    step (the DoReMi / CCNet idea at unigram fidelity): bucket documents
+    into surprisal quartiles (ntile over the per-doc mean unigram
+    surprisal, doc_id tiebreak) and keep a decreasing share of the
+    noisier quartiles (100/75/50/25%) via the repo's deterministic
+    multiplicative-hash sample, so the kept corpus is reproducible
+    across engines, runs, and partitionings.
+
+    Plan shape: the surprisal subplan is the audited unigram broadcast
+    join; the quartile ntile runs over ONE ROW PER DOCUMENT (corpus doc
+    count, not tokens) -- a global sort that is fine to billions of
+    docs; past that, swap the exact ntile for three precomputed
+    percentile thresholds broadcast into a CASE (identical buckets up
+    to boundary ties). The keep predicate is pure doc_id arithmetic --
+    no extra shuffle beyond the surprisal aggregation itself."""
+    scored = docs_unigram_logprob(spark, sf_dir)
+    w = Window.orderBy(F.asc("surprisal_micro_avg"), F.asc("doc_id"))
+    bucketed = scored.withColumn(
+        "quartile", F.ntile(4).over(w).cast("int")
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    keep_rate = F.element_at(
+        F.array(*[F.lit(p) for p in _PPL_KEEP_PCT]), F.col("quartile")
+    )
+    return bucketed.select(
+        "doc_id",
+        "surprisal_micro_avg",
+        "quartile",
+        keep_rate.cast("int").alias("keep_pct"),
+        (h < keep_rate).alias("kept"),
+    )
+
+
+PPL_SAMPLE_SQL = f"""
+WITH scored AS ({{UNIGRAM}}),
+bucketed AS (
+  SELECT doc_id, surprisal_micro_avg,
+         ntile(4) OVER (ORDER BY surprisal_micro_avg ASC, doc_id ASC) AS quartile
+  FROM scored
+)
+SELECT doc_id, surprisal_micro_avg, quartile::INT AS quartile,
+       ([{", ".join(str(p) for p in _PPL_KEEP_PCT)}][quartile])::INT AS keep_pct,
+       ((doc_id * 2654435761) % 4294967296 % 100
+        < [{", ".join(str(p) for p in _PPL_KEEP_PCT)}][quartile]) AS kept
+FROM bucketed
+"""
+
+
 UNIGRAM_LOGPROB_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
@@ -2386,6 +2438,9 @@ SELECT doc_id,
 FROM toks JOIN freq USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 """
+
+PPL_SAMPLE_SQL = PPL_SAMPLE_SQL.replace("{UNIGRAM}", UNIGRAM_LOGPROB_SQL)
+
 
 
 # --- F4: bigram-interpolated LM surprisal ------------------------------------
@@ -3353,6 +3408,7 @@ QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
     "docs_boilerplate_removal": docs_boilerplate_removal,
     "docs_unigram_logprob": docs_unigram_logprob,
+    "docs_perplexity_sample": docs_perplexity_sample,
     "docs_stratified_sample": docs_stratified_sample,
     "emb_rp_projection": emb_rp_projection,
     "docs_textrank_keywords": docs_textrank_keywords,
@@ -3420,6 +3476,7 @@ ORACLES = {
     "docs_pii_scrub": PII_SCRUB_SQL,
     "docs_boilerplate_removal": BOILERPLATE_SQL,
     "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "docs_perplexity_sample": PPL_SAMPLE_SQL,
     "docs_stratified_sample": STRATIFIED_SQL,
     "emb_rp_projection": EMB_RP_SQL,
     "docs_textrank_keywords": TEXTRANK_SQL,
