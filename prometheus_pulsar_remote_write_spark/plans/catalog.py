@@ -50,6 +50,7 @@ _PRIORITY = [
     "docs_perplexity_sample",
     "consume_irate_idelta",
     "events_ddsketch_quantiles",
+    "events_cms_key_drift",
     "consume_rate_extrapolated",
     "consume_rate_counter",
     "consume_series_similarity",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "date_functions_showcase",
     "agg_stats_by_status",
     "having_frequent_customers",
-    "pivot_status_by_priority",
 ]
 
 QUERIES = {

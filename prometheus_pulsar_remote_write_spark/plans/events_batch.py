@@ -180,6 +180,136 @@ FROM sketch s JOIN exact USING (event_type)
 """
 
 
+def events_cms_key_drift(spark, sf_dir):
+    """Sketch-based DRIFT detection: build one count-min sketch per half
+    of the time range (split at the global midpoint) keyed by user, then
+    point-estimate the top-20 overall users against BOTH sketches and
+    report each key's growth in floor-micro ratio ((est2+1)/(est1+1)) --
+    'which keys are surging' answered from two constant-size counter
+    tables instead of two full aggregations. This is what CMS
+    mergeability is FOR: per-window sketches persist tiny, and any
+    pair of windows compares after the fact without rescanning.
+
+    All-integer (CMS counters, +1-smoothed ratio floored to micro), so
+    the oracle hash-matches exactly. At 100 TB the exact candidate
+    stream is the piece you replace with the sketch's own heavy-hitter
+    candidates; the comparison machinery is unchanged."""
+    from ..operators.sketch import cms_estimate, cms_table
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr(
+            "(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) div 2"
+        ).alias("mid_s")
+    )
+    keyed = ev.crossJoin(F.broadcast(bounds)).select(
+        F.col("user_id").cast("string").alias("ukey"),
+        (F.unix_timestamp("ts") < F.col("mid_s")).alias("first_half"),
+    )
+    t1 = cms_table(keyed.filter(F.col("first_half")), "ukey")
+    t2 = cms_table(keyed.filter(~F.col("first_half")), "ukey")
+    top = (
+        keyed.groupBy("ukey")
+        .agg(F.count("*").alias("total_n"))
+        .orderBy(F.desc("total_n"), "ukey")
+        .limit(20)
+    )
+    e1 = cms_estimate(t1, top, "ukey").withColumnRenamed("est_n", "est_n_first")
+    e2 = cms_estimate(t2, top.select("ukey"), "ukey").withColumnRenamed(
+        "est_n", "est_n_second"
+    )
+    both = e1.join(e2, "ukey")
+    growth = F.floor(
+        (F.col("est_n_second") + 1).cast("double")
+        * 1e6
+        / (F.col("est_n_first") + 1).cast("double")
+    ).cast("bigint")
+    return both.select(
+        "ukey",
+        "total_n",
+        "est_n_first",
+        "est_n_second",
+        growth.alias("growth_micro"),
+        F.when(growth > 1_100_000, F.lit("emerging"))
+        .when(growth < 900_000, F.lit("declining"))
+        .otherwise(F.lit("stable"))
+        .alias("trend"),
+    )
+
+
+def _cms_drift_sql() -> str:
+    from ..operators.sketch import CMS_A, CMS_B, CMS_D, CMS_P, CMS_W
+
+    hex_parse = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " list_transform(string_split_regex(substr(md5(ukey::VARCHAR),1,15), ''),"
+        " c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),"
+        f" (a, b) -> a * 16 + b) % {1 << 28}"
+    )
+    depth_rows = " UNION ALL ".join(
+        f"SELECT first_half, {i} AS depth,"
+        f" (((h * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P}) % {CMS_W}) AS bucket"
+        f" FROM hashed"
+        for i in range(CMS_D)
+    )
+
+    def probe_joins(table, alias):
+        joins = "\n".join(
+            f"LEFT JOIN {table} {alias}{i} ON {alias}{i}.depth = {i} AND {alias}{i}.bucket = "
+            f"(((t.h * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P}) % {CMS_W})"
+            for i in range(CMS_D)
+        )
+        least = ", ".join(f"coalesce({alias}{i}.n, 0)" for i in range(CMS_D))
+        return joins, least
+
+    j1, l1 = probe_joins("cms1", "c")
+    j2, l2 = probe_joins("cms2", "d")
+    return f"""
+WITH mid AS (
+  SELECT ((min(epoch_ms(ts) // 1000) + max(epoch_ms(ts) // 1000)) // 2)::BIGINT AS mid_s
+  FROM events
+), keyed AS (
+  SELECT user_id::VARCHAR AS ukey,
+         (epoch_ms(ts) // 1000 < mid.mid_s) AS first_half
+  FROM events CROSS JOIN mid
+), hashed AS (
+  SELECT first_half, {hex_parse} AS h FROM keyed
+), cells AS ({depth_rows}),
+cms1 AS (
+  SELECT depth, bucket, count(*)::BIGINT AS n FROM cells
+  WHERE first_half GROUP BY 1, 2
+),
+cms2 AS (
+  SELECT depth, bucket, count(*)::BIGINT AS n FROM cells
+  WHERE NOT first_half GROUP BY 1, 2
+),
+top AS (
+  SELECT ukey, count(*)::BIGINT AS total_n
+  FROM keyed GROUP BY ukey ORDER BY total_n DESC, ukey LIMIT 20
+),
+probes AS (SELECT ukey, total_n, {hex_parse} AS h FROM top),
+est AS (
+  SELECT t.ukey, t.total_n,
+         least({l1}) AS est_n_first,
+         least({l2}) AS est_n_second
+  FROM probes t
+  {j1}
+  {j2}
+)
+SELECT ukey, total_n, est_n_first, est_n_second,
+       floor((est_n_second + 1) * 1e6 / (est_n_first + 1))::BIGINT AS growth_micro,
+       CASE WHEN floor((est_n_second + 1) * 1e6 / (est_n_first + 1)) > 1100000
+              THEN 'emerging'
+            WHEN floor((est_n_second + 1) * 1e6 / (est_n_first + 1)) < 900000
+              THEN 'declining'
+            ELSE 'stable' END AS trend
+FROM est
+"""
+
+
+EVENTS_CMS_DRIFT_SQL = _cms_drift_sql()
+
+
 def events_scd2_intervals(spark, sf_dir):
     """SCD2 dimension-history build from the append-only event log (the
     gaps-and-islands pattern): per user, consecutive runs of the same
@@ -1144,6 +1274,7 @@ FROM ranked GROUP BY tenant_id
 
 QUERIES = {
     "events_ddsketch_quantiles": events_ddsketch_quantiles,
+    "events_cms_key_drift": events_cms_key_drift,
     "events_scd2_intervals": events_scd2_intervals,
     "events_ewma_smooth": events_ewma_smooth,
     "events_time_to_convert": events_time_to_convert,
@@ -1173,6 +1304,7 @@ QUERIES = {
 
 ORACLES = {
     "events_ddsketch_quantiles": DDSKETCH_SQL,
+    "events_cms_key_drift": EVENTS_CMS_DRIFT_SQL,
     "events_scd2_intervals": SCD2_SQL,
     "events_ewma_smooth": EWMA_SQL,
     "events_top_paths": TOP_PATHS_SQL,
