@@ -322,7 +322,16 @@ def stream_continuous_aggregate(
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         merged = batch
-        try:
+        # Only the first-batch missing-path case may fall through to a
+        # plain write; any OTHER read/merge failure (transient FS error,
+        # schema drift) must fail the micro-batch so it replays, instead
+        # of silently degrading the upsert to a blind partition
+        # overwrite that erases co-partitioned groups.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             existing = spark.read.parquet(path).select(*batch.columns)
             parts = [r[0] for r in batch.select(part_col).distinct().collect()]
             keep = (
@@ -334,8 +343,6 @@ def stream_continuous_aggregate(
                 )
             )
             merged = keep.unionByName(batch)
-        except Exception:
-            pass  # first batch: MV path does not exist yet
         # cut lineage so the overwrite below does not re-scan the path
         # it is about to rewrite
         merged = merged.localCheckpoint(eager=True)

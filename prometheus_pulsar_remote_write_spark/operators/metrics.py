@@ -206,6 +206,13 @@ class DeliveryMetrics:
         def esc(v: str) -> str:
             return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
+        def fmt_le(bound: float) -> str:
+            # Go's prometheus client renders integer-valued bounds without
+            # a trailing ".0" (le="1", le="5"); Python repr would emit
+            # le="1.0" and change the series identity.  %g matches Go for
+            # every bound in DURATION_BUCKETS.
+            return "%g" % bound
+
         fam("received_samples_total", "Total number of received samples.", "counter")
         for tenant in sorted(self.received):
             out.append(
@@ -254,7 +261,7 @@ class DeliveryMetrics:
             for i, bound in enumerate(DURATION_BUCKETS):
                 cum += h["buckets"][i]
                 out.append(
-                    f'sent_batch_duration_seconds_bucket{{{labels},le="{bound}"}} {cum}'
+                    f'sent_batch_duration_seconds_bucket{{{labels},le="{fmt_le(bound)}"}} {cum}'
                 )
             cum += h["buckets"][-1]
             out.append(

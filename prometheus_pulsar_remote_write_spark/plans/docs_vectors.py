@@ -312,6 +312,17 @@ def neardup_drop_set(spark, sf_dir):
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    # Evict entries from stopped sessions so dead contexts' checkpointed
+    # RDD references are released in long-lived driver processes.
+    def _dead(v):
+        try:
+            sc = v.sparkSession._sc
+            return sc._jsc is None or sc._jsc.sc().isStopped()
+        except Exception:
+            return True
+
+    for k in [k for k, v in _NEARDUP_DROP_MEMO.items() if _dead(v)]:
+        del _NEARDUP_DROP_MEMO[k]
     df = _NEARDUP_DROP_MEMO.get(key)
     if df is None:
         df = (
@@ -845,29 +856,36 @@ def docs_bpe_tokenize(spark, sf_dir):
         "word", F.size(F.split(F.col("syms"), _BPE_SEP)).alias("pieces")
     )
     docs = _docs_spread(spark, sf_dir)
+    # explode_outer keeps a NULL-word row for docs with no alpha words,
+    # so ONE groupBy on doc_id covers every doc and the doc-scale
+    # left-join-back (which planned as a SortMergeJoin) disappears: the
+    # plan is scan -> explode -> broadcast-join(pieces) -> partial agg ->
+    # one shuffle. At 100 TB the only wide edge is the doc_id agg.
     doc_words = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
-    ).filter(F.col("word").rlike("^[a-z]+$"))
-    per = (
-        doc_words.join(F.broadcast(pieces), "word")
+        "doc_id",
+        F.explode_outer(
+            F.filter(tokens_col(F.col("text")), lambda w: w.rlike("^[a-z]+$"))
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(pieces), "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_alpha_words"),
-            F.sum("pieces").alias("n_pieces"),
+            F.count("word").cast("bigint").alias("n_alpha_words"),
+            F.coalesce(F.sum("pieces"), F.lit(0)).cast("bigint").alias("n_pieces"),
         )
-    )
-    base = docs.select("doc_id")
-    return base.join(per, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_alpha_words", F.lit(0)).cast("bigint").alias("n_alpha_words"),
-        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
-        F.when(
-            F.coalesce("n_alpha_words", F.lit(0)) > 0,
-            F.floor(F.lit(1000) * F.col("n_pieces") / F.col("n_alpha_words")),
+        .select(
+            "doc_id",
+            "n_alpha_words",
+            "n_pieces",
+            F.when(
+                F.col("n_alpha_words") > 0,
+                F.floor(F.lit(1000) * F.col("n_pieces") / F.col("n_alpha_words")),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("pieces_per_word_milli"),
         )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("pieces_per_word_milli"),
     )
 
 

@@ -358,13 +358,17 @@ def events_scd2_intervals(spark, sf_dir):
 
 SCD2_SQL = """
 WITH marked AS (
-  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+  SELECT user_id, event_type, event_id, ts, epoch_ms(ts) AS ts_ms,
          CASE WHEN lag(event_type) OVER w IS NULL
                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), grp AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+  -- ORDER BY (ts, event_id), NOT ts_ms: the Spark window orders the
+  -- running sum by the full-precision ts, and rows tied at millisecond
+  -- resolution but distinct at finer precision must order identically
+  -- on both engines or interval_seq diverges.
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS interval_seq
   FROM marked
 ), per AS (

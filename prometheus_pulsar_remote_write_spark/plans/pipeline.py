@@ -439,7 +439,10 @@ def consume_instant_vector(spark, sf_dir):
         F.explode(F.sequence("lo", "hi", F.lit(600000))).alias("eval_ts")
     )
     series = samples.select("tenant_id", "name").distinct()
-    pts = grid.crossJoin(series)
+    # grid is one row per 10-min eval step over the data's time span --
+    # bounded and tiny regardless of corpus size, so pin the broadcast
+    # (nested-loop hygiene: never let the planner shuffle for this).
+    pts = F.broadcast(grid).crossJoin(series)
     dd = (
         samples.groupBy("tenant_id", "name", "timestamp")
         .agg(F.max(F.struct("event_id", "value")).alias("m"))

@@ -34,12 +34,15 @@ from . import prompb, snappy_codec
 # restricted the same way Cortex/Mimir restrict tenant IDs: a bare token, no
 # separators, never "." or "..".  Anything else is a 400 (never a silent
 # rewrite -- a client must not discover that "../../x" mapped somewhere).
-_TENANT_RE = re.compile(r"^[A-Za-z0-9_.\-]{1,128}$")
+# \Z, not $: Python's $ also matches just before a trailing newline, so
+# "$" would accept "abc\n" and create a spool dir with an embedded \n
+# (Hypothesis-found; pinned in test_properties.py).
+_TENANT_RE = re.compile(r"[A-Za-z0-9_.\-]{1,128}\Z")
 
 
 def tenant_is_safe(tenant: str) -> bool:
     """True iff ``tenant`` is safe to use as a single spool path component."""
-    if not _TENANT_RE.match(tenant):
+    if not _TENANT_RE.fullmatch(tenant):
         return False
     if tenant in (".", ".."):
         return False
