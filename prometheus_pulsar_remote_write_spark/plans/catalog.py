@@ -28,73 +28,60 @@ for module in (pipeline, docs_vectors, events_batch, relational):
     QUERIES.update(module.QUERIES)
     ORACLES.update(module.ORACLES)
 
-#: Round-6 window head (the driver records the first 50): entries whose
-#: code or oracle changed this round first (the new real-decode entry,
-#: the pagerank/window-energy/curation-memo touches), then every
-#: remaining entry ordered by STALEST latest-green driver record --
-#: after r5's 50/50 all 145 prior entries are green, so the window's job
-#: now is rotating the oldest evidence (r1 docs/emb basics, r3
-#: relational showcases) up to a fresh record. Everything outside the
-#: window stays locally strict-verified via scripts/check_oracle.py and
-#: the full-catalog pytest oracle run.
-_PRIORITY = [
-    # new / changed in round 6
-    "multimodal_real_decode",
-    "emb_semdedup",
-    "emb_residual_pq_assign",
-    "docs_bpe_learn_merges",
-    "docs_bpe_tokenize",
-    "events_scd2_intervals",
-    "docs_dup_span_coverage",
-    "docs_family_canonical",
-    "docs_perplexity_sample",
-    "consume_irate_idelta",
-    "events_ddsketch_quantiles",
-    "events_cms_key_drift",
-    "consume_rate_extrapolated",
-    "consume_rate_counter",
-    "consume_series_similarity",
-    "consume_alert_firing",
-    "docs_textrank_keywords",
-    "multimodal_window_energy",
-    "docs_curation_pipeline",
-    "docs_neardup_dedup",
-    # latest green r1
-    "docs_token_stats",
-    "docs_lang_profile",
-    "docs_language_id",
-    "docs_simhash16",
-    "docs_exact_dedup",
-    "emb_cosine_topk",
-    "emb_neardup_lsh",
-    # latest green r3 (stalest-first order)
-    "events_tumbling_hourly",
-    "events_funnel_conversion",
-    "events_sliding_10m_5m",
-    "events_dedup_per_minute",
-    "events_type_value_buckets",
-    "events_asof_attribution",
-    "events_range_join_conversions",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "semi_join_high_quantity",
-    "anti_join_customers_no_orders",
-    "rollup_order_counts",
-    "cube_lineitem_flags",
-    "window_top3_orders_per_segment",
-    "window_running_revenue",
-    "top_parts_by_retailprice",
-    "setop_nation_coverage",
-    "scalar_functions_showcase",
-    "date_functions_showcase",
-    "agg_stats_by_status",
-    "having_frequent_customers",
+#: The driver records the first 50 dict entries per round, so dict order
+#: IS the evidence-rotation policy. From round 7 on it is data-driven:
+#: entries whose code/oracle changed this round lead (the explicit
+#: ``_CHANGED`` list, updated per round), followed by every other entry
+#: ordered by STALEST latest-green driver record (computed from the
+#: committed CORRECTNESS_r*.json files at import time). This guarantees
+#: the oldest evidence is always the next to be re-recorded without
+#: hand-maintaining a 50-name list. Everything outside the window stays
+#: locally strict-verified via scripts/check_oracle.py and the
+#: full-catalog pytest oracle run.
+_CHANGED = [
+    # code or oracle touched in round 7
+    "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
+    "events_scd2_intervals",   # oracle ORDER BY parity fix
+    "consume_instant_vector",  # broadcast-pinned eval grid
+    "emb_semdedup",            # k-means-refined balanced centroids
 ]
 
+
+def _latest_green_rounds() -> dict:
+    """Latest round each entry has a green driver record, parsed from the
+    repo-root CORRECTNESS_r*.json files (absent/unparseable files are
+    simply skipped -- a fresh clone degrades to alphabetical order)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                recs = json.load(fh)
+        except Exception:
+            continue
+        for name, rec in recs.items():
+            if isinstance(rec, dict) and rec.get("err") is None and rec.get("rows_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_LATEST = _latest_green_rounds()
+_PRIORITY = _CHANGED + sorted(
+    (k for k in QUERIES if k not in _CHANGED),
+    key=lambda k: (_LATEST.get(k, 0), k),
+)
+
 QUERIES = {
-    **{k: QUERIES[k] for k in _PRIORITY},
+    **{k: QUERIES[k] for k in _PRIORITY if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k not in _PRIORITY},
 }
 

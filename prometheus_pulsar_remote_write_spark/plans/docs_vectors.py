@@ -2091,6 +2091,45 @@ FROM e
 
 _SEMDEDUP_THR = 0.4
 _SEMDEDUP_CELLS = 8
+_SEMDEDUP_DIM = 64
+
+
+def _semdedup_refined_centroids(emb):
+    """One deterministic Lloyd's round in cosine space: seed with the
+    ``_SEMDEDUP_CELLS`` lowest-vec_id vectors, assign every vector
+    (round-9 cosine, cell-asc tiebreak), return the per-cell member mean
+    as the refined centroid set -- (vec_id=cell, embedding=mean) rows,
+    the shape ivf_assign consumes. The mean folds members in vec_id
+    order (sort_array(collect_list) -> zip_with fold) so the float sum
+    is order-deterministic and SQL-replayable; at 100 TB this becomes a
+    tolerance-based tree aggregation over a corpus SAMPLE (centroid
+    refinement never needs the full corpus)."""
+    from ..operators.similarity import ivf_assign
+
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    seed = e.orderBy("vec_id").limit(_SEMDEDUP_CELLS)
+    a0 = ivf_assign(e, seed)
+    zeros = F.array(*[F.lit(0.0)] * _SEMDEDUP_DIM)
+    return (
+        a0.groupBy("cell")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("cell").alias("vec_id"),
+            F.transform(
+                F.aggregate(
+                    "members",
+                    zeros,
+                    lambda acc, m: F.zip_with(acc, m["embedding"], lambda s, x: s + x),
+                ),
+                lambda s: s / F.col("n"),
+            ).alias("embedding"),
+        )
+    )
 
 
 def emb_semdedup(spark, sf_dir):
@@ -2098,9 +2137,17 @@ def emb_semdedup(spark, sf_dir):
     embedding corpus, then within each cluster drop every vector whose
     cosine to a LOWER-id cluster member reaches the threshold -- the
     published recipe for semantic (not lexical) dedup of web-scale
-    training data. Clustering uses the repo's deterministic seed
-    centroids (lowest vec_ids, cosine assignment = ivf_assign), so the
-    whole pipeline is SQL-replayable.
+    training data. Clustering is a deterministic Lloyd's refinement:
+    seed with the lowest-vec_id vectors, assign (cosine, = ivf_assign),
+    recompute centroids as the per-cell mean (vec_id-ordered fold, so
+    the sum is order-deterministic), re-assign. The refinement step
+    matters for the SCALE bound, not just quality: raw lowest-id seeds
+    give no balance guarantee, and the within-cluster join cost is
+    sum(cluster_size^2) -- one dominant cluster degrades SemDeDup back
+    toward corpus^2. One Lloyd's round pulls centroids to the data's
+    actual modes (test_semdedup_balance pins the max-cluster share under
+    a skewed fixture); production would run a few more rounds against a
+    sample, which is the same loop body.
 
     Scale shape: this is THE point of SemDeDup -- the O(n^2) cosine join
     is confined inside clusters (sum of cluster_size^2, not corpus^2),
@@ -2111,7 +2158,7 @@ def emb_semdedup(spark, sf_dir):
     from ..operators.similarity import dot_expr, norm_expr
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    centroids = emb.orderBy("vec_id").limit(_SEMDEDUP_CELLS)
+    centroids = _semdedup_refined_centroids(emb)
     # norms computed ONCE per row before the pair join (higher-order array
     # exprs are interpreted, not codegen'd -- see similarity.py note): the
     # join then pays a single dot product per pair
@@ -2160,7 +2207,24 @@ def emb_semdedup(spark, sf_dir):
 
 EMB_SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}),
+seed AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}),
+a0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, seed.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, seed.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seed.cv, seed.cv))), 9) DESC,
+               seed.cell ASC) AS r
+    FROM e CROSS JOIN seed) WHERE r = 1
+),
+cent AS (
+  SELECT cell,
+         list_transform(
+           list_reduce(list(v ORDER BY vec_id),
+                       (x, y) -> list_transform(range(1, {_SEMDEDUP_DIM + 1}), i -> x[i] + y[i])),
+           s -> s / count(*)) AS cv
+  FROM a0 GROUP BY cell
+),
 a AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cent.cell,

@@ -544,3 +544,54 @@ def test_residual_pq_beats_raw_pq_on_clustered_data(spark):
     )
     res = avg_err(resid, "residual")
     assert res < raw, f"residual PQ err {res} not below raw PQ err {raw}"
+
+
+def test_semdedup_refined_centroids_balance(spark):
+    """One Lloyd's round must tame a pathologically skewed seed: the
+    lowest-id seed vectors all sit inside ONE dense blob, so seed
+    assignment dumps ~all mass into few cells while refined centroids
+    migrate toward the actual modes.  The within-cluster join cost is
+    sum(cluster^2), so the pinned bound below is what keeps SemDeDup's
+    scale promise under skew."""
+    import math
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import ivf_assign
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _SEMDEDUP_CELLS,
+        _SEMDEDUP_DIM,
+        _semdedup_refined_centroids,
+    )
+
+    # deterministic skew fixture: ids 0..399 form one tight blob around
+    # axis 0 (tiny index-derived jitter), ids 400..479 spread over 8
+    # well-separated axes -- real modes the seed (lowest 8 ids, all
+    # blob members) cannot see.
+    rows = []
+    for i in range(400):
+        v = [0.0] * _SEMDEDUP_DIM
+        v[0] = 1.0
+        v[1 + (i % 10)] = 0.01 * ((i * 7) % 13) / 13.0
+        rows.append((i, v))
+    for i in range(80):
+        v = [0.0] * _SEMDEDUP_DIM
+        v[20 + (i % 8) * 4] = 1.0
+        v[0] = 0.02 * ((i * 5) % 11) / 11.0
+        rows.append((400 + i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def shares(assigned):
+        counts = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        total = sum(counts.values())
+        return {c: n / total for c, n in counts.items()}
+
+    seed = emb.orderBy("vec_id").limit(_SEMDEDUP_CELLS)
+    seed_shares = shares(ivf_assign(emb, seed))
+    refined = _semdedup_refined_centroids(emb)
+    ref_shares = shares(ivf_assign(emb, refined))
+
+    # the refined max-cluster share must strictly improve on the seed's
+    # and stay below the bound that keeps sum(cluster^2) subquadratic
+    assert max(ref_shares.values()) < max(seed_shares.values())
+    assert max(ref_shares.values()) <= 0.90
+    # refined clustering must also spread the off-blob modes across >1 cell
+    assert len(ref_shares) >= 2
