@@ -74,6 +74,10 @@ class AppConfig:
     drop_dir: str | None = None  # remote-write body drop (web.write-path analog)
     listen: str | None = None  # "host:port" -> start a live HTTP receiver
     #   writing the drop_dir spool (web.listen-address analog; port 0 = any)
+    # web.max-connection-age analog (reference app.go:68-69, server.go:58-66):
+    # 0 = unlimited; > 0 caps persistent HTTP connection lifetime so an LB
+    # re-balances long-running remote_write connections
+    max_connection_age_s: float = 0.0
     replica_labels: list = field(default_factory=lambda: ["__replica__"])
     # consume
     remote_write_url: str | None = None
@@ -179,6 +183,8 @@ def parse_args(argv: list) -> AppConfig:
             setattr(cfg, bool_flags[name], value.lower() in ("1", "true", "yes"))
         elif name == "pulsar.connection-timeout":
             cfg.connect_timeout_s = _duration_ms(value) / 1000.0
+        elif name == "web.max-connection-age":
+            cfg.max_connection_age_s = _duration_ms(value) / 1000.0
         elif name == "pulsar.max-connections-per-broker":
             cfg.max_connections_per_broker = int(value)
         elif name == "replica-label":  # repeatable (produce.go:49-50)
@@ -227,7 +233,10 @@ def run(spark: SparkSession, cfg: AppConfig):
 
             host, _, port = cfg.listen.partition(":")
             listener = RemoteWriteListener(
-                cfg.drop_dir, host=host or "127.0.0.1", port=int(port or 0)
+                cfg.drop_dir,
+                host=host or "127.0.0.1",
+                port=int(port or 0),
+                max_connection_age=cfg.max_connection_age_s or None,
             )
             listener.start()
         query = run_produce_pipeline(

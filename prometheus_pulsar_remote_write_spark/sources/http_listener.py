@@ -25,8 +25,33 @@ import base64
 import os
 import re
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class SystemClock:
+    """Real wall clock; tests inject a fake with the same interface
+    (reference pkg/context/handlers.go:12-27 Clock seam)."""
+
+    def now(self) -> float:
+        return time.time()
+
+
+def max_connection_age_headers(
+    connection_start: float, now: float, max_connection_age: float | None
+) -> list[tuple[str, str]]:
+    """The max-connection-age middleware decision (reference
+    pkg/context/handlers.go:41-48 MaxConnectionAgeHandler): once a
+    kept-alive connection is STRICTLY older than ``max_connection_age``
+    seconds, every response carries ``Connection: close`` so a
+    load-balanced fleet re-balances long-running remote_write
+    connections instead of pinning them to one instance forever
+    (pkg/app/server.go:58-66). Age exactly equal to the limit does NOT
+    close (the reference uses ``time.After``, i.e. strictly-greater)."""
+    if max_connection_age is not None and now > connection_start + max_connection_age:
+        return [("Connection", "close")]
+    return []
 
 from . import prompb, snappy_codec
 
@@ -77,10 +102,14 @@ class RemoteWriteListener:
         host: str = "127.0.0.1",
         port: int = 0,
         delivery_metrics=None,
+        max_connection_age: float | None = None,
+        clock=None,
     ):
         self.spool_dir = spool_dir
         self._host = host
         self._port = port
+        self.max_connection_age = max_connection_age
+        self.clock = clock if clock is not None else SystemClock()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # observability counters (reference produce.go exposes the same
@@ -123,8 +152,35 @@ class RemoteWriteListener:
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 so connections keep alive between requests -- the
+            # max-connection-age middleware is only meaningful on
+            # persistent connections (reference pkg/app/server.go:58-66)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):  # quiet test output
                 pass
+
+            def setup(self):
+                super().setup()
+                # per-CONNECTION start time (reference ConnContext:
+                # ContextWithConnectionStartTime); one handler instance
+                # serves every request on a kept-alive connection
+                self.connection_start = outer.clock.now()
+
+            def _finish(self, code, body=b"", ctype=None):
+                self.send_response(code)
+                if ctype:
+                    self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in max_connection_age_headers(
+                    self.connection_start, outer.clock.now(), outer.max_connection_age
+                ):
+                    self.send_header(k, v)
+                    if (k, v) == ("Connection", "close"):
+                        self.close_connection = True
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
 
             def do_GET(self):
                 if self.path == "/ready":
@@ -132,21 +188,15 @@ class RemoteWriteListener:
                 elif self.path == "/metrics":
                     body = outer.exposition().encode()
                 else:
-                    self.send_response(404)
-                    self.end_headers()
+                    self._finish(404)
                     return
-                self.send_response(200)
-                self.send_header(
-                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                self._finish(
+                    200, body, "text/plain; version=0.0.4; charset=utf-8"
                 )
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
 
             def do_POST(self):
                 if self.path not in ("/write", "/api/v1/push"):
-                    self.send_response(404)
-                    self.end_headers()
+                    self._finish(404)
                     return
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n)
@@ -158,15 +208,13 @@ class RemoteWriteListener:
                 except Exception:
                     with outer._lock:
                         outer.rejected += 1
-                    self.send_response(400)
-                    self.end_headers()
+                    self._finish(400)
                     return
                 tenant = _tenant_from_headers(self.headers)
                 if tenant and not tenant_is_safe(tenant):
                     with outer._lock:
                         outer.rejected += 1
-                    self.send_response(400)
-                    self.end_headers()
+                    self._finish(400)
                     return
                 target_dir = os.path.join(spool, tenant) if tenant else spool
                 # belt-and-braces: the resolved dir must stay under the spool
@@ -174,8 +222,7 @@ class RemoteWriteListener:
                 if not os.path.realpath(target_dir).startswith(spool_real + os.sep) and os.path.realpath(target_dir) != spool_real:
                     with outer._lock:
                         outer.rejected += 1
-                    self.send_response(400)
-                    self.end_headers()
+                    self._finish(400)
                     return
                 os.makedirs(target_dir, exist_ok=True)
                 # .bin suffix: both the binaryFile produce source
@@ -190,8 +237,7 @@ class RemoteWriteListener:
                     outer.accepted_by_tenant[tenant] = (
                         outer.accepted_by_tenant.get(tenant, 0) + 1
                     )
-                self.send_response(200)
-                self.end_headers()
+                self._finish(200)
 
         self._server = ThreadingHTTPServer((self._host, self._port), _Handler)
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)

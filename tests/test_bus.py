@@ -250,3 +250,129 @@ def test_pulsar_client_option_flags(tmp_path):
         assert seen["max_connections_per_broker"] == 4
     finally:
         del sys.modules[__name__].make_stub_bus_with_opts
+
+
+class _TLSStubBrokerBus(_StubBrokerBus):
+    """Stub broker whose executor-side client CONSUMES the client
+    options: the producer factory 'connects' by writing a connection
+    manifest (URL + TLS material it was configured with) next to the
+    topic, the way a real SDK would hand the options to its TLS stack."""
+
+    def __init__(self, bus_dir: str, options: dict):
+        super().__init__(bus_dir)
+        self.options = options
+
+    def sink(self):
+        topic = os.path.join(self.bus_dir, "topic")
+        options = dict(self.options)  # closure-captured, shipped to executors
+
+        def factory():
+            os.makedirs(topic, exist_ok=True)
+            # 'TLS handshake': a client that got no/partial material would
+            # refuse here -- assert the options made the trip intact
+            assert options["url"].startswith("pulsar+ssl://")
+            assert options["tls_trust_certs_file_path"]
+            assert options["tls_client_cert_file_path"]
+            assert options["tls_client_key_file_path"]
+            with open(
+                os.path.join(topic, f"conn-{os.getpid()}.json"), "w"
+            ) as fh:
+                json.dump(options, fh)
+
+            class _Producer:
+                def __init__(self):
+                    self.path = os.path.join(topic, f"w-{os.getpid()}.jsonl")
+                    self.pending = []
+
+                def send(self, key, payload):
+                    if isinstance(payload, bytes):
+                        payload = payload.decode()
+                    self.pending.append({"key": key, "payload": payload})
+
+                def flush(self):
+                    with open(self.path, "a") as fh:
+                        for m in self.pending:
+                            fh.write(json.dumps(m) + "\n")
+                    self.pending.clear()
+
+            return _Producer()
+
+        from prometheus_pulsar_remote_write_spark.streaming.produce import (
+            BrokerPublisher,
+        )
+
+        return BrokerPublisher(factory, cache_key=f"tls-stub-{self.bus_dir}")
+
+
+def make_tls_stub_bus(bus_dir: str, options: dict):
+    """Two-arg factory: receives AppConfig.client_options() via resolve_bus."""
+    return _TLSStubBrokerBus(bus_dir, options)
+
+
+def test_broker_client_options_reach_executor_factory_end_to_end(spark, tmp_path):
+    """--pulsar.* TLS/auth flags -> parse_args -> AppConfig.client_options()
+    -> resolve_bus -> BrokerBus factory ON THE EXECUTORS: the produce
+    pipeline publishes through a client that refuses to 'connect' without
+    the TLS material, and the connection manifest it writes carries the
+    exact flag values (reference pkg/app/pulsar.go:96-115: clientOptions
+    is built from these flags and handed to pulsar.NewClient)."""
+    from prometheus_pulsar_remote_write_spark.sources import prompb, snappy_codec
+    from prometheus_pulsar_remote_write_spark.streaming.produce import (
+        run_produce_pipeline,
+    )
+
+    drop = tmp_path / "drop" / "tenant-a"
+    drop.mkdir(parents=True)
+    body = snappy_codec.compress(
+        prompb.encode_write_request(
+            {
+                "timeseries": [
+                    {
+                        "labels": [{"name": "__name__", "value": "m"}],
+                        "samples": [{"value": 7.0, "timestamp": 1000}],
+                    }
+                ]
+            }
+        )
+    )
+    (drop / "b0.bin").write_bytes(body)
+
+    cfg = parse_args(
+        [
+            "produce",
+            f"--pulsar.topic={tmp_path}/bus",
+            f"--web.write-path={tmp_path}/drop",
+            "--pulsar.client=tests.test_bus:make_tls_stub_bus",
+            "--pulsar.url=pulsar+ssl://proxy:6651",
+            "--pulsar.certificate-authority=/etc/ssl/ca.pem",
+            "--pulsar.client-certificate=/etc/ssl/client.pem",
+            "--pulsar.client-key=/etc/ssl/client.key",
+            "--pulsar.max-connections-per-broker=3",
+        ]
+    )
+    bus = cfg.bus()
+    # resolve_bus re-imports tests.test_bus via importlib, so compare by
+    # name (the class object may come from a distinct module instance)
+    assert type(bus).__name__ == "_TLSStubBrokerBus"
+
+    q = run_produce_pipeline(
+        spark,
+        drop_dir=str(tmp_path / "drop"),
+        out_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ckpt-tls"),
+        publisher=bus.sink(),
+    )
+    q.awaitTermination(120)
+
+    topic = tmp_path / "bus" / "topic"
+    manifests = [f for f in os.listdir(topic) if f.startswith("conn-")]
+    payloads = [f for f in os.listdir(topic) if f.startswith("w-")]
+    assert manifests, "no executor-side client ever 'connected'"
+    assert payloads, "stub broker received nothing"
+    opts = json.load(open(topic / manifests[0]))
+    assert opts["url"] == "pulsar+ssl://proxy:6651"
+    assert opts["tls_trust_certs_file_path"] == "/etc/ssl/ca.pem"
+    assert opts["tls_client_cert_file_path"] == "/etc/ssl/client.pem"
+    assert opts["tls_client_key_file_path"] == "/etc/ssl/client.key"
+    assert opts["max_connections_per_broker"] == 3
+    assert opts["tls_validate_hostname"] is True

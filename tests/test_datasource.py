@@ -361,3 +361,83 @@ def test_http_listener_ops_endpoints(tmp_path):
         )
         == []
     )
+
+
+def test_max_connection_age_header_decision():
+    """Pure middleware decision, the reference's fake-Clock scenarios
+    verbatim (pkg/context/handlers_test.go:15-73): at connection start ->
+    no header; +0.5s of a 1s cap -> no header; +1.001s -> Connection:
+    close. Exactly-at-the-limit does not close (strictly-greater, like
+    Go's time.After)."""
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        max_connection_age_headers,
+    )
+
+    t1 = 1577873472.0
+    assert max_connection_age_headers(t1, t1, 1.0) == []
+    assert max_connection_age_headers(t1, t1 + 0.5, 1.0) == []
+    assert max_connection_age_headers(t1, t1 + 1.0, 1.0) == []
+    assert max_connection_age_headers(t1, t1 + 1.001, 1.0) == [
+        ("Connection", "close")
+    ]
+    # unset cap: never closes (reference Default("0s") -> disabled)
+    assert max_connection_age_headers(t1, t1 + 9999.0, None) == []
+
+
+def test_max_connection_age_live_keepalive(tmp_path):
+    """End-to-end over one kept-alive socket with an injected fake
+    clock: requests inside the age window keep the connection open; the
+    first response past the cap carries Connection: close and the server
+    actually closes (reference pkg/app/server.go:58-66 LB-rebalance
+    behavior)."""
+    import http.client
+
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        RemoteWriteListener,
+    )
+
+    class FakeClock:
+        def __init__(self, t):
+            self.t = t
+
+        def now(self):
+            return self.t
+
+    clk = FakeClock(1000.0)
+    listener = RemoteWriteListener(
+        str(tmp_path / "spool"), max_connection_age=1.0, clock=clk
+    )
+    host, port = listener.start()
+    try:
+        conn = http.client.HTTPConnection(host, port)
+        conn.request("GET", "/ready")
+        r1 = conn.getresponse()
+        r1.read()
+        assert r1.status == 200
+        assert r1.getheader("Connection") is None
+
+        clk.t = 1000.5  # inside the window: connection stays open
+        conn.request("GET", "/ready")
+        r2 = conn.getresponse()
+        r2.read()
+        assert r2.status == 200
+        assert r2.getheader("Connection") is None
+
+        clk.t = 1001.001  # past the cap: close and actually disconnect
+        conn.request("GET", "/ready")
+        r3 = conn.getresponse()
+        r3.read()
+        assert r3.status == 200
+        assert r3.getheader("Connection") == "close"
+
+        # a NEW connection gets a fresh start time from the same clock
+        conn2 = http.client.HTTPConnection(host, port)
+        conn2.request("GET", "/ready")
+        r4 = conn2.getresponse()
+        r4.read()
+        assert r4.status == 200
+        assert r4.getheader("Connection") is None
+        conn2.close()
+        conn.close()
+    finally:
+        listener.stop()
