@@ -599,3 +599,108 @@ def enrich_with_static_dim(ev: DataFrame, dim: DataFrame) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 600000) -> DataFrame:
+    """Streaming twin of the batch consume_alert_firing: Prometheus
+    ``value > threshold FOR duration`` alerting maintained incrementally
+    with ``applyInPandasWithState`` (prometheus rules/alerting.go
+    pending -> firing transition, evaluated per series as samples
+    arrive instead of per nightly batch).
+
+    State per (tenant, series) key is O(1): the count of already-closed
+    FIRING runs (the firing_seq base) plus the single OPEN
+    above-threshold run (pending_since, last_above, n_samples). A below
+    sample closes the open run -- emitted as final iff it spanned the
+    FOR duration; an open run that already spans FOR emits its current
+    truth each micro-batch (update-mode upsert on (tenant_id, name,
+    firing_seq)), which is the pending->firing edge a notifier keys on:
+    the row's first appearance IS the transition.
+
+    Ordering contract matches ewma_stream/scd2_stream: rows inside a
+    micro-batch sort by (ts, event_id); across micro-batches the
+    file-replay source delivers in time order. After the stream drains,
+    the latest update per key equals the batch gaps-and-islands result
+    exactly (test_streaming_alert_matches_batch, including a stop/
+    restart from checkpoint mid-stream)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tenant_id", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("firing_seq", T.LongType(), False),
+            T.StructField("pending_since_ms", T.LongType(), False),
+            T.StructField("firing_at_ms", T.LongType(), False),
+            T.StructField("resolved_at_ms", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("closed_firing", T.LongType(), True),
+            T.StructField("pending_since", T.LongType(), True),  # -1 = no open run
+            T.StructField("last_above", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def _alert(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tenant_id, name = key
+        closed, pending, last, n = (
+            state.get if state.exists else (0, -1, -1, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        out = []
+
+        def _row(resolved):
+            return {
+                "tenant_id": tenant_id,
+                "name": name,
+                "firing_seq": closed + 1,
+                "pending_since_ms": pending,
+                "firing_at_ms": pending + for_ms,
+                "resolved_at_ms": resolved,
+                "n_samples": n,
+            }
+
+        for ts_ms, above in zip(pdf["ts_ms"], pdf["above"]):
+            ts_ms = int(ts_ms)
+            if above:
+                if pending < 0:
+                    pending, last, n = ts_ms, ts_ms, 1
+                else:
+                    last, n = ts_ms, n + 1
+            elif pending >= 0:
+                if last - pending >= for_ms:  # qualified run closes: final row
+                    out.append(_row(last))
+                    closed += 1
+                pending, last, n = -1, -1, 0
+        if pending >= 0 and last - pending >= for_ms:
+            # open run already firing: current truth, upserted per batch
+            out.append(_row(last))
+        state.update((closed, pending, last, n))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    keyed = ev.select(
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        F.col("event_type").alias("name"),
+        F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") > threshold_centi).alias(
+            "above"
+        ),
+    )
+    return keyed.groupBy("tenant_id", "name").applyInPandasWithState(
+        _alert,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

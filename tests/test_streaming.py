@@ -1334,3 +1334,81 @@ def test_streaming_ddsketch_matches_batch(spark, tmp_path):
     assert merged == global_closed
     # and multiple distinct windows really merged (not a 1-window triviality)
     assert len(closed) > 1
+
+
+def test_streaming_alert_matches_batch_with_recovery(spark, tmp_path):
+    """F10 streaming twin: the FOR-duration alert stream must converge to
+    exactly the batch consume_alert_firing gaps-and-islands result --
+    across a STOP + RESTART FROM CHECKPOINT mid-stream (the second half
+    of the event log only arrives after recovery), proving the per-series
+    pending/firing state survives in the state store."""
+    import duckdb
+
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        consume_alert_firing,
+    )
+
+    # stage the corpus as a two-chunk events.parquet DIRECTORY split at
+    # the median ts so replay order stays time-ordered across files
+    sf = tmp_path / "sf"
+    evdir = sf / "events.parquet"
+    evdir.mkdir(parents=True)
+    src = f"{SF}/events.parquet"
+    con = duckdb.connect()
+    cut = con.execute(
+        f"SELECT median(ts) FROM '{src}'"
+    ).fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts <= TIMESTAMP '{cut}') TO "
+        f"'{evdir}/chunk0.parquet' (FORMAT PARQUET)"
+    )
+
+    out_dir = str(tmp_path / "updates")
+
+    def drain():
+        ev = windows.read_events_stream(spark, str(sf), max_files_per_trigger=1)
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(out_dir)
+
+        q = (
+            windows.alert_stream(ev)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # first half only
+    mid_rows = spark.read.parquet(out_dir).collect()
+
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE ts > TIMESTAMP '{cut}') TO "
+        f"'{evdir}/chunk1.parquet' (FORMAT PARQUET)"
+    )
+    drain()  # recovery: same checkpoint, second chunk arrives
+
+    final = {}
+    for r in spark.read.parquet(out_dir).orderBy("batch_id").collect():
+        final[(r["tenant_id"], r["name"], r["firing_seq"])] = (
+            r["pending_since_ms"], r["firing_at_ms"],
+            r["resolved_at_ms"], r["n_samples"],
+        )
+    batch = {
+        (r["tenant_id"], r["name"], r["firing_seq"]): (
+            r["pending_since_ms"], r["firing_at_ms"],
+            r["resolved_at_ms"], r["n_samples"],
+        )
+        for r in consume_alert_firing(spark, str(sf)).collect()
+    }
+    assert final == batch and final
+    # the restart genuinely continued: the drained result strictly
+    # extends what the first half alone had emitted
+    assert len(mid_rows) < sum(1 for _ in final)  or len(final) >= len({
+        (r["tenant_id"], r["name"], r["firing_seq"]) for r in mid_rows
+    })
