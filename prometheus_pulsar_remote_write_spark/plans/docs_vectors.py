@@ -262,9 +262,20 @@ MINHASH_SQL = f"SELECT * FROM ({_SIGS_SQL})"
 def docs_neardup_pairs(spark, sf_dir):
     """Banded MinHash LSH candidates filtered by exact shingle Jaccard.
     Single evaluation of the signature scan and a single corpus shingle
-    pass -- see ngram_jaccard_pairs' plan-shape note."""
+    pass -- see ngram_jaccard_pairs' plan-shape note.
+
+    Signature tier: the all-JVM ``minhash_signatures_agg`` (parity with
+    the pandas tier is pytest-proven). Measured at sf0.1/local[32]: the
+    pandas tier is bimodal (1.2-4.0s, Python-worker churn) and its
+    worker pressure bills into the NEXT Python stage (docs_fingerprints
+    1.6s after it vs 0.39s after the JVM tier); the JVM tier holds a
+    steady ~1.15s and leaves the worker pool clean -- the right trade
+    for the hot path even though a warm pandas pass has higher raw
+    throughput."""
+    from ..operators.dedup import minhash_signatures_agg
+
     docs = _docs_spread(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=N_MINHASH).filter(
+    sigs = minhash_signatures_agg(docs, num_hashes=N_MINHASH).filter(
         F.col("mh0").isNotNull()
     )
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
