@@ -1276,7 +1276,171 @@ FROM ranked GROUP BY tenant_id
 """
 
 
+
+_THETA_K = 64
+_THETA_H = 1 << 28
+
+
+def events_theta_set_ops(spark, sf_dir):
+    """KMV/theta-sketch SET-EXPRESSION cardinality: for every pair of
+    event types, estimate the distinct-user count of the UNION and the
+    INTERSECTION from k-minimum-value sketches (k=64), exact counts
+    beside them. This is what HLL cannot do (HLL unions but never
+    intersects); theta sketches are the production answer for audience
+    overlap / segment-intersection queries (Apache DataSketches'
+    core use case).
+
+    Determinism: user hashes are 28-bit md5-prefix integers (the repo's
+    engine-portable hash), a sketch is the k SMALLEST distinct hashes
+    (order statistic -- no RNG), and the estimators are integer:
+    union_est = (k-1)*H DIV kth_min when the union sketch saturates
+    (exact below k), inter_est = matches*union_est DIV k (the theta
+    intersection rule). Everything hash-matches bit-for-bit.
+
+    Scale shape: the sketch build is one distinct + one per-type top-k
+    (TakeOrdered semantics) -- per-type state is k values regardless of
+    user count; the pair combine is a broadcast self-join of 5 tiny
+    array rows. The exact branch (the one a 100 TB run drops) is the
+    only corpus-scale aggregation."""
+    ev = _events(spark, sf_dir)
+    uh = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        uh.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _THETA_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("mins"))
+    )
+    a = sk.select(F.col("event_type").alias("event_a"), F.col("mins").alias("ma"))
+    b = sk.select(F.col("event_type").alias("event_b"), F.col("mins").alias("mb"))
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("event_a") < F.col("event_b"))
+        .withColumn(
+            "union_k",
+            F.slice(F.array_sort(F.array_union("ma", "mb")), 1, _THETA_K),
+        )
+        .withColumn("nu", F.size("union_k"))
+        .withColumn(
+            "union_est",
+            F.when(
+                F.col("nu") < _THETA_K, F.col("nu").cast("long")
+            ).otherwise(
+                F.expr(
+                    f"({_THETA_K - 1}::BIGINT * {_THETA_H}) DIV element_at(union_k, {_THETA_K})"
+                )
+            ),
+        )
+        .withColumn(
+            "c",
+            F.size(F.array_intersect(F.array_intersect("union_k", "ma"), "mb")),
+        )
+        .withColumn(
+            "inter_est",
+            F.when(
+                F.col("nu") < _THETA_K,
+                F.size(F.array_intersect("ma", "mb")).cast("long"),
+            ).otherwise(
+                F.expr(f"(c * union_est) DIV {_THETA_K}")
+            ),
+        )
+    )
+    # exact branch: distinct (type, user) -> per-pair union/intersection
+    ut = ev.select("event_type", "user_id").distinct()
+    melt = (
+        pairs.select("event_a", "event_b")
+        .withColumn(
+            "event_type",
+            F.explode(F.array(F.col("event_a"), F.col("event_b"))),
+        )
+    )
+    per_user = (
+        F.broadcast(melt)
+        .join(ut, "event_type")
+        .groupBy("event_a", "event_b", "user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+    )
+    exact = per_user.groupBy("event_a", "event_b").agg(
+        F.count("*").alias("exact_union"),
+        F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("exact_inter"),
+    )
+    return (
+        pairs.join(exact, ["event_a", "event_b"])
+        .select(
+            "event_a",
+            "event_b",
+            "union_est",
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            "inter_est",
+            F.col("exact_inter").cast("bigint").alias("exact_inter"),
+            F.expr("(inter_est * 1000) DIV union_est").alias("jaccard_milli"),
+        )
+    )
+
+
+THETA_SET_SQL = f"""
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split_regex(substr(md5(user_id::VARCHAR), 1, 7), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+           (a, b) -> a * 16 + b) AS h
+  FROM events
+), sk AS (
+  SELECT event_type, list(h ORDER BY h) AS mins
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM uh
+  ) WHERE r <= {_THETA_K}
+  GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS event_a, b.event_type AS event_b,
+         a.mins AS ma, b.mins AS mb,
+         list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:{_THETA_K}] AS union_k
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), est AS (
+  SELECT event_a, event_b, ma, mb, union_k, len(union_k) AS nu,
+         CASE WHEN len(union_k) < {_THETA_K} THEN len(union_k)::BIGINT
+              ELSE ({_THETA_K - 1}::BIGINT * {_THETA_H}) // union_k[{_THETA_K}]
+         END AS union_est,
+         len(list_intersect(list_intersect(union_k, ma), mb)) AS c
+  FROM pairs
+), approx AS (
+  SELECT event_a, event_b, nu, union_est, c,
+         CASE WHEN nu < {_THETA_K} THEN len(list_intersect(ma, mb))::BIGINT
+              ELSE (c * union_est) // {_THETA_K}
+         END AS inter_est
+  FROM est
+), ut AS (SELECT DISTINCT event_type, user_id FROM events),
+per_user AS (
+  SELECT p.event_a, p.event_b, u.user_id,
+         count(DISTINCT u.event_type) AS nt
+  FROM (SELECT event_a, event_b FROM pairs) p
+  JOIN ut u ON u.event_type IN (p.event_a, p.event_b)
+  GROUP BY 1, 2, 3
+), exact AS (
+  SELECT event_a, event_b, count(*)::BIGINT AS exact_union,
+         sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+  FROM per_user GROUP BY 1, 2
+)
+SELECT a.event_a, a.event_b, a.union_est, e.exact_union, a.inter_est,
+       e.exact_inter, (a.inter_est * 1000) // a.union_est AS jaccard_milli
+FROM approx a JOIN exact e USING (event_a, event_b)
+"""
+
+
 QUERIES = {
+    "events_theta_set_ops": events_theta_set_ops,
     "events_ddsketch_quantiles": events_ddsketch_quantiles,
     "events_cms_key_drift": events_cms_key_drift,
     "events_scd2_intervals": events_scd2_intervals,
@@ -1307,6 +1471,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_theta_set_ops": THETA_SET_SQL,
     "events_ddsketch_quantiles": DDSKETCH_SQL,
     "events_cms_key_drift": EVENTS_CMS_DRIFT_SQL,
     "events_scd2_intervals": SCD2_SQL,

@@ -1710,7 +1710,91 @@ FROM per CROSS JOIN g
 """
 
 
+
+def consume_holt_winters(spark, sf_dir):
+    """PromQL holt_winters() / double_exponential_smoothing(): per-series
+    double exponential smoothing over the full range vector with
+    sf=0.3 (level) and tf=0.1 (trend) -- the Prometheus recursion
+    verbatim (promql/functions.go funcDoubleExponentialSmoothing:
+    s1=v0, b=v1-v0, then s' = sf*x + (1-sf)*(s+b),
+    b' = tf*(s'-s) + (1-tf)*b; the answer is the final level).
+
+    Bit-determinism: the smoothing is a SEQUENTIAL left fold in
+    (timestamp, event_id) order with an [level, trend] double-pair
+    accumulator -- F.aggregate here, list_reduce over 2-lists in the
+    oracle -- so both engines execute the identical IEEE op sequence
+    and the rounded result hash-matches (same trick as the ordered mean
+    fold in consume_avg_over_time). Series with < 2 samples are skipped,
+    as in Prometheus.
+
+    Scale shape: ONE hash aggregation on the series key; group state is
+    the range-vector sample list, bounded by scrape cadence x range
+    width by definition. No window, no Python."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        "value",
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("timestamp", "event_id", "value"))),
+        lambda x: x["value"],
+    )
+    sf_, tf_ = F.lit(0.3), F.lit(0.1)
+    smoothed = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.array(F.element_at(vals, 1), F.element_at(vals, 2) - F.element_at(vals, 1)),
+        lambda acc, x: F.array(
+            sf_ * x + (F.lit(1.0) - sf_) * (acc[0] + acc[1]),
+            tf_ * ((sf_ * x + (F.lit(1.0) - sf_) * (acc[0] + acc[1])) - acc[0])
+            + (F.lit(1.0) - tf_) * acc[1],
+        ),
+    )
+    return (
+        s.groupBy("tenant_id", "name")
+        .agg(F.count("*").alias("n_samples"), smoothed.alias("__sb"))
+        .filter(F.col("n_samples") >= 2)
+        .select(
+            "tenant_id",
+            "name",
+            "n_samples",
+            F.round(F.col("__sb")[0], 6).alias("smoothed"),
+            F.round(F.col("__sb")[1], 6).alias("trend"),
+        )
+    )
+
+
+CONSUME_HOLT_WINTERS_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id, value
+  FROM ({_SAMPLES_SQL})
+), folded AS (
+  SELECT tenant_id, name, count(*) AS n_samples,
+         list_reduce(
+           list_prepend(
+             [list(value ORDER BY timestamp, event_id)[1],
+              list(value ORDER BY timestamp, event_id)[2]
+                - list(value ORDER BY timestamp, event_id)[1]],
+             list_transform(list(value ORDER BY timestamp, event_id)[2:],
+                            x -> [x, 0.0])),
+           (acc, e) -> [
+             0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+             0.1 * ((0.3 * e[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+               + 0.9 * acc[2]
+           ]) AS sb
+  FROM s GROUP BY tenant_id, name
+  HAVING count(*) >= 2
+)
+SELECT tenant_id, name, n_samples,
+       round(sb[1], 6) AS smoothed, round(sb[2], 6) AS trend
+FROM folded
+"""
+
+
 QUERIES = {
+    "consume_holt_winters": consume_holt_winters,
     "consume_staleness_report": consume_staleness_report,
     "consume_irate_idelta": consume_irate_idelta,
     "consume_rate_extrapolated": consume_rate_extrapolated,
@@ -1744,6 +1828,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_holt_winters": CONSUME_HOLT_WINTERS_SQL,
     "consume_staleness_report": CONSUME_STALENESS_SQL,
     "consume_irate_idelta": CONSUME_IRATE_SQL,
     "consume_rate_extrapolated": CONSUME_RATE_EXTRAP_SQL,

@@ -407,14 +407,24 @@ def test_spark_sql_api_parity_on_q1(spark):
     assert got == want and got
 
 
-def test_driver_window_covers_all_round5_entries():
-    """Catalog-order regression guard: every round-5 entry (none has a
-    pre-round-5 driver record) must sit inside the first 50 names the
-    driver's correctness gate checks."""
-    from prometheus_pulsar_remote_write_spark.plans.catalog import _PRIORITY
+def test_driver_window_rotation_invariants():
+    """Catalog-order regression guard for the data-driven rotation:
+    changed-this-round entries lead the driver's 50-entry window, and
+    the rest of the window is the STALEST evidence first (no entry
+    outside the window has an older latest-green record than one
+    inside), so every catalog entry's driver record keeps refreshing."""
+    from prometheus_pulsar_remote_write_spark.plans.catalog import (
+        _CHANGED,
+        _LATEST,
+    )
 
     names = list(QUERIES)
-    assert len(_PRIORITY) <= 50, "priority list exceeds the driver window"
-    window = set(names[:50])
-    missing = [n for n in _PRIORITY if n not in window]
-    assert not missing, f"priority entries fell out of the window: {missing}"
+    window = names[:50]
+    for n in _CHANGED:
+        assert n in QUERIES, f"_CHANGED names unknown entry {n}"
+        assert n in window, f"changed entry {n} fell out of the window"
+    # stalest-first: everything after the changed head is sorted by
+    # latest-green round; never-recorded (new) entries sort first
+    tail = [n for n in names if n not in _CHANGED]
+    rounds = [_LATEST.get(n, 0) for n in tail]
+    assert rounds == sorted(rounds), "window tail is not stalest-first"
