@@ -397,3 +397,122 @@ def window_energy(
             yield out
 
     return df.mapInPandas(_energy, out_schema)
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """FULL grayscale PNG decode (stdlib zlib): (width, height, pixels).
+
+    Supports the 8-bit grayscale, filter-0 PNGs this repo's ``png_bytes``
+    emits and any other conforming encoder produces for that subset;
+    non-zero row filters (sub/up/average/paeth) are reconstructed per the
+    PNG spec, so arbitrary single-channel images decode correctly."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width, height = struct.unpack(">II", data[16:24])
+    bit_depth, color_type = data[24], data[25]
+    if bit_depth != 8 or color_type != 0:
+        raise NotImplementedError("only 8-bit grayscale PNG decode supported")
+    idat = b""
+    i = 8
+    while i + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += data[i + 8 : i + 8 + ln]
+        if tag == b"IEND":
+            break
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    out = bytearray()
+    prev = bytearray(width)
+    for y in range(height):
+        row = bytearray(raw[y * stride + 1 : (y + 1) * stride])
+        flt = raw[y * stride]
+        if flt == 1:  # sub
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif flt == 2:  # up
+            for x in range(width):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif flt == 3:  # average
+            for x in range(width):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif flt == 4:  # paeth
+            for x in range(width):
+                a = row[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif flt != 0:
+            raise ValueError(f"unknown PNG filter {flt}")
+        out += row
+        prev = row
+    return width, height, bytes(out)
+
+
+def dhash64(width: int, height: int, pixels: bytes) -> int:
+    """64-bit difference hash (dHash) of a grayscale image: point-sample
+    a 9x8 grid (px = gx*width//9, py = gy*height//8) and set bit
+    gy*8+gx iff grid[gx+1] > grid[gx] -- the standard perceptual
+    fingerprint for image near-dup detection (identical content under
+    re-encode/minor edits lands at small Hamming distance)."""
+    h = 0
+    for gy in range(8):
+        py = gy * height // 8
+        row = [
+            pixels[py * width + (gx * width // 9)] for gx in range(9)
+        ]
+        for gx in range(8):
+            if row[gx + 1] > row[gx]:
+                h |= 1 << (gy * 8 + gx)
+    return h
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-image 64-bit dHash over REAL PNG payloads: full zlib decode ->
+    9x8 grid -> difference bits, one Arrow-batched narrow pass (the
+    image half of the multimodal dedup funnel; pair generation on the
+    hash is a plain groupBy downstream). Returns (id, width, height,
+    dhash)."""
+    from typing import Iterator
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            # 64-bit hash split into two unsigned 32-bit halves: bit 63
+            # would overflow a signed LongType, and two BIGINTs replay
+            # cleanly in ANSI SQL
+            T.StructField("dhash_hi", T.LongType(), True),
+            T.StructField("dhash_lo", T.LongType(), True),
+        ]
+    )
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, his, los = [], [], [], []
+            for payload in pdf[payload_col]:
+                w, h, px = decode_png_pixels(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+                d = dhash64(w, h, px)
+                his.append(d >> 32)
+                los.append(d & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "dhash_hi": his,
+                    "dhash_lo": los,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_dhash, out_schema)

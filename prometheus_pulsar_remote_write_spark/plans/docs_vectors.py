@@ -3564,7 +3564,123 @@ FROM (
 """
 
 
+
+_SEMDECON_THR_MICRO = 350000  # cosine >= 0.35 counts as semantic leakage
+
+
+def emb_decontamination(spark, sf_dir):
+    """SEMANTIC decontamination: flag training vectors whose embedding is
+    near-identical to a held-out eval vector -- the paraphrase-leakage
+    check n-gram decontamination (docs_decontamination) misses. Eval set
+    = the deterministic hash slice vec_id % 50 == 0, mirroring the
+    lexical operator's convention.
+
+    Plan: the eval slice is TINY by construction (2% of the corpus), so
+    it broadcasts whole against the train side -- one broadcast
+    nested-loop pass with a per-(train, eval) rounded-micro cosine, then
+    a per-train-doc rollup (n_leaked, max cosine, worst eval id). At
+    100 TB the same shape holds (eval benches are KBs, the corpus is
+    the TBs side); if the eval set ever outgrew broadcast, the
+    emb_semdedup cell-join pattern is the fallback. Integer micro-cosine
+    + (cosine, vec_id) argmax keep it hash-exact."""
+    from ..operators.similarity import dot_expr, norm_expr
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        norm_expr(F.col("embedding")).alias("nrm"),
+    )
+    ev = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("en"),
+    )
+    tr = base.filter(F.col("vec_id") % 50 != 0)
+    cos_micro = F.floor(
+        F.lit(1e6) * dot_expr(F.col("v"), F.col("ev")) / (F.col("nrm") * F.col("en"))
+    ).cast("long")
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn("cos_micro", cos_micro)
+        .filter(F.col("cos_micro") >= _SEMDECON_THR_MICRO)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_leaked"),
+            F.max("cos_micro").alias("max_cos_micro"),
+            F.max(F.struct("cos_micro", "eval_id"))["eval_id"].alias(
+                "worst_eval_id"
+            ),
+        )
+    )
+
+
+EMB_DECON_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 50 = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         floor(1e6 * list_dot_product(tr.v, ev.evv)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.evv, ev.evv))))::BIGINT AS cos_micro
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, count(*) AS n_leaked, max(cos_micro) AS max_cos_micro,
+       -- composite argmax (cos_micro, eval_id): both positive, eval_id < 1e8
+       max(cos_micro * 100000000 + eval_id) % 100000000 AS worst_eval_id
+FROM scored
+WHERE cos_micro >= {_SEMDECON_THR_MICRO}
+GROUP BY vec_id
+"""
+
+
+
+def multimodal_image_dhash(spark, sf_dir):
+    """REAL image perceptual-hash dedup front-end: every document's text
+    bytes become a genuine grayscale PNG (the repo's spec-conformant
+    encoder), the FULL decoder (zlib inflate + per-row filter
+    reconstruction, operators/multimodal.py decode_png_pixels) recovers
+    the pixels, and a 9x8-grid 64-bit dHash fingerprints each image --
+    the standard perceptual near-dup key for image corpora (small
+    Hamming distance == visually-identical under re-encode). Emits the
+    hash halves plus the exact-hash duplicate-group size, i.e. the
+    image-dedup report.
+
+    Scale shape: encode -> decode -> hash is one narrow Arrow pipeline
+    over the documents scan; the only wide edge is the tiny group-size
+    agg on the hash key. The oracle replays the grid arithmetic from the
+    text column (pixels == text bytes zero-padded by construction);
+    pytest covers the decoder against NON-zero-filter PNGs too."""
+    docs = _docs_spread(spark, sf_dir)
+    with_png = docs.select(
+        "doc_id", multimodal.png_col(F.encode(F.col("text"), "UTF-8")).alias("payload")
+    )
+    hashed = multimodal.image_dhash(with_png)
+    grp = hashed.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count("*").alias("dup_group_size")
+    )
+    return hashed.join(grp, ["dhash_hi", "dhash_lo"]).select(
+        "doc_id", "width", "height", "dhash_hi", "dhash_lo", "dup_group_size"
+    )
+
+
+IMAGE_DHASH_SQL = """
+WITH h AS (
+  SELECT doc_id, 32 AS ww, greatest((length(text) + 31) // 32, 1) AS hh,
+         (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 4::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 8::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 16::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 32::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 64::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((4 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((4 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((4 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 128::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 256::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 512::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1024::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2048::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 4096::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 8192::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 16384::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((5 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((5 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((5 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 32768::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 65536::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 131072::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 262144::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 524288::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1048576::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2097152::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 4194304::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((6 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((6 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((6 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 8388608::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 16777216::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 33554432::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 67108864::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 134217728::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 268435456::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 536870912::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1073741824::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((7 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((7 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((7 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2147483648::BIGINT ELSE 0 END) AS dhash_hi,
+         (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 4::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 8::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 16::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 32::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 64::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((0 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((0 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((0 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 128::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 256::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 512::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1024::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2048::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 4096::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 8192::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 16384::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((1 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((1 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((1 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 32768::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 65536::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 131072::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 262144::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 524288::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1048576::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2097152::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 4194304::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((2 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((2 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((2 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 8388608::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((0 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((0 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 16777216::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((1 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((1 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 33554432::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((2 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((2 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 67108864::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((3 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((3 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 134217728::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((4 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((4 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 268435456::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((5 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((5 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 536870912::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((6 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((6 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 1073741824::BIGINT ELSE 0 END) + (CASE WHEN (CASE WHEN ((3 * hh) // 8) * 32 + ((8 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((8 * 32) // 9) + 1, 1)) ELSE 0 END) > (CASE WHEN ((3 * hh) // 8) * 32 + ((7 * 32) // 9) < length(text) THEN ord(substr(text, ((3 * hh) // 8) * 32 + ((7 * 32) // 9) + 1, 1)) ELSE 0 END) THEN 2147483648::BIGINT ELSE 0 END) AS dhash_lo
+  FROM documents
+)
+SELECT doc_id, ww::INT AS width, hh::INT AS height, dhash_hi, dhash_lo,
+       count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS dup_group_size
+FROM h
+"""
+
+
 QUERIES = {
+    "multimodal_image_dhash": multimodal_image_dhash,
+    "emb_decontamination": emb_decontamination,
     "docs_bm25_topk": docs_bm25_topk,
     # new-in-round-4 entries lead so they land inside the driver's
     # 50-query correctness window (earlier rounds recorded the rest)
@@ -3639,6 +3755,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_image_dhash": IMAGE_DHASH_SQL,
+    "emb_decontamination": EMB_DECON_SQL,
     "docs_bm25_topk": BM25_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SQL,
     "docs_lexical_diversity": DOCS_LEXDIV_SQL,

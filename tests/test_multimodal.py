@@ -112,3 +112,64 @@ def test_decode_media_real_tier_end_to_end(spark):
     out = decode_media(bad, fake=False).collect()[0]
     assert out["decode_status"].startswith("error:")
     assert out["width"] is None and out["duration_ms"] is None
+
+
+def test_png_full_decode_handles_all_filters():
+    """decode_png_pixels must reconstruct rows under every PNG filter
+    type (0..4), not just the filter-0 stream our encoder emits -- the
+    claim that arbitrary conforming grayscale PNGs decode correctly."""
+    import struct
+    import zlib
+
+    from prometheus_pulsar_remote_write_spark.operators.multimodal import (
+        decode_png_pixels,
+        dhash64,
+        png_bytes,
+    )
+
+    width, height = 8, 5
+    pixels = bytes((x * 37 + y * 91) % 256 for y in range(height) for x in range(width))
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    # encode each row with a DIFFERENT filter: none, sub, up, average, paeth
+    rows = [pixels[y * width : (y + 1) * width] for y in range(height)]
+    enc = bytearray()
+    prev = bytes(width)
+    for y, row in enumerate(rows):
+        flt = y % 5
+        enc.append(flt)
+        for x in range(width):
+            a = row[x - 1] if x else 0
+            b, c = prev[x], (prev[x - 1] if x else 0)
+            if flt == 0:
+                enc.append(row[x])
+            elif flt == 1:
+                enc.append((row[x] - a) & 0xFF)
+            elif flt == 2:
+                enc.append((row[x] - b) & 0xFF)
+            elif flt == 3:
+                enc.append((row[x] - (a + b) // 2) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + chunk(b"IEND", b"")
+    )
+
+    w, h, px = decode_png_pixels(png)
+    assert (w, h, px) == (width, height, pixels)
+    # the filtered re-encode hashes identically to the filter-0 encode
+    w0, h0, px0 = decode_png_pixels(png_bytes(pixels, width))
+    assert dhash64(w, h, px) == dhash64(w0, h0, px0)
