@@ -3678,7 +3678,219 @@ FROM h
 """
 
 
+
+_LOGREG_ITERS = 2
+_LOGREG_LR = 0.5
+
+
+def _quality_features(docs):
+    """(doc_id, x0..x3, y): bias, kilochars, hectotokens, deca-stopwords;
+    label = English. Rational feature scaling (exact in binary doubles
+    is not required -- both engines compute the identical expressions)."""
+    from ..operators.text import STOPWORDS, tokens_col
+
+    tk = tokens_col(F.col("text"))
+    stop = F.size(
+        F.filter(tk, lambda t: F.lower(t).isin([w for w in STOPWORDS]))
+    )
+    return docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(tk) / 100.0).alias("x2"),
+        (stop / 10.0).alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def docs_quality_logreg(spark, sf_dir):
+    """Trainable quality classifier (the fastText-style quality-filter
+    stage of a curation pipeline) as in-engine batch gradient descent:
+    a linear probability model P(en) ~ w.x over (bias, kilochars,
+    hectotokens, deca-stopword-count), 2 full-batch GD steps, lr=0.5.
+
+    Determinism without ordered folds: each step's gradient is
+    sum_i floor((x_i.w - y_i) * x_ij * 1e6) -- the per-row contribution
+    is quantized to integer micros FIRST, so the cross-partition sum is
+    commutative and exact (no float fold-order dependence), and the
+    weight update w <- w - lr * g / (1e6 * n) derives from the same
+    integers on both engines. The same quantize-then-sum trick the
+    repo's sketches use, applied to model training.
+
+    Scale shape: one full scan + 4-integer aggregate per iteration
+    (driver sees 4 numbers -- the BPE-argmax pattern); scoring is a
+    second scan. At 100 TB each GD step is exactly one map-side-combined
+    aggregation."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    feats = _quality_features(docs)
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LOGREG_ITERS):
+        pred = (
+            F.col("x0") * w[0] + F.col("x1") * w[1]
+            + F.col("x2") * w[2] + F.col("x3") * w[3]
+        )
+        resid = pred - F.col("y")
+        g = feats.agg(
+            *[
+                F.sum(F.floor(resid * F.col(f"x{j}") * 1e6)).alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = [w[j] - _LOGREG_LR * g[f"g{j}"] / (1e6 * n) for j in range(4)]
+    score = (
+        F.col("x0") * w[0] + F.col("x1") * w[1]
+        + F.col("x2") * w[2] + F.col("x3") * w[3]
+    )
+    return feats.select(
+        "doc_id",
+        F.floor(score * 1e6).cast("long").alias("score_micro"),
+        (F.floor(score * 1e6) >= 500000).alias("predicted_en"),
+        F.col("y").cast("bigint").alias("label_en"),
+    )
+
+
+def _logreg_sql() -> str:
+    feats = """
+  SELECT doc_id, 1.0 AS x0, n_chars / 1000.0 AS x1,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 0)) / 100.0 AS x2,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(t)))) / 10.0 AS x3,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+"""
+    sql = f"WITH feats AS ({feats}), n AS (SELECT count(*)::BIGINT AS n FROM feats),\n"
+    prev_w = ["0.0"] * 4
+    for it in range(_LOGREG_ITERS):
+        pred = " + ".join(f"x{j} * ({prev_w[j]})" for j in range(4))
+        sql += (
+            f"g{it} AS (SELECT "
+            + ", ".join(
+                f"sum(floor((({pred}) - y) * x{j} * 1e6))::BIGINT AS g{j}"
+                for j in range(4)
+            )
+            + " FROM feats),\n"
+            f"w{it} AS (SELECT "
+            + ", ".join(
+                f"({prev_w[j]}) - {_LOGREG_LR} * g{it}.g{j} / (1e6 * n.n) AS w{j}"
+                for j in range(4)
+            )
+            + f" FROM g{it} CROSS JOIN n),\n"
+        )
+        prev_w = [f"(SELECT w{j} FROM w{it})" for j in range(4)]
+    final = " + ".join(f"x{j} * ({prev_w[j]})" for j in range(4))
+    sql += (
+        "scored AS (SELECT doc_id, "
+        f"floor(({final}) * 1e6)::BIGINT AS score_micro, y FROM feats)\n"
+        "SELECT doc_id, score_micro, score_micro >= 500000 AS predicted_en, "
+        "y::BIGINT AS label_en FROM scored"
+    )
+    return sql
+
+
+LOGREG_SQL = _logreg_sql()
+
+
+
+
+_BBIT_B = 2  # bits kept per MinHash value (Li & Koenig b-bit minwise hashing)
+
+
+def docs_bbit_minhash(spark, sf_dir):
+    """b-bit MinHash (Li & Koenig 2010): keep only the lowest b=2 bits of
+    each of the 8 MinHash values -- a 64x signature compression (the
+    storage regime web-scale dedup actually ships) -- and estimate
+    Jaccard for the LSH candidate pairs from b-bit collisions with the
+    collision-probability correction J = (m/k - C) / (1 - C), C = 2^-b.
+    The exact shingle Jaccard rides along, so the estimator's error is
+    part of the recorded result.
+
+    Integer determinism: b-bit values are (mh % 4), the match count m is
+    integral, and the corrected estimate is one BIGINT division:
+    jhat_milli = (1000 * (4*m - k)) DIV (3*k) for b=2, k=8, floored at
+    0. Scale shape: same as docs_neardup_pairs (all-JVM signatures,
+    band-bucket join) plus one broadcast re-join of the tiny b-bit
+    projection to attach sketches to pairs."""
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_agg,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    sigs = minhash_signatures_agg(docs, num_hashes=N_MINHASH).filter(
+        F.col("mh0").isNotNull()
+    )
+    bb = sigs.select(
+        "doc_id",
+        *[(F.col(f"mh{i}") % (1 << _BBIT_B)).alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    exact = ngram_jaccard_pairs(docs, pairs)
+    a = bb.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = bb.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        exact.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("n_match", matches.cast("long"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            F.greatest(
+                F.expr(f"(1000 * (4 * n_match - {N_MINHASH})) DIV (3 * {N_MINHASH})"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("jhat_milli"),
+            F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"),
+        )
+    )
+
+
+BBIT_MINHASH_SQL = f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band_id, mh0::VARCHAR || '|' || mh1::VARCHAR AS bucket FROM sigs UNION ALL SELECT doc_id, 1 AS band_id, mh2::VARCHAR || '|' || mh3::VARCHAR AS bucket FROM sigs UNION ALL SELECT doc_id, 2 AS band_id, mh4::VARCHAR || '|' || mh5::VARCHAR AS bucket FROM sigs UNION ALL SELECT doc_id, 3 AS band_id, mh6::VARCHAR || '|' || mh7::VARCHAR AS bucket FROM sigs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sh AS ({_SHINGLES_SQL}),
+exact AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+),
+bb AS (SELECT doc_id, mh0 % 4 AS b0, mh1 % 4 AS b1, mh2 % 4 AS b2, mh3 % 4 AS b3, mh4 % 4 AS b4, mh5 % 4 AS b5, mh6 % 4 AS b6, mh7 % 4 AS b7 FROM sigs),
+m AS (
+  SELECT e.id_a, e.id_b, e.jaccard,
+         ((CASE WHEN x.b0 = y.b0 THEN 1 ELSE 0 END) + (CASE WHEN x.b1 = y.b1 THEN 1 ELSE 0 END) + (CASE WHEN x.b2 = y.b2 THEN 1 ELSE 0 END) + (CASE WHEN x.b3 = y.b3 THEN 1 ELSE 0 END) + (CASE WHEN x.b4 = y.b4 THEN 1 ELSE 0 END) + (CASE WHEN x.b5 = y.b5 THEN 1 ELSE 0 END) + (CASE WHEN x.b6 = y.b6 THEN 1 ELSE 0 END) + (CASE WHEN x.b7 = y.b7 THEN 1 ELSE 0 END))::BIGINT AS n_match
+  FROM exact e JOIN bb x ON e.id_a = x.doc_id JOIN bb y ON e.id_b = y.doc_id
+)
+SELECT id_a, id_b, n_match,
+       greatest((1000 * (4 * n_match - {N_MINHASH})) // (3 * {N_MINHASH}), 0) AS jhat_milli,
+       floor(jaccard * 1000)::BIGINT AS jaccard_milli
+FROM m
+"""
+
+
 QUERIES = {
+    "docs_bbit_minhash": docs_bbit_minhash,
+    "docs_quality_logreg": docs_quality_logreg,
     "multimodal_image_dhash": multimodal_image_dhash,
     "emb_decontamination": emb_decontamination,
     "docs_bm25_topk": docs_bm25_topk,
@@ -3755,6 +3967,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_bbit_minhash": BBIT_MINHASH_SQL,
+    "docs_quality_logreg": LOGREG_SQL,
     "multimodal_image_dhash": IMAGE_DHASH_SQL,
     "emb_decontamination": EMB_DECON_SQL,
     "docs_bm25_topk": BM25_SQL,

@@ -1573,7 +1573,59 @@ SELECT 'customer_acctbal_not_null', (SELECT count(*) FROM customer),
 """
 
 
+
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT/melt: the four lineitem measures (quantity, extendedprice,
+    discount, tax) become (measure, value) rows, aggregated per
+    returnflag -- the wide-to-long reshape every BI export runs, via the
+    native DataFrame ``unpivot`` (Spark's melt; SQL mirrors with
+    UNPIVOT). Integer-milli sums keep the value hash exact.
+
+    Scale shape: unpivot is a zero-shuffle generator (4 output rows per
+    input row, no exchange); the only wide edge is the tiny
+    (returnflag, measure) hash agg."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 1000).cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 1000).cast("long").alias("extendedprice"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("discount"),
+        F.round(F.col("l_tax") * 1000).cast("long").alias("tax"),
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="value_milli",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.sum("value_milli").alias("sum_milli"),
+        F.min("value_milli").alias("min_milli"),
+        F.max("value_milli").alias("max_milli"),
+    )
+
+
+UNPIVOT_SQL = """
+WITH melted AS (
+  UNPIVOT (
+    SELECT l_returnflag,
+           round(l_quantity * 1000)::BIGINT AS quantity,
+           round(l_extendedprice * 1000)::BIGINT AS extendedprice,
+           round(l_discount * 1000)::BIGINT AS discount,
+           round(l_tax * 1000)::BIGINT AS tax
+    FROM lineitem
+  ) ON quantity, extendedprice, discount, tax
+  INTO NAME measure VALUE value_milli
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       sum(value_milli)::BIGINT AS sum_milli,
+       min(value_milli) AS min_milli, max(value_milli) AS max_milli
+FROM melted GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "bloom_semijoin_prefilter": bloom_semijoin_prefilter,
     "data_validation_report": data_validation_report,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1621,6 +1673,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unpivot_lineitem_measures": UNPIVOT_SQL,
     "bloom_semijoin_prefilter": BLOOM_PREFILTER_SQL,
     "data_validation_report": VALIDATION_SQL,
     "q1_pricing_summary": Q1_SQL,
