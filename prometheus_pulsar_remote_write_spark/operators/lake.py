@@ -361,3 +361,84 @@ def stream_continuous_aggregate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- row-level deletes: equality-delete files (merge-on-read) ----------------
+
+
+def write_equality_deletes(
+    delete_keys: DataFrame, deletes_path: str, key_cols: list[str]
+) -> None:
+    """Record row-level DELETEs as equality-delete files (the
+    Iceberg/Delta merge-on-read pattern): instead of rewriting data
+    files, append a tiny parquet of the deleted keys. GDPR/right-to-
+    erasure at 100 TB works exactly like this -- deletes land in
+    O(|deleted keys|), the expensive rewrite is deferred to compaction.
+    Append-mode so successive delete batches accumulate."""
+    delete_keys.select(*key_cols).distinct().write.mode("append").parquet(
+        deletes_path
+    )
+
+
+def read_with_deletes(
+    spark: SparkSession, path: str, deletes_path: str, key_cols: list[str]
+) -> DataFrame:
+    """Merge-on-read: the live view is table ANTI-JOIN delete-keys. The
+    delete set is broadcast (tiny relative to data by construction), so
+    the read plan is scan + broadcast hash anti-join -- no shuffle added
+    to the consumer's plan. A missing/empty deletes path degrades to the
+    plain read."""
+    base = spark.read.parquet(path)
+    try:
+        dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()
+    except Exception:
+        return base
+    return base.join(F.broadcast(dels), on=key_cols, how="left_anti")
+
+
+def apply_deletes(
+    spark: SparkSession,
+    path: str,
+    deletes_path: str,
+    key_cols: list[str],
+    part_cols: list[str] | None = None,
+) -> list:
+    """Compaction of the delete log into the data files: rewrite ONLY the
+    partitions that contain a deleted key (pruned via the distinct
+    partition TUPLES of the matching rows -- bounded by the delete set,
+    never the table), preserving the table's partition layout
+    (``part_cols``, default the lake's (tenant_id, day)). Dynamic
+    partition overwrite leaves untouched partitions' files alone; the
+    delete log is cleared afterwards. Returns the rewritten partition
+    tuples."""
+    import shutil
+
+    part_cols = part_cols or ["tenant_id", "day"]
+    base = spark.read.parquet(path)
+    try:
+        dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()
+    except Exception:
+        return []
+    touched_df = (
+        base.join(F.broadcast(dels), on=key_cols, how="left_semi")
+        .select(*part_cols)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = [tuple(r) for r in touched_df.collect()]
+    if touched:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        rewritten = (
+            base.join(F.broadcast(touched_df), on=part_cols, how="left_semi")
+            .join(F.broadcast(dels), on=key_cols, how="left_anti")
+            .select(*base.columns)
+            .localCheckpoint(eager=True)  # cut lineage from the path being rewritten
+        )
+        (
+            rewritten.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+    shutil.rmtree(deletes_path, ignore_errors=True)
+    return sorted(touched)

@@ -39,11 +39,21 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED = [
+    # new in round 7
+    "docs_bm25_topk",            # inverted-index sparse retrieval
+    "consume_holt_winters",      # PromQL double exponential smoothing
+    "events_theta_set_ops",      # KMV sketch union/intersection
+    "emb_decontamination",       # semantic eval-leakage report
+    "multimodal_image_dhash",    # real-PNG perceptual hash dedup
+    "docs_quality_logreg",       # quantized-gradient GD classifier
+    "docs_bbit_minhash",         # 2-bit MinHash Jaccard estimation
+    "unpivot_lineitem_measures", # wide-to-long melt showcase
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix
     "consume_instant_vector",  # broadcast-pinned eval grid
     "emb_semdedup",            # k-means-refined balanced centroids
+    "docs_neardup_pairs",      # all-JVM signature tier
 ]
 
 

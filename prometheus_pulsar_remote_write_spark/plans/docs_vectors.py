@@ -3492,7 +3492,15 @@ def docs_bm25_topk(spark, sf_dir):
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts], ["query_id", "term"]
     )
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # materialized once: the (doc, term) postings aggregate feeds THREE
+    # consumers (doc lengths, the query-term probe, and through it the
+    # df counts); without the checkpoint Catalyst re-derives the explode
+    # + agg per consumer (audited: 19 exchanges -> 7)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     glob = dl.agg(
         F.sum("dl").alias("corpus_len"), F.count("*").alias("n_docs")
@@ -3888,7 +3896,123 @@ FROM m
 """
 
 
+
+def docs_leakage_safe_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split: assignment hashes the near-dup
+    FAMILY id, not the doc id, so near-duplicate documents can never
+    straddle splits (the eval-contamination mode a naive per-doc hash
+    split silently commits -- a test doc's near-twin in train inflates
+    eval). Docs in no family are their own singleton family (family =
+    doc_id), keeping the split coordination-free and reproducible.
+
+    Plan shape: the family table is tiny (only docs appearing in >= 1
+    near-dup pair), so attaching it is one broadcast left join over the
+    corpus scan; the split predicate stays scan-level. Emits per-doc
+    assignment plus the family id so an auditor can verify the
+    invariant (test_catalog extra: one split per family)."""
+    fams = docs_dup_families(spark, sf_dir).select("doc_id", "family")
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_fam = docs.select("doc_id", "source").join(
+        F.broadcast(fams), "doc_id", "left"
+    ).withColumn("family", F.coalesce("family", "doc_id"))
+    h = ((F.col("family") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    return with_fam.select(
+        "doc_id",
+        "family",
+        split.alias("split"),
+    )
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH fam AS ({DUP_FAMILIES_SQL}),
+with_fam AS (
+  SELECT d.doc_id, coalesce(f.family, d.doc_id) AS family
+  FROM documents d LEFT JOIN fam f ON d.doc_id = f.doc_id
+)
+SELECT doc_id, family,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, family,
+             (family * 2654435761) % 4294967296 % 100 AS h
+      FROM with_fam)
+"""
+
+
+
+_MIXTURE_BUDGET_TOKENS = 20000  # target corpus token budget for the plan
+
+
+def docs_mixture_plan(spark, sf_dir):
+    """Token-budget MIXTURE PLANNING (the step before mixture sampling):
+    given per-tier target weights (tier0:tier1:tier2 = 5:3:2), the
+    available token mass per tier, and a total token budget, compute
+    each tier's token allocation, the sampling rate (milli) that
+    realizes it, and the EPOCH count when a tier must repeat to meet
+    its share (the books-get-3-epochs regime every LLM data-mixing
+    writeup describes). Pure integer arithmetic over a |sources|-row
+    aggregate; the output IS the config docs_mixture_sample consumes.
+
+    Scale shape: one scan + one tiny tier rollup; everything after is
+    arithmetic on <= 3 rows."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tier = F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 3
+    tokens = F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0))
+    per_tier = (
+        docs.select(tier.alias("tier"), tokens.alias("tok"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("avail_tokens"),
+        )
+    )
+    weight = (
+        F.when(F.col("tier") == 0, 5).when(F.col("tier") == 1, 3).otherwise(2)
+    )
+    return (
+        per_tier.withColumn("weight", weight.cast("bigint"))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"({_MIXTURE_BUDGET_TOKENS} * weight) DIV 10"),
+        )
+        .withColumn(
+            "rate_milli",
+            F.expr("(1000 * target_tokens) DIV avail_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            # ceil(target/avail): >1 means the tier repeats (upsampling)
+            F.expr("(target_tokens + avail_tokens - 1) DIV avail_tokens"),
+        )
+        .select(
+            "tier", "n_docs", "avail_tokens", "weight",
+            "target_tokens", "rate_milli", "epochs",
+        )
+    )
+
+
+MIXTURE_PLAN_SQL = f"""
+WITH per_tier AS (
+  SELECT TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 3 AS tier,
+         count(*) AS n_docs,
+         sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))::BIGINT
+           AS avail_tokens
+  FROM documents GROUP BY 1
+), weighted AS (
+  SELECT tier, n_docs, avail_tokens,
+         (CASE tier WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END)::BIGINT AS weight
+  FROM per_tier
+)
+SELECT tier, n_docs, avail_tokens, weight,
+       ({_MIXTURE_BUDGET_TOKENS} * weight) // 10 AS target_tokens,
+       (1000 * (({_MIXTURE_BUDGET_TOKENS} * weight) // 10)) // avail_tokens AS rate_milli,
+       ((({_MIXTURE_BUDGET_TOKENS} * weight) // 10) + avail_tokens - 1) // avail_tokens AS epochs
+FROM weighted
+"""
+
+
 QUERIES = {
+    "docs_mixture_plan": docs_mixture_plan,
+    "docs_leakage_safe_split": docs_leakage_safe_split,
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_quality_logreg": docs_quality_logreg,
     "multimodal_image_dhash": multimodal_image_dhash,
@@ -3967,6 +4091,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_mixture_plan": MIXTURE_PLAN_SQL,
+    "docs_leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "docs_bbit_minhash": BBIT_MINHASH_SQL,
     "docs_quality_logreg": LOGREG_SQL,
     "multimodal_image_dhash": IMAGE_DHASH_SQL,

@@ -1313,11 +1313,15 @@ def events_theta_set_ops(spark, sf_dir):
         .distinct()
     )
     w = Window.partitionBy("event_type").orderBy("h")
+    # materialized once: the 5-row sketch relation feeds both self-join
+    # sides and the pair projection; the checkpoint stops the distinct +
+    # window subplan re-running per consumer
     sk = (
         uh.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _THETA_K)
         .groupBy("event_type")
         .agg(F.sort_array(F.collect_list("h")).alias("mins"))
+        .localCheckpoint(eager=True)
     )
     a = sk.select(F.col("event_type").alias("event_a"), F.col("mins").alias("ma"))
     b = sk.select(F.col("event_type").alias("event_b"), F.col("mins").alias("mb"))
@@ -1374,7 +1378,7 @@ def events_theta_set_ops(spark, sf_dir):
         F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("exact_inter"),
     )
     return (
-        pairs.join(exact, ["event_a", "event_b"])
+        pairs.join(F.broadcast(exact), ["event_a", "event_b"])
         .select(
             "event_a",
             "event_b",

@@ -437,3 +437,76 @@ def test_compaction_plan_invariants_and_execution(spark, tmp_path):
     files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     assert len(files_after) == len(groups)
     assert spark.read.parquet(part_dir).count() == before_rows
+
+
+def test_equality_deletes_merge_on_read_and_compaction(spark, tmp_path):
+    """Row-level deletes, Iceberg-style: (1) writing equality-delete
+    files leaves data files untouched but the merged read hides the
+    rows; (2) apply_deletes rewrites ONLY the partitions containing
+    deleted keys (untouched partitions keep their exact files) and
+    clears the delete log; (3) a second apply is a no-op (idempotent)."""
+    import glob
+    import os
+
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        apply_deletes,
+        read_with_deletes,
+        write_equality_deletes,
+        write_samples_lake,
+    )
+
+    samples = samples_from_events(spark, SF_SMOKE)
+    lake = str(tmp_path / "lake")
+    dels = str(tmp_path / "deletes")
+    write_samples_lake(samples, lake)
+    total = spark.read.parquet(lake).count()
+
+    # delete every sample of ONE series in ONE tenant
+    victim = (
+        spark.read.parquet(lake)
+        .select("tenant_id", "series_key")
+        .distinct()
+        .orderBy("tenant_id", "series_key")
+        .limit(1)
+        .collect()[0]
+    )
+    keys = spark.createDataFrame(
+        [(victim["tenant_id"], victim["series_key"])],
+        ["tenant_id", "series_key"],
+    )
+    n_victim = (
+        spark.read.parquet(lake)
+        .where(
+            (F.col("tenant_id") == victim["tenant_id"])
+            & (F.col("series_key") == victim["series_key"])
+        )
+        .count()
+    )
+    assert n_victim > 0
+
+    files_before = {
+        f for f in glob.glob(f"{lake}/**/*.parquet", recursive=True)
+    }
+    write_equality_deletes(keys, dels, ["tenant_id", "series_key"])
+    # merge-on-read hides the rows; data files untouched
+    live = read_with_deletes(spark, lake, dels, ["tenant_id", "series_key"])
+    assert live.count() == total - n_victim
+    assert files_before == {
+        f for f in glob.glob(f"{lake}/**/*.parquet", recursive=True)
+    }
+
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for f in files_before
+        if f"tenant_id={victim['tenant_id']}/" not in f.replace(os.sep, "/")
+    }
+    assert untouched_before, "fixture needs more than one tenant"
+    touched = apply_deletes(spark, lake, dels, ["tenant_id", "series_key"])
+    assert touched and all(t[0] == victim["tenant_id"] for t in touched)
+    # physical rows gone, delete log cleared, untouched partitions' files intact
+    assert spark.read.parquet(lake).count() == total - n_victim
+    assert not os.path.exists(dels)
+    for f, mt in untouched_before.items():
+        assert os.path.getmtime(f) == mt, f"untouched partition rewritten: {f}"
+    # idempotent: applying an empty log is a no-op
+    assert apply_deletes(spark, lake, dels, ["tenant_id", "series_key"]) == []

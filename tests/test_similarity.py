@@ -595,3 +595,22 @@ def test_semdedup_refined_centroids_balance(spark):
     assert max(ref_shares.values()) <= 0.90
     # refined clustering must also spread the off-blob modes across >1 cell
     assert len(ref_shares) >= 2
+
+
+def test_leakage_safe_split_invariant(spark):
+    """Every near-dup family lands wholly in ONE split (the whole point),
+    and the split is the family-hash split, not the per-doc one."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        docs_leakage_safe_split,
+    )
+
+    rows = docs_leakage_safe_split(spark, SF_SMOKE).collect()
+    by_family = {}
+    for r in rows:
+        by_family.setdefault(r["family"], set()).add(r["split"])
+    assert rows and all(len(s) == 1 for s in by_family.values())
+    # at least one real (multi-doc) family exists in the fixture
+    from collections import Counter
+
+    fam_sizes = Counter(r["family"] for r in rows)
+    assert max(fam_sizes.values()) >= 2
