@@ -286,3 +286,113 @@ def pii_scrub(df, text_col: str = "text"):
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pattern)))
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+# --- inverted-index serving layout (sparse-retrieval analog of the IVF index)
+
+
+def _term_bucket(term: "Column", n_buckets: int) -> "Column":
+    """Deterministic engine-portable term bucket: md5-prefix int mod n."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 7), 16, 10).cast("long") % n_buckets
+    )
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """The same bucket computed driver-side (probe planning)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:7], 16) % n_buckets
+
+
+def persist_inverted_index(
+    docs, path: str, n_buckets: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Persist a BUCKET-PARTITIONED inverted index: postings (bucket,
+    term, doc_id, tf) partitioned by the term's md5 bucket, plus the
+    side relations BM25 serving needs (per-doc lengths, per-term doc
+    frequencies, corpus stats). The sparse-retrieval twin of
+    similarity.persist_ivf_index: a probe only reads the partitions its
+    query terms hash into, so retrieval cost scales with |query|, not
+    vocabulary -- at 100 TB the postings are the big relation and this
+    partition pruning is the serving plan."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # one derivation for all four outputs
+    (
+        tf.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl.coalesce(1).write.mode("overwrite").parquet(f"{path}/_doclens")
+    tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_df")
+    dl.agg(
+        F.sum("dl").cast("long").alias("corpus_len"),
+        F.count("*").cast("long").alias("n_docs"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list,
+    k: int = 5,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+):
+    """BM25 top-k served from a persisted inverted index: the query's
+    term buckets become a PARTITION-LEVEL predicate on the postings scan
+    (only |query-term buckets| of n_buckets directories are read), then
+    the same exact-rational BM25 arithmetic as the inline
+    docs_bm25_topk (k1=1.2, b=0.75, micro-idf, common-denominator
+    BIGINT division). ``query_terms`` is [(query_id, term), ...]."""
+    from pyspark.sql import Window
+
+    buckets = sorted({term_bucket_py(t, n_buckets) for _, t in query_terms})
+    postings = spark.read.parquet(index_path).where(F.col("bucket").isin(buckets))
+    qt = spark.createDataFrame(query_terms, ["query_id", "term"])
+    dl = spark.read.parquet(f"{index_path}/_doclens")
+    dfreq = spark.read.parquet(f"{index_path}/_df")
+    stats = spark.read.parquet(f"{index_path}/_stats")
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) * 1e6
+            ).cast("long"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(idf_micro * tf * 22 * corpus_len) DIV "
+                "(10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    per = scored.groupBy("query_id", id_col).agg(
+        F.sum("term_score").alias("score"),
+        F.count("*").alias("n_matched_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
+            "score",
+            "n_matched_terms",
+        )
+    )

@@ -48,6 +48,8 @@ _CHANGED = [
     "docs_quality_logreg",       # quantized-gradient GD classifier
     "docs_bbit_minhash",         # 2-bit MinHash Jaccard estimation
     "unpivot_lineitem_measures", # wide-to-long melt showcase
+    "docs_leakage_safe_split",   # family-aware split assignment
+    "docs_mixture_plan",         # token-budget mixture planning
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -1793,7 +1793,55 @@ FROM folded
 """
 
 
+
+def consume_count_values(spark, sf_dir):
+    """PromQL count_values(): the cardinality of each distinct sample
+    VALUE per metric name -- the label-from-value pivot used to audit
+    enum-style gauges (how many series currently report 0/1/2...).
+    Values quantize to centi (the repo's wire convention) so the
+    grouping key is integer-exact; top-20 most frequent values per
+    metric keeps the result bounded like PromQL's topk wrapper would.
+
+    Scale shape: one hash aggregation on (name, value_centi) with
+    map-side combine, then a TakeOrdered per-name rank -- the same
+    bounded-output contract as consume_topk_series."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.col("labels").getItem("__name__").alias("name"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_centi"),
+    )
+    counts = s.groupBy("name", "value_centi").agg(F.count("*").alias("n_samples"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("name").orderBy(
+        F.desc("n_samples"), F.asc("value_centi")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("name", F.col("rank").cast("bigint").alias("rank"), "value_centi", "n_samples")
+    )
+
+
+CONSUME_COUNT_VALUES_SQL = f"""
+WITH s AS (
+  SELECT event_type AS name, round(value * 100)::BIGINT AS value_centi
+  FROM ({_SAMPLES_SQL})
+), counts AS (
+  SELECT name, value_centi, count(*) AS n_samples
+  FROM s GROUP BY 1, 2
+)
+SELECT name, rank, value_centi, n_samples
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY name
+             ORDER BY n_samples DESC, value_centi ASC) AS rank
+  FROM counts
+) WHERE rank <= 20
+"""
+
+
 QUERIES = {
+    "consume_count_values": consume_count_values,
     "consume_holt_winters": consume_holt_winters,
     "consume_staleness_report": consume_staleness_report,
     "consume_irate_idelta": consume_irate_idelta,
@@ -1828,6 +1876,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_count_values": CONSUME_COUNT_VALUES_SQL,
     "consume_holt_winters": CONSUME_HOLT_WINTERS_SQL,
     "consume_staleness_report": CONSUME_STALENESS_SQL,
     "consume_irate_idelta": CONSUME_IRATE_SQL,

@@ -614,3 +614,44 @@ def test_leakage_safe_split_invariant(spark):
 
     fam_sizes = Counter(r["family"] for r in rows)
     assert max(fam_sizes.values()) >= 2
+
+
+def test_persisted_inverted_index_matches_inline_bm25_and_prunes(spark, tmp_path):
+    """The bucket-partitioned inverted index serves exactly what the
+    inline docs_bm25_topk computes, and the probe's bucket predicate
+    reaches the postings scan as partition pruning (only the query
+    terms' bucket directories are read)."""
+    from prometheus_pulsar_remote_write_spark.operators.text import (
+        bm25_topk_indexed,
+        persist_inverted_index,
+        term_bucket_py,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _BM25_QUERIES,
+        docs_bm25_topk,
+    )
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    idx = str(tmp_path / "inv-index")
+    persist_inverted_index(docs, idx, n_buckets=16)
+
+    qterms = [(qid, t) for qid, ts in _BM25_QUERIES for t in ts]
+    indexed = bm25_topk_indexed(spark, idx, qterms, k=5, n_buckets=16)
+    inline = docs_bm25_topk(spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in indexed.collect())
+    want = sorted(tuple(r) for r in inline.collect())
+    assert got == want and got
+
+    # pruning: the postings scan must carry a bucket partition filter
+    # listing exactly the probed buckets (inputFiles() ignores partition
+    # filters, so assert on the executed plan)
+    import re
+
+    probed = {term_bucket_py(t, 16) for _, t in qterms}
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([0-9,]+)\)\]", plan)
+    assert m, "no bucket partition filter reached the postings scan"
+    read_buckets = {int(b) for b in m.group(1).split(",")}
+    assert read_buckets == probed
+    assert len(read_buckets) < 16, "no pruning: every bucket was probed"
