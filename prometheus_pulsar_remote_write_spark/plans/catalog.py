@@ -50,6 +50,8 @@ _CHANGED = [
     "unpivot_lineitem_measures", # wide-to-long melt showcase
     "docs_leakage_safe_split",   # family-aware split assignment
     "docs_mixture_plan",         # token-budget mixture planning
+    "consume_count_values",      # PromQL count_values
+    "events_misra_gries_topk",   # arrival-order MG heavy hitters
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

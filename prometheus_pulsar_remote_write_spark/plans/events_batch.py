@@ -1443,7 +1443,118 @@ FROM approx a JOIN exact e USING (event_a, event_b)
 """
 
 
+
+_MG_CAPACITY = 4
+
+_MG_FOLD_SPARK = """
+aggregate(
+  items,
+  cast(array() as array<struct<k:string,c:bigint>>),
+  (acc, x) -> CASE
+    WHEN exists(acc, a -> a.k = x)
+      THEN transform(acc, a -> if(a.k = x, named_struct('k', a.k, 'c', a.c + 1L), a))
+    WHEN size(acc) < %d
+      THEN array_append(acc, named_struct('k', x, 'c', 1L))
+    ELSE filter(transform(acc, a -> named_struct('k', a.k, 'c', a.c - 1L)), a -> a.c > 0)
+  END
+)
+""" % _MG_CAPACITY
+
+
+def events_misra_gries_topk(spark, sf_dir):
+    """Misra-Gries heavy hitters as a SEQUENTIAL streaming fold, replayed
+    bit-for-bit in SQL: per event_type, a capacity-4 MG summary over the
+    user stream in (ts, event_id) arrival order -- the O(capacity)-state
+    frequent-items algorithm (every key with frequency > n/(capacity+1)
+    is guaranteed present; test_sketch pins the undercount bound
+    exact - est <= n_decrements). Exact per-item counts ride along so
+    the summary's error is part of the recorded result.
+
+    Scale shape: the fold is per-GROUP sequential (the semantics of
+    arrival-order MG); groups are event types, so parallelism is across
+    groups, and the collected item list per group is the bounded range
+    the operator is defined over. The distributed formulation (one MG
+    summary per partition, merged) drops the arrival-order determinism
+    -- that variant is what you'd run corpus-wide at 100 TB, with the
+    same per-summary code."""
+    ev = _events(spark, sf_dir)
+    per = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, item))),"
+                " s -> s.item)"
+            ).alias("items")
+        )
+        .select(
+            "event_type",
+            F.size("items").alias("n_total"),
+            F.expr(_MG_FOLD_SPARK).alias("mg"),
+        )
+    )
+    entry = per.select(
+        "event_type",
+        "n_total",
+        F.posexplode("mg").alias("seq", "e"),
+    ).select(
+        "event_type",
+        "n_total",
+        (F.col("seq") + 1).cast("bigint").alias("seq"),
+        F.col("e.k").alias("item"),
+        F.col("e.c").alias("est_count"),
+    )
+    exact = ev.groupBy(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    ).agg(F.count("*").alias("exact_count"))
+    return entry.join(exact, ["event_type", "item"]).select(
+        "event_type", "seq", "item", "est_count", "exact_count", "n_total"
+    )
+
+
+MISRA_GRIES_SQL = f"""
+WITH per AS (
+  SELECT event_type, len(items) AS n_total,
+    list_reduce(
+      list_prepend(
+        []::STRUCT(k VARCHAR, c BIGINT)[],
+        list_transform(items, t -> [{{'k': t, 'c': 0::BIGINT}}])
+      ),
+      (acc, e) -> CASE
+        WHEN list_contains(list_transform(acc, a -> a.k), e[1].k)
+          THEN list_transform(acc, a -> CASE WHEN a.k = e[1].k
+               THEN {{'k': a.k, 'c': a.c + 1}} ELSE a END)
+        WHEN len(acc) < {_MG_CAPACITY}
+          THEN list_append(acc, {{'k': e[1].k, 'c': 1::BIGINT}})
+        ELSE list_filter(list_transform(acc, a -> {{'k': a.k, 'c': a.c - 1}}),
+                         a -> a.c > 0)
+      END
+    ) AS mg
+  FROM (
+    SELECT event_type,
+           list(user_id::VARCHAR ORDER BY ts, event_id) AS items
+    FROM events GROUP BY event_type
+  )
+), entry AS (
+  SELECT event_type, n_total, i AS seq,
+         mg[i].k AS item, mg[i].c AS est_count
+  FROM per, unnest(range(1, len(mg) + 1)) AS r(i)
+), exact AS (
+  SELECT event_type, user_id::VARCHAR AS item, count(*) AS exact_count
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, e.seq, e.item, e.est_count, x.exact_count, e.n_total
+FROM entry e JOIN exact x USING (event_type, item)
+"""
+
+
 QUERIES = {
+    "events_misra_gries_topk": events_misra_gries_topk,
     "events_theta_set_ops": events_theta_set_ops,
     "events_ddsketch_quantiles": events_ddsketch_quantiles,
     "events_cms_key_drift": events_cms_key_drift,
@@ -1475,6 +1586,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_misra_gries_topk": MISRA_GRIES_SQL,
     "events_theta_set_ops": THETA_SET_SQL,
     "events_ddsketch_quantiles": DDSKETCH_SQL,
     "events_cms_key_drift": EVENTS_CMS_DRIFT_SQL,

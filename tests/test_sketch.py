@@ -119,3 +119,37 @@ def test_cms_tables_merge_by_addition(spark):
     assert {
         (r["depth"], r["bucket"]): r["n"] for r in merged.collect()
     } == whole
+
+
+def test_misra_gries_guarantees(spark):
+    """Classic MG bounds must hold on the real fixture: counters never
+    overestimate, undercount at most n/(capacity+1), and every item with
+    true frequency above n/(capacity+1) survives in the summary."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        _MG_CAPACITY,
+        events_misra_gries_topk,
+    )
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+    from tests.conftest import SF_SMOKE
+
+    rows = events_misra_gries_topk(spark, SF_SMOKE).collect()
+    assert rows
+    in_summary = {}
+    for r in rows:
+        assert r["est_count"] <= r["exact_count"]
+        assert r["exact_count"] - r["est_count"] <= r["n_total"] / (_MG_CAPACITY + 1)
+        in_summary.setdefault(r["event_type"], set()).add(r["item"])
+    ev = load_tables(spark, SF_SMOKE, ["events"])["events"]
+    exact = (
+        ev.groupBy("event_type", F.col("user_id").cast("string").alias("item"))
+        .count()
+        .collect()
+    )
+    n_by_type = {}
+    for r in exact:
+        n_by_type[r["event_type"]] = n_by_type.get(r["event_type"], 0) + r["count"]
+    for r in exact:
+        if r["count"] > n_by_type[r["event_type"]] / (_MG_CAPACITY + 1):
+            assert r["item"] in in_summary.get(r["event_type"], set()), (
+                f"heavy hitter {r['item']} missing from {r['event_type']} summary"
+            )
