@@ -1840,7 +1840,90 @@ FROM (
 """
 
 
+
+def consume_scrape_gaps(spark, sf_dir):
+    """Scrape-gap detection: per series, the inter-sample intervals, the
+    per-series MEDIAN interval (exact lower-median order statistic --
+    integer, no interpolation), and how many intervals exceed 2x that
+    median with the largest one -- the "target is flapping" ops report a
+    Prometheus operator reads off the staleness dashboard. Series with
+    < 3 samples are skipped (no meaningful cadence).
+
+    Scale shape: one shuffle on the series key shared by the lag window
+    and the aggregation; per-series state is its interval list (the
+    range-vector bound)."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+    )
+    w = Window.partitionBy("tenant_id", "name").orderBy("timestamp", "event_id")
+    iv = (
+        s.withColumn("prev_ts", F.lag("timestamp").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "tenant_id",
+            "name",
+            (F.col("timestamp") - F.col("prev_ts")).alias("gap_ms"),
+        )
+    )
+    per = iv.groupBy("tenant_id", "name").agg(
+        F.count("*").alias("n_intervals"),
+        F.sort_array(F.collect_list("gap_ms")).alias("gaps"),
+    )
+    med = F.element_at(
+        F.col("gaps"), ((F.col("n_intervals") - 1) / 2 + 1).cast("int")
+    )
+    return (
+        per.filter(F.col("n_intervals") >= 2)
+        .withColumn("median_interval_ms", med)
+        .select(
+            "tenant_id",
+            "name",
+            "n_intervals",
+            "median_interval_ms",
+            F.size(
+                F.filter(
+                    "gaps",
+                    lambda g: g > F.col("median_interval_ms") * 2,
+                )
+            )
+            .cast("bigint")
+            .alias("n_gaps"),
+            F.element_at("gaps", -1).alias("max_gap_ms"),
+        )
+    )
+
+
+CONSUME_SCRAPE_GAPS_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id
+  FROM ({_SAMPLES_SQL})
+), iv AS (
+  SELECT tenant_id, name,
+         timestamp - lag(timestamp) OVER w AS gap_ms
+  FROM s
+  WINDOW w AS (PARTITION BY tenant_id, name ORDER BY timestamp, event_id)
+), per AS (
+  SELECT tenant_id, name, count(*) AS n_intervals,
+         list_sort(list(gap_ms)) AS gaps
+  FROM iv WHERE gap_ms IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT tenant_id, name, n_intervals,
+       gaps[((n_intervals - 1) // 2 + 1)::INT] AS median_interval_ms,
+       len(list_filter(gaps, g -> g > gaps[((n_intervals - 1) // 2 + 1)::INT] * 2))::BIGINT AS n_gaps,
+       gaps[-1] AS max_gap_ms
+FROM per WHERE n_intervals >= 2
+"""
+
+
 QUERIES = {
+    "consume_scrape_gaps": consume_scrape_gaps,
     "consume_count_values": consume_count_values,
     "consume_holt_winters": consume_holt_winters,
     "consume_staleness_report": consume_staleness_report,
@@ -1876,6 +1959,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_scrape_gaps": CONSUME_SCRAPE_GAPS_SQL,
     "consume_count_values": CONSUME_COUNT_VALUES_SQL,
     "consume_holt_winters": CONSUME_HOLT_WINTERS_SQL,
     "consume_staleness_report": CONSUME_STALENESS_SQL,
