@@ -52,6 +52,8 @@ _CHANGED = [
     "docs_mixture_plan",         # token-budget mixture planning
     "consume_count_values",      # PromQL count_values
     "events_misra_gries_topk",   # arrival-order MG heavy hitters
+    "emb_matryoshka_recall",     # truncated-dim recall report
+    "consume_scrape_gaps",       # per-series cadence gap detection
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

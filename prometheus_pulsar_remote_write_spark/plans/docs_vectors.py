@@ -4039,7 +4039,7 @@ def emb_matryoshka_recall(spark, sf_dir):
     exact = cosine_topk(emb, queries, k=3).select(
         "query_id", F.col("match_id").alias("exact_match")
     )
-    approx = cosine_topk(trunc, tq, k=3).select("query_id", "match_id")
+    approx = F.broadcast(cosine_topk(trunc, tq, k=3).select("query_id", "match_id"))
     hits = (
         exact.join(
             approx,
@@ -4050,7 +4050,7 @@ def emb_matryoshka_recall(spark, sf_dir):
         .agg(F.count("*").alias("n_hits"))
     )
     base = queries.select(F.col("vec_id").alias("query_id"))
-    return base.join(hits, base["query_id"] == hits["qid"], "left").select(
+    return base.join(F.broadcast(hits), base["query_id"] == hits["qid"], "left").select(
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
         F.floor(F.coalesce(F.col("n_hits"), F.lit(0)) * 1000 / 3)
