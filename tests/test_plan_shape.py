@@ -267,3 +267,57 @@ def test_wire_serializers_compile_shuffle_and_python_free(spark):
         assert "Exchange" not in plan, f"{fn.__name__} grew a shuffle"
         for marker in ("PythonUDF", "MapInPandas", "ArrowEval", "BatchEvalPython"):
             assert marker not in plan, f"{fn.__name__} fell off the codegen tier"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence for the skew story: with AQE skew-join enabled and
+    thresholds sized to the fixture, a join against a pathologically
+    hot key (99% of rows on one key) executes with skew-split partitions
+    -- the runtime re-plan a 1000-executor job relies on when salting
+    wasn't applied up front. Asserted from the POST-EXECUTION adaptive
+    plan (isSkew only materializes at runtime)."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # force a shuffle join: broadcast would hide the skew handling
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 2_000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        # global agg downstream (not keyed on k): a keyed agg would need
+        # hash-partitioning on k and AQE declines to split skew when the
+        # split would force an extra shuffle
+        joined = left.join(right, "k").agg(F.sum(F.length("pad")).alias("s"))
+        # collect() executes through the Dataset's own QueryExecution, so
+        # the AdaptiveSparkPlan below reflects the runtime re-plan
+        # (a noop write would run a separate execution)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
