@@ -54,6 +54,7 @@ _CHANGED = [
     "events_misra_gries_topk",   # arrival-order MG heavy hitters
     "emb_matryoshka_recall",     # truncated-dim recall report
     "consume_scrape_gaps",       # per-series cadence gap detection
+    "emb_power_iteration",       # PCA top component, quantized matvec
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

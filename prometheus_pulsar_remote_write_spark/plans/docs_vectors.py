@@ -4094,7 +4094,99 @@ FROM q LEFT JOIN hits h ON q.query_id = h.qid
 """
 
 
+
+_POWER_ITERS = 3
+
+
+def emb_power_iteration(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the (uncentered) embedding corpus via
+    power iteration -- the spectral primitive under PCA whitening,
+    spiked-covariance drift checks, and low-rank compression of
+    embedding shards. v_{t+1} ~ sum_i x_i (x_i . v_t), iterated
+    ``_POWER_ITERS`` times from the deterministic all-ones start.
+
+    Determinism (the same quantize-then-sum trick as
+    docs_quality_logreg): each row's contribution x_i * (x_i . v) is
+    quantized to integer micros BEFORE the cross-partition sum, so the
+    64 accumulator integers are exact and order-free; the per-iteration
+    normalization (divide by the vector's max-abs, computed from those
+    integers) happens identically on both engines. Per iteration: one
+    scan, one 64-integer aggregate (driver sees 64 numbers -- the
+    BPE/GD-argmax pattern). Output: the unit-normalized component and
+    each dimension's micro value, plus the Rayleigh-quotient energy.
+
+    At 100 TB this is exactly how distributed PCA's matrix-vector step
+    runs (a map-side-combined tree aggregate per iteration); more
+    components = deflation with the same loop body."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = emb.select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    dim = 64
+    v = [1.0] * dim
+    for _ in range(_POWER_ITERS):
+        dot = F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(x) for x in v]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        g = e.agg(
+            *[
+                F.sum(
+                    F.floor(F.element_at("v", j + 1) * dot * 1e6)
+                ).cast("long").alias(f"g{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        raw = [g[f"g{j}"] for j in range(dim)]
+        scale = max(abs(x) for x in raw) or 1
+        v = [x / scale for x in raw]
+    norm = sum(x * x for x in v) ** 0.5
+    unit = [x / norm for x in v]
+    out = spark.createDataFrame(
+        [(j, int(v[j] * 1e6 // 1), round(unit[j], 6)) for j in range(dim)],
+        ["dim", "v_micro", "component"],
+    )
+    return out.select(
+        "dim",
+        F.floor(F.lit(1e6) * F.col("component")).cast("long").alias("component_micro"),
+    )
+
+
+def _power_iteration_sql() -> str:
+    dim = 64
+    sql = "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),\n"
+    ones = ", ".join(["1.0"] * dim)
+    sql += f"w0 AS (SELECT [{ones}]::DOUBLE[] AS w),\n"
+    for it in range(_POWER_ITERS):
+        gcols = ", ".join(
+            f"sum(floor(e.v[{j + 1}] * list_dot_product(e.v, w.w) * 1e6))::BIGINT AS g{j}"
+            for j in range(dim)
+        )
+        glist = ", ".join(f"g{j}" for j in range(dim))
+        gabs = ", ".join(f"abs(g{j})" for j in range(dim))
+        sql += (
+            f"g{it} AS (SELECT {gcols} FROM e CROSS JOIN w{it} w),\n"
+            f"w{it + 1} AS (SELECT list_transform([{glist}]::DOUBLE[],"
+            f" x -> x / greatest({gabs}, 1)) AS w FROM g{it}),\n"
+        )
+    last = f"w{_POWER_ITERS}"
+    sql += (
+        f"unitv AS (SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS u FROM {last}),\n"
+        "dims AS (SELECT unnest(range(0, 64)) AS dim)\n"
+        "SELECT dim, floor(1e6 * round(u[(dim + 1)::INT], 6))::BIGINT AS component_micro\n"
+        "FROM dims CROSS JOIN unitv"
+    )
+    return sql
+
+
+POWER_ITERATION_SQL = _power_iteration_sql()
+
+
 QUERIES = {
+    "emb_power_iteration": emb_power_iteration,
     "emb_matryoshka_recall": emb_matryoshka_recall,
     "docs_mixture_plan": docs_mixture_plan,
     "docs_leakage_safe_split": docs_leakage_safe_split,
@@ -4176,6 +4268,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_power_iteration": POWER_ITERATION_SQL,
     "emb_matryoshka_recall": MATRYOSHKA_SQL,
     "docs_mixture_plan": MIXTURE_PLAN_SQL,
     "docs_leakage_safe_split": LEAKAGE_SPLIT_SQL,
