@@ -704,3 +704,52 @@ def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 6000
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_conversions_outer_stream(
+    ev: DataFrame, watermark: str = "1 hour", upper_s: int = 1800
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every signup emits -- with
+    its conversion when a purchase lands inside the interval, or with
+    NULLs once the watermark passes the interval's upper bound and no
+    match can still arrive (the unmatched row is the "did not convert
+    within 30 minutes" fact, emitted exactly when it becomes final).
+    Same bounded state as the inner variant; the outer side adds only
+    the deferred null emission at state eviction time -- Structured
+    Streaming's outer-join correctness contract."""
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {upper_s} SECONDS")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("delay_s"),
+    )

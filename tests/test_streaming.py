@@ -1412,3 +1412,72 @@ def test_streaming_alert_matches_batch_with_recovery(spark, tmp_path):
     assert len(mid_rows) < sum(1 for _ in final)  or len(final) >= len({
         (r["tenant_id"], r["name"], r["firing_seq"]) for r in mid_rows
     })
+
+
+def test_streaming_outer_interval_join_matches_batch(spark, tmp_path):
+    """F7 LEFT OUTER stream-stream interval join: conversion pairs match
+    the batch twin exactly, and every signup whose interval closed
+    before the final watermark emits its did-not-convert NULL row --
+    signups still inside the horizon are correctly withheld."""
+    from pyspark.sql import functions as FF
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_range_join_conversions,
+    )
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    ev = windows.read_events_stream(spark, SF)
+    joined = windows.interval_join_conversions_outer_stream(ev)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("conv_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the engine's own final watermark (watermark updates lag one batch;
+    # computing the horizon from max(ts) would over-expect at the edge)
+    wm = q.lastProgress["eventTime"].get("watermark")
+    rows = spark.sql("SELECT * FROM conv_outer").collect()
+    matched = {
+        (r["signup_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    }
+    unmatched = {r["signup_id"] for r in rows if r["purchase_id"] is None}
+
+    batch_pairs = {
+        (r["signup_id"], r["purchase_id"])
+        for r in events_range_join_conversions(spark, SF).collect()
+    }
+    assert matched == batch_pairs and matched
+
+    import datetime as _dt
+
+    evb = load_tables(spark, SF, ["events"])["events"]
+    max_ts = evb.agg(FF.max("ts")).collect()[0][0].timestamp()
+    assert wm, "no watermark recorded"
+    horizon = _dt.datetime.strptime(
+        wm, "%Y-%m-%dT%H:%M:%S.%fZ"
+    ).replace(tzinfo=_dt.timezone.utc).timestamp()
+    expected_unmatched = {
+        r["event_id"]
+        for r in evb.filter(FF.col("event_type") == "signup")
+        .select("event_id", "ts")
+        .collect()
+        if r["ts"].timestamp() + 1800 < horizon
+        and r["event_id"] not in {s for s, _ in batch_pairs}
+    }
+    # every closed-interval unconverted signup emitted; nothing inside
+    # the horizon leaked out
+    assert expected_unmatched <= unmatched
+    leaked = {
+        r["event_id"]
+        for r in evb.filter(FF.col("event_type") == "signup")
+        .select("event_id", "ts")
+        .collect()
+        if r["ts"].timestamp() + 1800 >= max_ts and r["event_id"] in unmatched
+    }
+    assert not leaked
