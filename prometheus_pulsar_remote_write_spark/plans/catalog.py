@@ -55,6 +55,9 @@ _CHANGED = [
     "emb_matryoshka_recall",     # truncated-dim recall report
     "consume_scrape_gaps",       # per-series cadence gap detection
     "emb_power_iteration",       # PCA top component, quantized matvec
+    "events_join_size_estimate", # CMS inner-product cardinality
+    "events_seasonal_anomaly",   # hour-of-day median/MAD outliers
+    "emb_dim_winsor_stats",      # per-dim exact percentile QC
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

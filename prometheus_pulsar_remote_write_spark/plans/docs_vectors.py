@@ -4185,7 +4185,72 @@ def _power_iteration_sql() -> str:
 POWER_ITERATION_SQL = _power_iteration_sql()
 
 
+
+def emb_dim_winsor_stats(spark, sf_dir):
+    """Per-DIMENSION distribution QC for the embedding corpus: exact
+    p5/p50/p95 order statistics (micro-quantized, lower statistic at
+    index floor((n-1)*q)+1 -- no interpolation) and how many values a
+    p5/p95 winsorization would clip, per dimension. This is the feature
+    QC a vector platform runs before int8 calibration (emb_int8's scale
+    assumes well-behaved per-dim ranges) and before whitening; a dim
+    with heavy clip counts is a drift alarm.
+
+    Scale shape: explode to (dim, value) -- 64x row multiply BEFORE a
+    single (dim)-keyed aggregation whose state per group is the value
+    list (corpus-bounded per dim; at 100 TB the exact order statistic
+    swaps for the DDSketch operator with the same output shape)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    dv = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 1e6).cast("long"))
+        ).alias("dim", "vm")
+    )
+    per = dv.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("vm")).alias("vs"),
+    )
+    def q_at(q_num, q_den):
+        return F.element_at(
+            F.col("vs"),
+            (F.floor((F.col("n") - 1) * q_num / q_den) + 1).cast("int"),
+        )
+    return per.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        q_at(5, 100).alias("p5_micro"),
+        q_at(50, 100).alias("p50_micro"),
+        q_at(95, 100).alias("p95_micro"),
+        F.size(
+            F.filter(
+                "vs",
+                lambda v: (v < q_at(5, 100)) | (v > q_at(95, 100)),
+            )
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+    )
+
+
+EMB_WINSOR_SQL = """
+WITH dv AS (
+  SELECT i - 1 AS dim, floor(embedding[i]::DOUBLE * 1e6)::BIGINT AS vm
+  FROM embeddings, unnest(range(1, 65)) AS r(i)
+), per AS (
+  SELECT dim, count(*) AS n, list_sort(list(vm)) AS vs
+  FROM dv GROUP BY 1
+)
+SELECT dim, n,
+       vs[(((n - 1) * 5 // 100) + 1)::INT] AS p5_micro,
+       vs[(((n - 1) * 50 // 100) + 1)::INT] AS p50_micro,
+       vs[(((n - 1) * 95 // 100) + 1)::INT] AS p95_micro,
+       len(list_filter(vs, v -> v < vs[(((n - 1) * 5 // 100) + 1)::INT]
+                             OR v > vs[(((n - 1) * 95 // 100) + 1)::INT]))::BIGINT AS n_clipped
+FROM per
+"""
+
+
 QUERIES = {
+    "emb_dim_winsor_stats": emb_dim_winsor_stats,
     "emb_power_iteration": emb_power_iteration,
     "emb_matryoshka_recall": emb_matryoshka_recall,
     "docs_mixture_plan": docs_mixture_plan,
@@ -4268,6 +4333,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_dim_winsor_stats": EMB_WINSOR_SQL,
     "emb_power_iteration": POWER_ITERATION_SQL,
     "emb_matryoshka_recall": MATRYOSHKA_SQL,
     "docs_mixture_plan": MIXTURE_PLAN_SQL,

@@ -1553,7 +1553,164 @@ FROM entry e JOIN exact x USING (event_type, item)
 """
 
 
+
+def events_join_size_estimate(spark, sf_dir):
+    """JOIN-SIZE ESTIMATION from count-min sketches (the AMS/CM
+    inner-product bound: |A JOIN B| <= sum_b A_d[b]*B_d[b] for every
+    depth d, so min over depths is the estimate): predicts
+    |signups JOIN purchases ON user_id| from two constant-size sketches
+    without touching the join -- what a cost-based optimizer or
+    admission controller does before running a 100 TB join. The exact
+    size (sum over users of nA*nB) rides along, so the recorded result
+    shows the estimator's overshoot.
+
+    All-integer: the sketches, the per-depth inner products, and the
+    min are BIGINT arithmetic -- hash-exact across engines. Sketch
+    state: 2 x CMS_D x CMS_W counters regardless of input size; the
+    inner product joins sketch rows on (depth, bucket) -- 4096-row
+    relations, broadcast."""
+    from ..operators.sketch import cms_table
+
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ta = cms_table(a, "user_id")
+    tb = cms_table(b, "user_id")
+    per_depth = (
+        ta.select("depth", "bucket", F.col("n").alias("na"))
+        .join(
+            F.broadcast(tb.select("depth", "bucket", F.col("n").alias("nb"))),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("inner_product"))
+    )
+    est = per_depth.agg(F.min("inner_product").alias("est_join_size"))
+    exact = (
+        a.groupBy("user_id")
+        .agg(F.count("*").alias("na"))
+        .join(
+            b.groupBy("user_id").agg(F.count("*").alias("nb")), "user_id"
+        )
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact_join_size"))
+    )
+    return (
+        F.broadcast(est)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_join_size",
+            "exact_join_size",
+            F.expr("(1000 * est_join_size) DIV exact_join_size").alias(
+                "overshoot_milli"
+            ),
+        )
+    )
+
+
+JOIN_SIZE_SQL = f"""
+WITH a_sketch AS ({{a_cms}}),
+b_sketch AS ({{b_cms}}),
+per_depth AS (
+  SELECT a.depth, sum(a.n * b.n) AS inner_product
+  FROM a_sketch a JOIN b_sketch b USING (depth, bucket)
+  GROUP BY a.depth
+),
+est AS (SELECT min(inner_product)::BIGINT AS est_join_size FROM per_depth),
+exact AS (
+  SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join_size
+  FROM (SELECT user_id, count(*) AS na FROM events WHERE event_type = 'signup' GROUP BY 1) a
+  JOIN (SELECT user_id, count(*) AS nb FROM events WHERE event_type = 'purchase' GROUP BY 1) b
+  USING (user_id)
+)
+SELECT est_join_size, exact_join_size,
+       (1000 * est_join_size) // exact_join_size AS overshoot_milli
+FROM est CROSS JOIN exact
+"""
+
+
+from ..operators.sketch import cms_table  # noqa: E402 (oracle builder)
+from ..operators.sketch import cms_oracle_sql as _cms_sql  # noqa: E402
+JOIN_SIZE_SQL = JOIN_SIZE_SQL.format(
+    a_cms=_cms_sql("SELECT user_id FROM events WHERE event_type = 'signup'", "user_id"),
+    b_cms=_cms_sql("SELECT user_id FROM events WHERE event_type = 'purchase'", "user_id"),
+)
+
+
+def events_seasonal_anomaly(spark, sf_dir):
+    """SEASONAL anomaly detection (STL-lite): the baseline for each
+    (event_type, hour-of-day) cell is its exact lower-median; residual
+    spread is the exact MAD; values beyond 3 MADs of their cell's
+    median are anomalies. This catches the "3am traffic at 3pm levels"
+    case a global z-score (events_anomaly_zscore) averages away --
+    seasonality-aware robust outliers, all integer order statistics
+    (no interpolation, bit-identical cross-engine).
+
+    Scale shape: one shuffle on the (type, hour) cell key shared by
+    both median passes (collect per cell is bounded by cell size, the
+    operator's defined range); flagging is a broadcast-back of the 120
+    cell baselines."""
+    ev = _events(spark, sf_dir)
+    cells = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    per = cells.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("vc")).alias("vs"),
+    )
+    med = F.element_at(F.col("vs"), ((F.col("n") - 1) / 2 + 1).cast("int"))
+    with_med = per.withColumn("median_centi", med).withColumn(
+        "devs",
+        F.sort_array(
+            F.transform("vs", lambda v: F.abs(v - F.col("median_centi")))
+        ),
+    )
+    mad = F.element_at(F.col("devs"), ((F.col("n") - 1) / 2 + 1).cast("int"))
+    return (
+        with_med.withColumn("mad_centi", mad)
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            "median_centi",
+            "mad_centi",
+            F.size(
+                F.filter(
+                    "vs",
+                    lambda v: F.abs(v - F.col("median_centi"))
+                    > F.col("mad_centi") * 3,
+                )
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+SEASONAL_ANOMALY_SQL = """
+WITH cells AS (
+  SELECT event_type, hour(ts) AS hod, round(value * 100)::BIGINT AS vc
+  FROM events
+), per AS (
+  SELECT event_type, hod, count(*) AS n, list_sort(list(vc)) AS vs
+  FROM cells GROUP BY 1, 2
+), with_med AS (
+  SELECT *, vs[((n - 1) // 2 + 1)::INT] AS median_centi,
+         list_sort(list_transform(vs, v -> abs(v - vs[((n - 1) // 2 + 1)::INT]))) AS devs
+  FROM per
+)
+SELECT event_type, hod, n, median_centi,
+       devs[((n - 1) // 2 + 1)::INT] AS mad_centi,
+       len(list_filter(vs, v -> abs(v - median_centi)
+           > devs[((n - 1) // 2 + 1)::INT] * 3))::BIGINT AS n_anomalies
+FROM with_med
+"""
+
+
 QUERIES = {
+    "events_seasonal_anomaly": events_seasonal_anomaly,
+    "events_join_size_estimate": events_join_size_estimate,
     "events_misra_gries_topk": events_misra_gries_topk,
     "events_theta_set_ops": events_theta_set_ops,
     "events_ddsketch_quantiles": events_ddsketch_quantiles,
@@ -1586,6 +1743,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_seasonal_anomaly": SEASONAL_ANOMALY_SQL,
+    "events_join_size_estimate": JOIN_SIZE_SQL,
     "events_misra_gries_topk": MISRA_GRIES_SQL,
     "events_theta_set_ops": THETA_SET_SQL,
     "events_ddsketch_quantiles": DDSKETCH_SQL,
