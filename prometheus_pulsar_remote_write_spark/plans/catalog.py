@@ -58,6 +58,7 @@ _CHANGED = [
     "events_join_size_estimate", # CMS inner-product cardinality
     "events_seasonal_anomaly",   # hour-of-day median/MAD outliers
     "emb_dim_winsor_stats",      # per-dim exact percentile QC
+    "events_holt_winters_seasonal",  # triple-HW hourly forecasting
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

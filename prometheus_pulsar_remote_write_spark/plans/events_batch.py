@@ -1708,7 +1708,80 @@ FROM with_med
 """
 
 
+
+def events_holt_winters_seasonal(spark, sf_dir):
+    """SEASONAL (triple) Holt-Winters forecasting per event type over the
+    HOURLY mean series: additive level/trend/seasonal recursion with a
+    24-slot hour-of-day season (alpha=0.3, beta=0.1, gamma=0.2), plus the
+    next four hourly forecasts -- the capacity-planning rung above the
+    per-series double smoothing (consume_holt_winters). State is a
+    27-double vector [t, level, trend, s0..s23] folded SEQUENTIALLY
+    over the hour-ordered series; the identical left fold runs as
+    Spark's aggregate() and DuckDB's list_reduce, so level, trend, the
+    full seasonal vector, and the forecasts hash-match bit-for-bit.
+
+    Scale shape: the hourly pre-aggregation is the only corpus-scale
+    edge (one hash agg); the fold then runs per event type over the
+    bounded hourly series. Integer-exact hourly means (centi-sum over
+    100*count) keep the fold inputs identical cross-engine."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("unix_millis(ts::timestamp)") / F.lit(3600000)).cast("long").alias("hr"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("x")
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hr, x))), s -> s.x)"
+        ).alias("hvals")
+    )
+    folded = per.filter(F.size("hvals") >= 2).select(
+        "event_type",
+        F.size("hvals").cast("bigint").alias("n_hours"),
+        F.expr("aggregate(slice(hvals, 2, size(hvals) - 1), concat(array(1.0D, hvals[0], 0.0D), array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)), (acc, x) -> concat(array(acc[0] + 1.0D, (0.3 * (x - element_at(acc, cast(acc[0] % 24 as int) + 4)) + (1.0 - 0.3) * (acc[1] + acc[2])), (0.1 * ((0.3 * (x - element_at(acc, cast(acc[0] % 24 as int) + 4)) + (1.0 - 0.3) * (acc[1] + acc[2])) - acc[1]) + (1.0 - 0.1) * acc[2])), transform(slice(acc, 4, 24), (v, i) -> if(i = cast(acc[0] % 24 as int), (0.2 * (x - (0.3 * (x - element_at(acc, cast(acc[0] % 24 as int) + 4)) + (1.0 - 0.3) * (acc[1] + acc[2]))) + (1.0 - 0.2) * element_at(acc, cast(acc[0] % 24 as int) + 4)), v))))").alias("hw"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.expr("floor(1e6 * hw[1])").cast("long").alias("level_micro"),
+        F.expr("floor(1e6 * hw[2])").cast("long").alias("trend_micro"),
+        F.expr("floor(1e6 * (hw[1] + 1.0D * hw[2] + element_at(hw, cast((hw[0] + 1 - 1) % 24 as int) + 4)))").cast("long").alias("fc1_micro"),
+            F.expr("floor(1e6 * (hw[1] + 2.0D * hw[2] + element_at(hw, cast((hw[0] + 2 - 1) % 24 as int) + 4)))").cast("long").alias("fc2_micro"),
+            F.expr("floor(1e6 * (hw[1] + 3.0D * hw[2] + element_at(hw, cast((hw[0] + 3 - 1) % 24 as int) + 4)))").cast("long").alias("fc3_micro"),
+            F.expr("floor(1e6 * (hw[1] + 4.0D * hw[2] + element_at(hw, cast((hw[0] + 4 - 1) % 24 as int) + 4)))").cast("long").alias("fc4_micro"),
+    )
+
+
+HOLT_WINTERS_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+         sum(round(value * 100)::BIGINT) / (100.0 * count(*)) AS x
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type, list(x ORDER BY hr) AS hvals
+  FROM hourly GROUP BY 1
+), folded AS (
+  SELECT event_type, len(hvals)::BIGINT AS n_hours,
+         list_reduce(list_prepend(list_concat([1.0, hvals[1], 0.0], [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]), list_transform(hvals[2:], q -> [q])), (acc, e) -> list_concat([acc[1] + 1.0, (0.3 * (e[1] - acc[(acc[1] % 24)::INT + 4]) + (1.0 - 0.3) * (acc[2] + acc[3])), (0.1 * ((0.3 * (e[1] - acc[(acc[1] % 24)::INT + 4]) + (1.0 - 0.3) * (acc[2] + acc[3])) - acc[2]) + (1.0 - 0.1) * acc[3])], list_transform(acc[4:27], (v, i) -> CASE WHEN i - 1 = (acc[1] % 24)::INT THEN (0.2 * (e[1] - (0.3 * (e[1] - acc[(acc[1] % 24)::INT + 4]) + (1.0 - 0.3) * (acc[2] + acc[3]))) + (1.0 - 0.2) * acc[(acc[1] % 24)::INT + 4]) ELSE v END))) AS hw
+  FROM per WHERE len(hvals) >= 2
+)
+SELECT event_type, n_hours,
+       floor(1e6 * hw[2])::BIGINT AS level_micro,
+       floor(1e6 * hw[3])::BIGINT AS trend_micro,
+       floor(1e6 * (hw[2] + 1.0 * hw[3] + hw[((hw[1] + 1 - 1) % 24)::INT + 4]))::BIGINT AS fc1_micro,
+       floor(1e6 * (hw[2] + 2.0 * hw[3] + hw[((hw[1] + 2 - 1) % 24)::INT + 4]))::BIGINT AS fc2_micro,
+       floor(1e6 * (hw[2] + 3.0 * hw[3] + hw[((hw[1] + 3 - 1) % 24)::INT + 4]))::BIGINT AS fc3_micro,
+       floor(1e6 * (hw[2] + 4.0 * hw[3] + hw[((hw[1] + 4 - 1) % 24)::INT + 4]))::BIGINT AS fc4_micro
+FROM folded
+"""
+
+
 QUERIES = {
+    "events_holt_winters_seasonal": events_holt_winters_seasonal,
     "events_seasonal_anomaly": events_seasonal_anomaly,
     "events_join_size_estimate": events_join_size_estimate,
     "events_misra_gries_topk": events_misra_gries_topk,
@@ -1743,6 +1816,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_holt_winters_seasonal": HOLT_WINTERS_SEASONAL_SQL,
     "events_seasonal_anomaly": SEASONAL_ANOMALY_SQL,
     "events_join_size_estimate": JOIN_SIZE_SQL,
     "events_misra_gries_topk": MISRA_GRIES_SQL,
