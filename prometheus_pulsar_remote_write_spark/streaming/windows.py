@@ -753,3 +753,108 @@ def interval_join_conversions_outer_stream(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
         ).alias("delay_s"),
     )
+
+
+def kmv_tumbling_users(ev: DataFrame, k: int = 64, watermark: str = "1 hour") -> DataFrame:
+    """Streaming KMV/theta sketch per tumbling hour: the k smallest
+    distinct user hashes per (window, event_type) -- the windowed feed
+    for set-expression queries (union AND intersection across types,
+    events_theta_set_ops) that HLL registers cannot answer. State per
+    open window is the distinct-hash set (bounded by window traffic);
+    the k-truncation happens at emission, and two emitted sketches
+    merge by sorting the union and re-truncating -- the KMV merge law
+    (test_streaming proves merged stream sketches == the batch sketch
+    of the union)."""
+    from ..operators.dedup import _base_hash28
+
+    h = _base_hash28(F.col("user_id").cast("string"))
+    rows = ev.withWatermark("ts", watermark).select(
+        "ts", "event_type", h.alias("h")
+    )
+    per = rows.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.collect_set("h").alias("hs"))
+    return per.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        "event_type",
+        F.slice(F.sort_array("hs"), 1, k).alias("mins"),
+        F.least(F.size("hs"), F.lit(k)).cast("long").alias("n_mins"),
+    )
+
+
+def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
+    """Streaming twin of the batch events_misra_gries_topk: the SAME
+    capacity-bounded MG summary maintained incrementally per event_type
+    with ``applyInPandasWithState``. Because the batch operator is
+    DEFINED over arrival order, the drained stream's final summary
+    equals the batch fold exactly (same order contract as
+    ewma_stream/scd2_stream) -- the rare case where a sketch's
+    stream/batch twins are bit-identical, not merely within bounds.
+    State is the <= capacity (key, count) pairs; update-mode emits the
+    current summary each micro-batch."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("item", T.StringType(), False),
+            T.StructField("est_count", T.LongType(), False),
+            T.StructField("n_total", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(T.StringType()), True),
+            T.StructField("cs", T.ArrayType(T.LongType()), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def _mg(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        ks, cs, n = ([], [], 0) if not state.exists else (
+            list(state.get[0]), list(state.get[1]), state.get[2]
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        for item in pdf["item"]:
+            n += 1
+            if item in ks:
+                cs[ks.index(item)] += 1
+            elif len(ks) < capacity:
+                ks.append(item)
+                cs.append(1)
+            else:
+                cs = [c - 1 for c in cs]
+                keep = [(k_, c) for k_, c in zip(ks, cs) if c > 0]
+                ks, cs = [k_ for k_, _ in keep], [c for _, c in keep]
+        state.update((ks, cs, n))
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "seq": range(1, len(ks) + 1),
+                "item": ks,
+                "est_count": cs,
+                "n_total": n,
+            }
+        )
+
+    keyed = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts::timestamp) div 1000").alias("ts_ms"),
+        "event_id",
+        F.col("user_id").cast("string").alias("item"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _mg,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1481,3 +1481,80 @@ def test_streaming_outer_interval_join_matches_batch(spark, tmp_path):
         if r["ts"].timestamp() + 1800 >= max_ts and r["event_id"] in unmatched
     }
     assert not leaked
+
+
+def test_streaming_misra_gries_matches_batch_fold(spark, tmp_path):
+    """The streaming MG summary (applyInPandasWithState) must equal the
+    batch arrival-order fold EXACTLY once the replay drains -- same
+    summary keys, same counters, same order."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_misra_gries_topk,
+    )
+
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    q = (
+        windows.misra_gries_stream(ev)
+        .writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM mg_stream").collect():
+        final[(r["event_type"], r["seq"])] = (r["item"], r["est_count"], r["n_total"])
+    # retain only the LAST emission per event_type: n_total is monotone,
+    # so keep rows carrying each type's max n_total
+    last_n = {}
+    for (et, _), (_, _, n) in final.items():
+        last_n[et] = max(last_n.get(et, 0), n)
+    streamed = {
+        (et, seq): (item, c)
+        for (et, seq), (item, c, n) in final.items()
+        if n == last_n[et]
+    }
+    batch = {
+        (r["event_type"], r["seq"]): (r["item"], r["est_count"])
+        for r in events_misra_gries_topk(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_streaming_kmv_sketches_merge_to_batch(spark, tmp_path):
+    """Drained windowed KMV sketches must merge (sort union, truncate to k)
+    to exactly the batch KMV sketch of each event type's full stream --
+    the mergeability law that makes KMV re-aggregable across windows."""
+    from prometheus_pulsar_remote_write_spark.operators.dedup import _base_hash28
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    k = 64
+    ev = windows.read_events_stream(spark, SF)
+    q = (
+        windows.kmv_tumbling_users(ev, k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    merged = {}
+    for r in spark.sql("SELECT * FROM kmv_windows").collect():
+        merged.setdefault(r["event_type"], set()).update(r["mins"])
+    evb = load_tables(spark, SF, ["events"])["events"]
+    batch = {
+        r["event_type"]: r["mins"]
+        for r in evb.select(
+            "event_type", _base_hash28(F.col("user_id").cast("string")).alias("h")
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
+        .collect()
+    }
+    assert set(merged) == set(batch) and merged
+    for et, b in batch.items():
+        assert sorted(merged[et])[:k] == list(b)
