@@ -59,6 +59,8 @@ _CHANGED = [
     "events_seasonal_anomaly",   # hour-of-day median/MAD outliers
     "emb_dim_winsor_stats",      # per-dim exact percentile QC
     "events_holt_winters_seasonal",  # triple-HW hourly forecasting
+    "consume_time_weighted_avg",     # LOCF time-weighted mean
+    "consume_interpolated_vector",   # linear-interp gapfill
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

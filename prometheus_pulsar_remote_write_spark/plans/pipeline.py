@@ -1922,7 +1922,200 @@ FROM per WHERE n_intervals >= 2
 """
 
 
+
+def consume_time_weighted_avg(spark, sf_dir):
+    """TIME-WEIGHTED average per series (TimescaleDB's time_weight /
+    OpenTSDB downsample-avg semantics): each sample's value is weighted
+    by how long it was current (LOCF: the interval to the next sample),
+    so an irregularly-scraped gauge averages by TIME, not by sample
+    count -- the difference between avg_over_time and what a billing
+    meter owes. Integer-exact: the weighted sum is BIGINT
+    centi-value * ms, the duration sum is BIGINT ms, and twap_micro is
+    one integer division of the two (numerator and denominator are also
+    emitted so downstream re-aggregation can combine series exactly).
+
+    Scale shape: one shuffle on the series key shared by the lead
+    window and the aggregation -- same plan family as consume_rate_5m."""
+    from pyspark.sql import Window
+
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = Window.partitionBy("tenant_id", "name").orderBy("timestamp", "event_id")
+    iv = (
+        s.withColumn("next_ts", F.lead("timestamp").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "tenant_id",
+            "name",
+            "vc",
+            (F.col("next_ts") - F.col("timestamp")).alias("dt_ms"),
+        )
+    )
+    return (
+        iv.groupBy("tenant_id", "name")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("vc") * F.col("dt_ms")).alias("weighted_sum_centi_ms"),
+            F.sum("dt_ms").alias("duration_ms"),
+        )
+        .select(
+            "tenant_id",
+            "name",
+            "n_intervals",
+            "weighted_sum_centi_ms",
+            "duration_ms",
+            F.expr("(10000 * weighted_sum_centi_ms) DIV duration_ms").alias(
+                "twap_micro"
+            ),
+        )
+    )
+
+
+CONSUME_TWAP_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id,
+         round(value * 100)::BIGINT AS vc
+  FROM ({_SAMPLES_SQL})
+), iv AS (
+  SELECT tenant_id, name, vc,
+         lead(timestamp) OVER w - timestamp AS dt_ms
+  FROM s
+  WINDOW w AS (PARTITION BY tenant_id, name ORDER BY timestamp, event_id)
+)
+SELECT tenant_id, name, count(*) AS n_intervals,
+       sum(vc * dt_ms)::BIGINT AS weighted_sum_centi_ms,
+       sum(dt_ms)::BIGINT AS duration_ms,
+       (10000 * sum(vc * dt_ms)::BIGINT) // sum(dt_ms)::BIGINT AS twap_micro
+FROM iv WHERE dt_ms IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def consume_interpolated_vector(spark, sf_dir):
+    """Gap-filled instant vector with LINEAR INTERPOLATION (TimescaleDB
+    ``interpolate`` / Grafana's connected-points semantics): every
+    10-minute grid point gets the value linearly interpolated between
+    the nearest sample before and after it -- where
+    consume_instant_vector's LOCF holds the last value flat, this
+    reconstructs the trend line. Grid points outside a series' sample
+    span stay absent (no extrapolation), matching the SQL-standard
+    gapfill contract.
+
+    Integer-exact: interp_micro = (100 * (vb*(ta2-t) + va2*(t-ta)))
+    DIV (ta2-ta) over centi values and ms timestamps -- one BIGINT
+    division; exact-hit grid points divide by the degenerate 1-interval
+    (guarded). Scale shape: the as-of pattern twice (backward + forward
+    match) = two series-key shuffles over the union-tagged stream, cost
+    independent of gap width."""
+    from ..operators.asof import asof_join
+
+    samples = samples_from_events(spark, sf_dir).select(
+        "tenant_id",
+        F.col("labels")["__name__"].alias("name"),
+        "timestamp",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    dd = (
+        samples.groupBy("tenant_id", "name", "timestamp")
+        .agg(F.max(F.struct("event_id", "vc")).alias("m"))
+        .select("tenant_id", "name", "timestamp", F.col("m.vc").alias("vc"))
+    )
+    bounds = samples.agg(
+        F.expr("(min(timestamp) div 600000) * 600000").alias("lo"),
+        F.max("timestamp").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(600000))).alias("eval_ts")
+    )
+    series = samples.select("tenant_id", "name").distinct()
+    pts = F.broadcast(grid).crossJoin(series)
+    back = asof_join(
+        pts, dd,
+        on=["tenant_id", "name"], left_time="eval_ts", right_time="timestamp",
+        right_cols=["timestamp", "vc"], how="left",
+    ).select(
+        "tenant_id", "name", "eval_ts",
+        F.col("timestamp").alias("ta"), F.col("vc").alias("va"),
+    )
+    fwd = asof_join(
+        pts.withColumn("neg_ts", -F.col("eval_ts")),
+        dd.withColumn("neg_sample_ts", -F.col("timestamp")),
+        on=["tenant_id", "name"], left_time="neg_ts", right_time="neg_sample_ts",
+        right_cols=["timestamp", "vc"], how="left",
+    ).select(
+        "tenant_id", "name", "eval_ts",
+        F.col("timestamp").alias("tb"), F.col("vc").alias("vb"),
+    )
+    return (
+        back.join(fwd, ["tenant_id", "name", "eval_ts"])
+        .filter(F.col("ta").isNotNull() & F.col("tb").isNotNull())
+        .select(
+            "tenant_id", "name", "eval_ts",
+            F.when(
+                F.col("tb") == F.col("ta"), F.col("va") * 10000
+            )
+            .otherwise(
+                F.expr(
+                    "(10000 * (va * (tb - eval_ts) + vb * (eval_ts - ta)))"
+                    " DIV (tb - ta)"
+                )
+            )
+            .cast("bigint")
+            .alias("interp_micro"),
+        )
+    )
+
+
+CONSUME_INTERP_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id,
+         round(value * 100)::BIGINT AS vc
+  FROM ({_SAMPLES_SQL})
+), dd AS (
+  SELECT tenant_id, name, timestamp,
+         max_by(vc, event_id) AS vc
+  FROM s GROUP BY 1, 2, 3
+), bounds AS (
+  SELECT (min(timestamp) // 600000) * 600000 AS lo, max(timestamp) AS hi FROM s
+), grid AS (
+  SELECT unnest(range(lo, hi + 1, 600000)) AS eval_ts FROM bounds
+), series AS (SELECT DISTINCT tenant_id, name FROM s),
+pts AS (SELECT * FROM grid CROSS JOIN series),
+back AS (
+  SELECT p.tenant_id, p.name, p.eval_ts,
+         max(d.timestamp) AS ta
+  FROM pts p JOIN dd d
+    ON d.tenant_id = p.tenant_id AND d.name = p.name AND d.timestamp <= p.eval_ts
+  GROUP BY 1, 2, 3
+), fwd AS (
+  SELECT p.tenant_id, p.name, p.eval_ts,
+         min(d.timestamp) AS tb
+  FROM pts p JOIN dd d
+    ON d.tenant_id = p.tenant_id AND d.name = p.name AND d.timestamp >= p.eval_ts
+  GROUP BY 1, 2, 3
+)
+SELECT b.tenant_id, b.name, b.eval_ts,
+       CASE WHEN f.tb = b.ta THEN da.vc * 10000
+            ELSE (10000 * (da.vc * (f.tb - b.eval_ts) + db.vc * (b.eval_ts - b.ta)))
+                 // (f.tb - b.ta)
+       END::BIGINT AS interp_micro
+FROM back b
+JOIN fwd f ON f.tenant_id = b.tenant_id AND f.name = b.name AND f.eval_ts = b.eval_ts
+JOIN dd da ON da.tenant_id = b.tenant_id AND da.name = b.name AND da.timestamp = b.ta
+JOIN dd db ON db.tenant_id = b.tenant_id AND db.name = b.name AND db.timestamp = f.tb
+"""
+
+
 QUERIES = {
+    "consume_time_weighted_avg": consume_time_weighted_avg,
+    "consume_interpolated_vector": consume_interpolated_vector,
     "consume_scrape_gaps": consume_scrape_gaps,
     "consume_count_values": consume_count_values,
     "consume_holt_winters": consume_holt_winters,
@@ -1959,6 +2152,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_time_weighted_avg": CONSUME_TWAP_SQL,
+    "consume_interpolated_vector": CONSUME_INTERP_SQL,
     "consume_scrape_gaps": CONSUME_SCRAPE_GAPS_SQL,
     "consume_count_values": CONSUME_COUNT_VALUES_SQL,
     "consume_holt_winters": CONSUME_HOLT_WINTERS_SQL,
