@@ -1780,7 +1780,110 @@ FROM folded
 """
 
 
+
+_CUSUM_K_CENTI = 50      # slack: half a unit in centi
+_CUSUM_H_CENTI = 2000    # decision threshold: 20 units of accumulated drift
+
+
+def events_cusum_changepoints(spark, sf_dir):
+    """CUSUM change-point detection per (user, event_type) series: the
+    classic tabular cumulative-sum control chart. Against the series'
+    own integer mean-proxy (the mid-range (min+max)/2 in centi --
+    order-free and exact, where a float mean would need an ordered
+    fold), accumulate s+ = max(0, s+ + (x - mu - k)) and
+    s- = max(0, s- + (mu - x - k)); every time either side crosses the
+    threshold h, an alarm fires and the accumulator resets. Completes
+    the anomaly family: z-score (global), hour-of-day MAD (seasonal),
+    CMS drift (distributional) -- CUSUM is the SEQUENTIAL small-shift
+    detector control engineering actually uses.
+
+    The fold is the same bit-exact aggregate()/list_reduce pair as the
+    Holt-Winters/MG folds: state [s+, s-, n_alarms, max_s] in integer
+    centi, rows in (ts, event_id) order. One shuffle on the series
+    key."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_samples"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " cast(round(value * 100) as bigint)))), s -> s.col3)"
+        ).alias("vs"),
+        # mu2 = min+max = 2x the mid-range: keeping the DOUBLED value
+        # avoids integer division entirely (floor-vs-trunc semantics
+        # diverge across engines on negative odd sums); the fold then
+        # compares 2*x against mu2 with doubled slack/threshold
+        (
+            F.min(F.round(F.col("value") * 100).cast("bigint"))
+            + F.max(F.round(F.col("value") * 100).cast("bigint"))
+        ).alias("mu2_centi"),
+    )
+    fold = (
+        "aggregate(vs, array(0L, 0L, 0L, 0L), (acc, x) -> array("
+        "  if(greatest(0L, acc[0] + (2 * x - mu2_centi - 100)) > 4000, 0L,"
+        "     greatest(0L, acc[0] + (2 * x - mu2_centi - 100))),"
+        "  if(greatest(0L, acc[1] + (mu2_centi - 2 * x - 100)) > 4000, 0L,"
+        "     greatest(0L, acc[1] + (mu2_centi - 2 * x - 100))),"
+        "  acc[2] + if(greatest(0L, acc[0] + (2 * x - mu2_centi - 100)) > 4000"
+        "          or greatest(0L, acc[1] + (mu2_centi - 2 * x - 100)) > 4000, 1L, 0L),"
+        "  greatest(acc[3], greatest(0L, acc[0] + (2 * x - mu2_centi - 100)),"
+        "           greatest(0L, acc[1] + (mu2_centi - 2 * x - 100)))"
+        "))"
+    )
+    return (
+        per.filter(F.col("n_samples") >= 5)
+        .select(
+            "user_id",
+            "event_type",
+            "n_samples",
+            "mu2_centi",
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "n_samples",
+            "mu2_centi",
+            F.col("st")[2].alias("n_alarms"),
+            F.col("st")[3].alias("max_cusum_centi"),
+        )
+        .filter(F.col("n_alarms") > 0)
+    )
+
+
+def _cusum_sql() -> str:
+    sp = "greatest(0, acc[1] + (2 * e[1] - mu2_centi - 100))"
+    sm = "greatest(0, acc[2] + (mu2_centi - 2 * e[1] - 100))"
+    fold = (
+        f"list_reduce(list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT],"
+        f" list_transform(vs, q -> [q])),"
+        f" (acc, e) -> ["
+        f"   CASE WHEN {sp} > 4000 THEN 0 ELSE {sp} END,"
+        f"   CASE WHEN {sm} > 4000 THEN 0 ELSE {sm} END,"
+        f"   acc[3] + CASE WHEN {sp} > 4000 OR {sm} > 4000 THEN 1 ELSE 0 END,"
+        f"   greatest(acc[4], {sp}, {sm})"
+        f" ])"
+    )
+    return f"""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n_samples,
+         list(round(value * 100)::BIGINT ORDER BY ts, event_id) AS vs,
+         (min(round(value * 100)::BIGINT) + max(round(value * 100)::BIGINT))::BIGINT AS mu2_centi
+  FROM events GROUP BY 1, 2
+), folded AS (
+  SELECT user_id, event_type, n_samples, mu2_centi, {fold} AS st
+  FROM per WHERE n_samples >= 5
+)
+SELECT user_id, event_type, n_samples, mu2_centi,
+       st[3] AS n_alarms, st[4] AS max_cusum_centi
+FROM folded WHERE st[3] > 0
+"""
+
+
+CUSUM_SQL = _cusum_sql()
+
+
 QUERIES = {
+    "events_cusum_changepoints": events_cusum_changepoints,
     "events_holt_winters_seasonal": events_holt_winters_seasonal,
     "events_seasonal_anomaly": events_seasonal_anomaly,
     "events_join_size_estimate": events_join_size_estimate,
@@ -1816,6 +1919,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cusum_changepoints": CUSUM_SQL,
     "events_holt_winters_seasonal": HOLT_WINTERS_SEASONAL_SQL,
     "events_seasonal_anomaly": SEASONAL_ANOMALY_SQL,
     "events_join_size_estimate": JOIN_SIZE_SQL,
