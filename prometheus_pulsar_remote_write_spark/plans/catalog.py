@@ -62,6 +62,7 @@ _CHANGED = [
     "consume_time_weighted_avg",     # LOCF time-weighted mean
     "consume_interpolated_vector",   # linear-interp gapfill
     "events_cusum_changepoints",     # sequential shift detection
+    "docs_dedup_sweep",              # dedup method-comparison table
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -4249,7 +4249,87 @@ FROM per
 """
 
 
+
+def docs_dedup_sweep(spark, sf_dir):
+    """The DEDUP SWEEP dashboard: one row per dedup method (exact-prefix,
+    MinHash-Jaccard, SimHash, containment, SemDeDup) with its corpus
+    denominator, dropped-document count, and drop rate in permille --
+    the method-comparison table a curation team looks at before picking
+    thresholds for a production run. Every row is derived from the
+    already-oracle-checked operator subplans, so this is a meta-query
+    over the dedup family's actual decisions, not re-implementations.
+
+    Scale shape: each method contributes its own audited subplan; the
+    final union is 5 one-row aggregates."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_docs = docs.count()
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n_vecs = emb.count()
+
+    def row(method, total, dropped_df):
+        return dropped_df.agg(F.count("*").alias("n_dropped")).select(
+            F.lit(method).alias("method"),
+            F.lit(total).cast("bigint").alias("n_total"),
+            F.col("n_dropped").cast("bigint"),
+            F.expr(f"(1000 * n_dropped) DIV {total}").alias("drop_permille"),
+        )
+
+    exact_kept = docs_exact_dedup(spark, sf_dir).select("doc_id")
+    exact_drop = docs.select("doc_id").exceptAll(exact_kept)
+    minhash_drop = (
+        docs_neardup_pairs(spark, sf_dir).select(F.col("id_b").alias("d")).distinct()
+    )
+    simhash_drop = (
+        docs_simhash_neardup(spark, sf_dir).select(F.col("id_b").alias("d")).distinct()
+    )
+    contain_drop = (
+        docs_containment_pairs(spark, sf_dir)
+        .select(F.col("id_small").alias("d"))
+        .distinct()
+    )
+    semdedup_drop = emb_semdedup(spark, sf_dir).filter(~F.col("kept"))
+    return (
+        row("exact_prefix", n_docs, exact_drop)
+        .unionByName(row("minhash_jaccard", n_docs, minhash_drop))
+        .unionByName(row("simhash", n_docs, simhash_drop))
+        .unionByName(row("containment", n_docs, contain_drop))
+        .unionByName(row("semdedup", n_vecs, semdedup_drop))
+    )
+
+
+DEDUP_SWEEP_SQL = f"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+nv AS (SELECT count(*) AS nv FROM embeddings),
+exact_kept AS (SELECT doc_id FROM ({DOCS_DEDUP_SQL})),
+minhash_drop AS (SELECT DISTINCT id_b FROM ({NEARDUP_SQL})),
+simhash_drop AS (SELECT DISTINCT id_b FROM ({SIMHASH_NEARDUP_SQL})),
+contain_drop AS (SELECT DISTINCT id_small FROM ({CONTAINMENT_SQL})),
+semdedup_drop AS (SELECT vec_id FROM ({EMB_SEMDEDUP_SQL}) WHERE NOT kept)
+SELECT 'exact_prefix' AS method, n.nd::BIGINT AS n_total,
+       (n.nd - (SELECT count(*) FROM exact_kept))::BIGINT AS n_dropped,
+       (1000 * (n.nd - (SELECT count(*) FROM exact_kept))) // n.nd AS drop_permille
+FROM n
+UNION ALL
+SELECT 'minhash_jaccard', n.nd::BIGINT,
+       (SELECT count(*) FROM minhash_drop)::BIGINT,
+       (1000 * (SELECT count(*) FROM minhash_drop)) // n.nd FROM n
+UNION ALL
+SELECT 'simhash', n.nd::BIGINT,
+       (SELECT count(*) FROM simhash_drop)::BIGINT,
+       (1000 * (SELECT count(*) FROM simhash_drop)) // n.nd FROM n
+UNION ALL
+SELECT 'containment', n.nd::BIGINT,
+       (SELECT count(*) FROM contain_drop)::BIGINT,
+       (1000 * (SELECT count(*) FROM contain_drop)) // n.nd FROM n
+UNION ALL
+SELECT 'semdedup', nv.nv::BIGINT,
+       (SELECT count(*) FROM semdedup_drop)::BIGINT,
+       (1000 * (SELECT count(*) FROM semdedup_drop)) // nv.nv FROM nv
+"""
+
+
 QUERIES = {
+    "docs_dedup_sweep": docs_dedup_sweep,
     "emb_dim_winsor_stats": emb_dim_winsor_stats,
     "emb_power_iteration": emb_power_iteration,
     "emb_matryoshka_recall": emb_matryoshka_recall,
@@ -4333,6 +4413,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_dedup_sweep": DEDUP_SWEEP_SQL,
     "emb_dim_winsor_stats": EMB_WINSOR_SQL,
     "emb_power_iteration": POWER_ITERATION_SQL,
     "emb_matryoshka_recall": MATRYOSHKA_SQL,
