@@ -327,11 +327,7 @@ def stream_continuous_aggregate(
         # schema drift) must fail the micro-batch so it replays, instead
         # of silently degrading the upsert to a blind partition
         # overwrite that erases co-partitioned groups.
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = jvm_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        if fs.exists(jvm_path):
+        if _path_exists(spark, path):
             existing = spark.read.parquet(path).select(*batch.columns)
             parts = [r[0] for r in batch.select(part_col).distinct().collect()]
             keep = (
@@ -365,6 +361,13 @@ def stream_continuous_aggregate(
 
 # --- row-level deletes: equality-delete files (merge-on-read) ----------------
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jvm_path)
+
+
+
 
 def write_equality_deletes(
     delete_keys: DataFrame, deletes_path: str, key_cols: list[str]
@@ -389,10 +392,12 @@ def read_with_deletes(
     to the consumer's plan. A missing/empty deletes path degrades to the
     plain read."""
     base = spark.read.parquet(path)
-    try:
-        dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()
-    except Exception:
+    # explicit existence check, NOT a bare except: a transient read
+    # error must fail the query -- silently skipping the delete log
+    # would resurrect deleted rows (the data-privacy failure mode)
+    if not _path_exists(spark, deletes_path):
         return base
+    dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()
     return base.join(F.broadcast(dels), on=key_cols, how="left_anti")
 
 
@@ -415,10 +420,9 @@ def apply_deletes(
 
     part_cols = part_cols or ["tenant_id", "day"]
     base = spark.read.parquet(path)
-    try:
-        dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()
-    except Exception:
+    if not _path_exists(spark, deletes_path):
         return []
+    dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()
     touched_df = (
         base.join(F.broadcast(dels), on=key_cols, how="left_semi")
         .select(*part_cols)
@@ -427,7 +431,9 @@ def apply_deletes(
     )
     touched = [tuple(r) for r in touched_df.collect()]
     if touched:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # dynamic overwrite scoped via the writer option below -- no
+        # session-conf mutation (a leaked global would change overwrite
+        # semantics for unrelated writes in the same session)
         rewritten = (
             base.join(F.broadcast(touched_df), on=part_cols, how="left_semi")
             .join(F.broadcast(dels), on=key_cols, how="left_anti")
