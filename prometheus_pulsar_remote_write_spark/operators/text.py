@@ -359,7 +359,12 @@ def bm25_topk_indexed(
     postings = spark.read.parquet(index_path).where(F.col("bucket").isin(buckets))
     qt = spark.createDataFrame(query_terms, ["query_id", "term"])
     dl = spark.read.parquet(f"{index_path}/_doclens")
-    dfreq = spark.read.parquet(f"{index_path}/_df")
+    # semi-join the vocabulary-sized df relation down to the query terms
+    # BEFORE broadcasting -- broadcasting the whole vocabulary would be
+    # the classic 100 TB serving mistake
+    dfreq = spark.read.parquet(f"{index_path}/_df").join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
     stats = spark.read.parquet(f"{index_path}/_stats")
     scored = (
         postings.join(F.broadcast(qt), "term")

@@ -1600,7 +1600,9 @@ def events_join_size_estimate(spark, sf_dir):
         .select(
             "est_join_size",
             "exact_join_size",
-            F.expr("(1000 * est_join_size) DIV exact_join_size").alias(
+            # nullif: an empty overlap must yield NULL on BOTH engines
+            # (DuckDB // 0 errors where Spark DIV 0 returns null)
+            F.expr("(1000 * est_join_size) DIV nullif(exact_join_size, 0)").alias(
                 "overshoot_milli"
             ),
         )
@@ -1623,7 +1625,7 @@ exact AS (
   USING (user_id)
 )
 SELECT est_join_size, exact_join_size,
-       (1000 * est_join_size) // exact_join_size AS overshoot_milli
+       (1000 * est_join_size) // nullif(exact_join_size, 0) AS overshoot_milli
 FROM est CROSS JOIN exact
 """
 
