@@ -31,11 +31,12 @@ The reference's process model maps onto Spark like this:
   batch size 100 (write.go:20-24)      -> batch_size
   send-timeout                         -> send_timeout_s
 
-Flags the reference needs because it is a long-lived daemon (pprof,
-max-connection-age) have no Spark-job analog and are intentionally
-absent; observability rides DeliveryMetrics (with Prometheus text
-exposition) and Spark's own UI/listeners. ``--web.listen`` IS
-implemented (a live HTTP receiver with /write, /ready and /metrics),
+Only pprof (web.disable-pprof) has no analog here -- profiling is
+Spark-UI territory; observability rides DeliveryMetrics (with
+Prometheus text exposition) and Spark's own UI/listeners.
+``--web.listen`` IS implemented (a live HTTP receiver with /write,
+/ready and a relocatable --web.telemetry-path metrics endpoint, plus
+--web.max-connection-age keep-alive capping),
 and the full broker client-option surface (pulsar.url, connection
 timeout, TLS trust/client material, hostname-verification toggles,
 pool size -- pkg/app/pulsar.go:73-115) parses into
@@ -74,6 +75,7 @@ class AppConfig:
     drop_dir: str | None = None  # remote-write body drop (web.write-path analog)
     listen: str | None = None  # "host:port" -> start a live HTTP receiver
     #   writing the drop_dir spool (web.listen-address analog; port 0 = any)
+    telemetry_path: str = "/metrics"  # web.telemetry-path (app.go:64-65)
     # web.max-connection-age analog (reference app.go:68-69, server.go:58-66):
     # 0 = unlimited; > 0 caps persistent HTTP connection lifetime so an LB
     # re-balances long-running remote_write connections
@@ -158,6 +160,7 @@ def parse_args(argv: list) -> AppConfig:
         "pulsar.serializer": "serializer",
         "web.write-path": "drop_dir",
         "web.listen": "listen",
+        "web.telemetry-path": "telemetry_path",
         "remote-write.url": "remote_write_url",
         "pulsar.subscription": "subscription",
         "pulsar.client": "client",
@@ -237,6 +240,7 @@ def run(spark: SparkSession, cfg: AppConfig):
                 host=host or "127.0.0.1",
                 port=int(port or 0),
                 max_connection_age=cfg.max_connection_age_s or None,
+                telemetry_path=cfg.telemetry_path,
             )
             listener.start()
         query = run_produce_pipeline(

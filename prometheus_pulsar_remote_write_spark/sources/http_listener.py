@@ -29,6 +29,8 @@ import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from . import prompb, snappy_codec
+
 
 class SystemClock:
     """Real wall clock; tests inject a fake with the same interface
@@ -52,8 +54,6 @@ def max_connection_age_headers(
     if max_connection_age is not None and now > connection_start + max_connection_age:
         return [("Connection", "close")]
     return []
-
-from . import prompb, snappy_codec
 
 # Tenant names become one path component under the spool, so the charset is
 # restricted the same way Cortex/Mimir restrict tenant IDs: a bare token, no
@@ -104,12 +104,14 @@ class RemoteWriteListener:
         delivery_metrics=None,
         max_connection_age: float | None = None,
         clock=None,
+        telemetry_path: str = "/metrics",
     ):
         self.spool_dir = spool_dir
         self._host = host
         self._port = port
         self.max_connection_age = max_connection_age
         self.clock = clock if clock is not None else SystemClock()
+        self.telemetry_path = telemetry_path  # web.telemetry-path analog
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # observability counters (reference produce.go exposes the same
@@ -185,7 +187,7 @@ class RemoteWriteListener:
             def do_GET(self):
                 if self.path == "/ready":
                     body = b"ready\n"
-                elif self.path == "/metrics":
+                elif self.path == outer.telemetry_path:
                     body = outer.exposition().encode()
                 else:
                     self._finish(404)

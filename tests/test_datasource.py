@@ -441,3 +441,41 @@ def test_max_connection_age_live_keepalive(tmp_path):
         conn.close()
     finally:
         listener.stop()
+
+
+def test_telemetry_path_flag(tmp_path):
+    """--web.telemetry-path relocates the metrics exposition (reference
+    app.go:64-65): the configured path serves it, /metrics 404s."""
+    import urllib.error
+    import urllib.request
+
+    from prometheus_pulsar_remote_write_spark.app import parse_args
+    from prometheus_pulsar_remote_write_spark.sources.http_listener import (
+        RemoteWriteListener,
+    )
+
+    cfg = parse_args(
+        [
+            "produce",
+            f"--pulsar.topic={tmp_path}/bus",
+            f"--web.write-path={tmp_path}/drop",
+            "--web.telemetry-path=/internal/telemetry",
+        ]
+    )
+    assert cfg.telemetry_path == "/internal/telemetry"
+    listener = RemoteWriteListener(
+        str(tmp_path / "spool"), telemetry_path=cfg.telemetry_path
+    )
+    host, port = listener.start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://{host}:{port}/internal/telemetry"
+        ).read()
+        assert b"listener_rejected_requests_total" in body
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/metrics")
+            raise AssertionError("default path should 404 when relocated")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        listener.stop()
