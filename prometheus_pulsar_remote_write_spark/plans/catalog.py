@@ -63,6 +63,8 @@ _CHANGED = [
     "consume_interpolated_vector",   # linear-interp gapfill
     "events_cusum_changepoints",     # sequential shift detection
     "docs_dedup_sweep",              # dedup method-comparison table
+    "events_slo_burn_rate",          # multi-window SLO burn alerts
+    "docs_vocab_coverage",           # train/eval OOV report
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -4328,7 +4328,71 @@ SELECT 'semdedup', nv.nv::BIGINT,
 """
 
 
+
+def docs_vocab_coverage(spark, sf_dir):
+    """Train/eval VOCABULARY COVERAGE: for every eval-slice document
+    (doc_id % 50 == 0, the decontamination convention), how many of its
+    alpha words appear in the TRAINING slice's vocabulary and the OOV
+    rate in permille -- the held-out coverage check a tokenizer/vocab
+    team runs before freezing a vocab (high OOV = the training mix
+    under-represents the eval domain).
+
+    Plan shape: the training vocabulary is a distinct projection that
+    broadcasts into a left semi-ish join flag; one groupBy per eval doc.
+    At 100 TB the vocab side outgrows broadcast and the same plan runs
+    as a shuffled semi-join -- no logic change."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens_col(F.col("text")), lambda t: t.rlike("^[a-z]+$"))
+        ).alias("word"),
+    )
+    train_vocab = (
+        words.filter(F.col("doc_id") % 50 != 0).select("word").distinct()
+    )
+    ev = words.filter(F.col("doc_id") % 50 == 0)
+    return (
+        ev.join(
+            F.broadcast(train_vocab.withColumn("__known", F.lit(1))),
+            "word",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce("__known", F.lit(0))).alias("n_known"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("n_known").cast("bigint").alias("n_known"),
+            F.expr("(1000 * (n_words - n_known)) DIV n_words").alias(
+                "oov_permille"
+            ),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                        t -> len(t) > 0 AND regexp_full_match(t, '[a-z]+'))) AS word
+  FROM documents
+), train_vocab AS (
+  SELECT DISTINCT word FROM words WHERE doc_id % 50 <> 0
+), ev AS (SELECT doc_id, word FROM words WHERE doc_id % 50 = 0)
+SELECT ev.doc_id, count(*) AS n_words,
+       sum(CASE WHEN tv.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_known,
+       ((1000 * (count(*) - sum(CASE WHEN tv.word IS NOT NULL THEN 1 ELSE 0 END)))
+         // count(*))::BIGINT AS oov_permille
+FROM ev LEFT JOIN train_vocab tv ON ev.word = tv.word
+GROUP BY ev.doc_id
+"""
+
+
 QUERIES = {
+    "docs_vocab_coverage": docs_vocab_coverage,
     "docs_dedup_sweep": docs_dedup_sweep,
     "emb_dim_winsor_stats": emb_dim_winsor_stats,
     "emb_power_iteration": emb_power_iteration,
@@ -4413,6 +4477,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_vocab_coverage": VOCAB_COVERAGE_SQL,
     "docs_dedup_sweep": DEDUP_SWEEP_SQL,
     "emb_dim_winsor_stats": EMB_WINSOR_SQL,
     "emb_power_iteration": POWER_ITERATION_SQL,

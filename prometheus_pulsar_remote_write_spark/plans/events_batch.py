@@ -1884,7 +1884,94 @@ FROM folded WHERE st[3] > 0
 CUSUM_SQL = _cusum_sql()
 
 
+
+_SLO_BUDGET_MILLI = 250  # SLO: <= 25% of events may be errors (fixture-sized)
+
+
+def events_slo_burn_rate(spark, sf_dir):
+    """Multi-window SLO BURN-RATE alerting (the Google SRE workbook
+    multiwindow/multi-burn-rate recipe): per tenant and hour, the error
+    ratio of the SHORT window (1h) and the LONG window (6h, rolling)
+    both expressed as burn rates (ratio / SLO budget, milli); the alert
+    fires only when BOTH exceed the threshold (burn > 2x budget) --
+    long window for significance, short window for recency, exactly why
+    production SLO alerts use two windows instead of one.
+
+    Integer-exact: ratios stay (1000 * errors) DIV events; the rolling
+    6h window is a RANGE frame over integer hour buckets. One shuffle
+    on tenant shared by the hourly agg and the frame."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+            (F.expr("unix_millis(ts::timestamp)") / F.lit(3600000))
+            .cast("long")
+            .alias("hr"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("tenant_id", "hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_err").alias("n_errors"),
+        )
+    )
+    w6 = (
+        Window.partitionBy("tenant_id")
+        .orderBy("hr")
+        .rangeBetween(-5, 0)
+    )
+    enriched = hourly.select(
+        "tenant_id",
+        "hr",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w6).alias("n_events_6h"),
+        F.sum("n_errors").over(w6).alias("n_errors_6h"),
+    )
+    short_burn = F.expr(
+        f"((1000 * n_errors) DIV n_events) * 1000 DIV {_SLO_BUDGET_MILLI}"
+    )
+    long_burn = F.expr(
+        f"((1000 * n_errors_6h) DIV n_events_6h) * 1000 DIV {_SLO_BUDGET_MILLI}"
+    )
+    return enriched.select(
+        "tenant_id",
+        "hr",
+        "n_events",
+        "n_errors",
+        short_burn.alias("short_burn_milli"),
+        long_burn.alias("long_burn_milli"),
+        ((short_burn > 2000) & (long_burn > 2000)).alias("alert"),
+    )
+
+
+SLO_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT (user_id % 10)::VARCHAR AS tenant_id,
+         epoch_ms(ts) // 3600000 AS hr,
+         count(*) AS n_events,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
+  FROM events GROUP BY 1, 2
+), enriched AS (
+  SELECT tenant_id, hr, n_events, n_errors,
+         sum(n_events) OVER w6 AS n_events_6h,
+         sum(n_errors) OVER w6 AS n_errors_6h
+  FROM hourly
+  WINDOW w6 AS (PARTITION BY tenant_id ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT tenant_id, hr, n_events, n_errors,
+       (((1000 * n_errors) // n_events) * 1000 // {_SLO_BUDGET_MILLI})::BIGINT AS short_burn_milli,
+       (((1000 * n_errors_6h) // n_events_6h) * 1000 // {_SLO_BUDGET_MILLI})::BIGINT AS long_burn_milli,
+       (((1000 * n_errors) // n_events) * 1000 // {_SLO_BUDGET_MILLI} > 2000
+        AND ((1000 * n_errors_6h) // n_events_6h) * 1000 // {_SLO_BUDGET_MILLI} > 2000) AS alert
+FROM enriched
+"""
+
+
 QUERIES = {
+    "events_slo_burn_rate": events_slo_burn_rate,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_holt_winters_seasonal": events_holt_winters_seasonal,
     "events_seasonal_anomaly": events_seasonal_anomaly,
@@ -1921,6 +2008,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_slo_burn_rate": SLO_BURN_SQL,
     "events_cusum_changepoints": CUSUM_SQL,
     "events_holt_winters_seasonal": HOLT_WINTERS_SEASONAL_SQL,
     "events_seasonal_anomaly": SEASONAL_ANOMALY_SQL,
