@@ -3318,8 +3318,10 @@ def emb_ivf_recall(spark, sf_dir):
     exact = cosine_topk(emb, queries, k=3).select(
         "query_id", F.col("match_id").alias("exact_match")
     )
-    approx = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3).select(
-        "query_id", "match_id"
+    approx = F.broadcast(
+        ivf_topk(emb, queries, n_cells=8, nprobe=2, k=3).select(
+            "query_id", "match_id"
+        )
     )
     hits = (
         exact.join(
@@ -3332,7 +3334,7 @@ def emb_ivf_recall(spark, sf_dir):
     )
     base = queries.select(F.col("vec_id").alias("query_id"))
     return (
-        base.join(hits, base["query_id"] == hits["qid"], "left")
+        base.join(F.broadcast(hits), base["query_id"] == hits["qid"], "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
