@@ -65,6 +65,9 @@ _CHANGED = [
     "docs_dedup_sweep",              # dedup method-comparison table
     "events_slo_burn_rate",          # multi-window SLO burn alerts
     "docs_vocab_coverage",           # train/eval OOV report
+    "basket_brand_lift",             # market-basket association lift
+    "emb_pq_distortion",             # codebook-health per subspace
+    "emb_centroid_drift",            # per-label embedding drift
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -4393,7 +4393,173 @@ GROUP BY ev.doc_id
 """
 
 
+
+def emb_pq_distortion(spark, sf_dir):
+    """PQ QUANTIZATION-QUALITY report per subspace: vectors coded, total
+    and worst reconstruction error (integer micro), and how many of the
+    16 codewords each subspace actually uses -- the codebook-health
+    dashboard a vector-serving team watches (a subspace using 3 of 16
+    codes or carrying 10x the distortion of its peers means the
+    codebook needs retraining on fresher data). Derived from the same
+    audited pq_assign subplan as emb_pq_assign; the per-row error is
+    quantized to integer micros before summing, so the aggregate is
+    order-free exact.
+
+    Scale shape: one agg over the (vector, subspace) assignment rows --
+    8 output rows regardless of corpus size."""
+    from ..operators.similarity import pq_assign
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    assigned = pq_assign(emb)
+    return (
+        assigned.groupBy("s")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.floor(F.col("dist_r") * 1e6)).cast("bigint").alias(
+                "total_distortion_micro"
+            ),
+            F.max(F.floor(F.col("dist_r") * 1e6)).cast("bigint").alias(
+                "max_distortion_micro"
+            ),
+            F.countDistinct("code").cast("bigint").alias("n_codes_used"),
+        )
+        .select(
+            F.col("s").cast("bigint").alias("s"),
+            "n_vectors",
+            "total_distortion_micro",
+            "max_distortion_micro",
+            "n_codes_used",
+        )
+    )
+
+
+
+EMB_PQ_DISTORTION_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS code, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+subs AS (
+  SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sub
+  FROM e, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), cbsubs AS (
+  SELECT code, s, cv[s * 8 + 1 : s * 8 + 8] AS csub
+  FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), scored AS (
+  SELECT vec_id, subs.s, code,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9), i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
+               (a, b) -> a + b), 9) AS dist_r
+  FROM subs JOIN cbsubs ON subs.s = cbsubs.s
+), best AS (
+  SELECT vec_id, s, code, dist_r FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist_r ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT s::BIGINT AS s, count(*) AS n_vectors,
+       sum(floor(dist_r * 1e6))::BIGINT AS total_distortion_micro,
+       max(floor(dist_r * 1e6))::BIGINT AS max_distortion_micro,
+       count(DISTINCT code)::BIGINT AS n_codes_used
+FROM best GROUP BY s
+"""
+
+
+
+def emb_centroid_drift(spark, sf_dir):
+    """EMBEDDING DRIFT monitor per label: cosine between the label's
+    centroid over the FIRST half of vec_ids (the "reference" snapshot)
+    and over the SECOND half (the "current" batch) -- the check a
+    retrieval platform schedules to catch upstream encoder drift before
+    recall degrades (cos < some floor => re-embed / retrain alarm).
+    Centroid means use the repo's vec_id-ordered deterministic fold;
+    the final cosine is micro-quantized.
+
+    Scale shape: two half-corpus centroid aggregations (map-side
+    combined) + a 10-row self-join; at 100 TB the halves become
+    time-windowed snapshots with the same plan."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    mid = emb.agg(
+        ((F.min("vec_id") + F.max("vec_id")) / 2).cast("long")
+    ).collect()[0][0]
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") <= mid).alias("first_half"),
+    )
+    zeros = F.array(*[F.lit(0.0)] * 64)
+    cent = (
+        e.groupBy("label", "first_half")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "first_half",
+            "n",
+            F.transform(
+                F.aggregate(
+                    "members",
+                    zeros,
+                    lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b),
+                ),
+                lambda x: x / F.col("n"),
+            ).alias("cv"),
+        )
+    )
+    a = cent.filter(F.col("first_half")).select(
+        "label", F.col("n").alias("n_ref"), F.col("cv").alias("ca")
+    )
+    b = cent.filter(~F.col("first_half")).select(
+        "label", F.col("n").alias("n_cur"), F.col("cv").alias("cb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        a.join(F.broadcast(b), "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_ref",
+            "n_cur",
+            F.floor(F.lit(1e6) * dot / (nrm(F.col("ca")) * nrm(F.col("cb"))))
+            .cast("bigint")
+            .alias("centroid_cos_micro"),
+        )
+    )
+
+
+EMB_CENTROID_DRIFT_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         vec_id <= (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings) AS first_half
+  FROM embeddings
+), cent AS (
+  SELECT label, first_half, count(*) AS n,
+         list_transform(
+           list_reduce(list(v ORDER BY vec_id),
+                       (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])),
+           x -> x / count(*)) AS cv
+  FROM e GROUP BY 1, 2
+)
+SELECT a.label::BIGINT AS label, a.n AS n_ref, b.n AS n_cur,
+       floor(1e6 * list_dot_product(a.cv, b.cv)
+             / (sqrt(list_dot_product(a.cv, a.cv))
+                * sqrt(list_dot_product(b.cv, b.cv))))::BIGINT AS centroid_cos_micro
+FROM (SELECT * FROM cent WHERE first_half) a
+JOIN (SELECT * FROM cent WHERE NOT first_half) b USING (label)
+"""
+
+
 QUERIES = {
+    "emb_centroid_drift": emb_centroid_drift,
+    "emb_pq_distortion": emb_pq_distortion,
     "docs_vocab_coverage": docs_vocab_coverage,
     "docs_dedup_sweep": docs_dedup_sweep,
     "emb_dim_winsor_stats": emb_dim_winsor_stats,
@@ -4479,6 +4645,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_centroid_drift": EMB_CENTROID_DRIFT_SQL,
+    "emb_pq_distortion": EMB_PQ_DISTORTION_SQL,
     "docs_vocab_coverage": VOCAB_COVERAGE_SQL,
     "docs_dedup_sweep": DEDUP_SWEEP_SQL,
     "emb_dim_winsor_stats": EMB_WINSOR_SQL,

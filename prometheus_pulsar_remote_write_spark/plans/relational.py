@@ -1624,7 +1624,94 @@ FROM melted GROUP BY 1, 2
 """
 
 
+
+def basket_brand_lift(spark, sf_dir):
+    """MARKET-BASKET association mining over orders: for every pair of
+    part brands co-occurring in an order, the support count and the
+    LIFT (how much more often the pair co-occurs than independence
+    predicts) in milli -- the classic retail affinity analysis
+    (Apriori's scoring step) on the TPC-H schema. Pairs with lift >
+    1000 are positively associated. Top-20 by (lift, pair) keeps the
+    result bounded; a support floor of 5 orders kills noise pairs.
+
+    Scale shape: per-order distinct brand sets are bounded (|brands| is
+    a catalog constant), so the within-order pair explode is O(orders *
+    brands^2 / 2) with tiny constants; everything after is one hash agg
+    on the pair key plus a broadcast of the 25-row per-brand counts."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    brand_n = ob.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(f"(1000 * n_both * {n_orders}) DIV (n_a * n_b)").alias(
+                "lift_milli"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("lift_milli"), F.asc("brand_a"), F.asc("brand_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "brand_a", "brand_b", "n_both", "n_a", "n_b", "lift_milli",
+        )
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+brand_n AS (SELECT p_brand, count(*) AS n_brand FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_both
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT rank, brand_a, brand_b, n_both, n_a, n_b, lift_milli
+FROM (
+  SELECT p.brand_a, p.brand_b, p.n_both,
+         na.n_brand AS n_a, nb.n_brand AS n_b,
+         ((1000 * p.n_both * n.n_orders) // (na.n_brand * nb.n_brand))::BIGINT AS lift_milli,
+         row_number() OVER (ORDER BY
+           (1000 * p.n_both * n.n_orders) // (na.n_brand * nb.n_brand) DESC,
+           p.brand_a ASC, p.brand_b ASC) AS rank
+  FROM pairs p
+  JOIN brand_n na ON p.brand_a = na.p_brand
+  JOIN brand_n nb ON p.brand_b = nb.p_brand
+  CROSS JOIN n
+) WHERE rank <= 20
+"""
+
+
 QUERIES = {
+    "basket_brand_lift": basket_brand_lift,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "bloom_semijoin_prefilter": bloom_semijoin_prefilter,
     "data_validation_report": data_validation_report,
@@ -1673,6 +1760,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_brand_lift": BASKET_LIFT_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "bloom_semijoin_prefilter": BLOOM_PREFILTER_SQL,
     "data_validation_report": VALIDATION_SQL,
