@@ -68,6 +68,8 @@ _CHANGED = [
     "basket_brand_lift",             # market-basket association lift
     "emb_pq_distortion",             # codebook-health per subspace
     "emb_centroid_drift",            # per-label embedding drift
+    "customer_rfm_segments",         # RFM quintile segmentation
+    "docs_langid_quality",           # precision/recall/F1 eval
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -4557,7 +4557,70 @@ JOIN (SELECT * FROM cent WHERE NOT first_half) b USING (label)
 """
 
 
+
+def docs_langid_quality(spark, sf_dir):
+    """Classifier EVALUATION in-engine: per-language precision, recall
+    and F1 (milli) of the marker-based language identifier against the
+    labeled lang column -- the metrics layer on top of the
+    docs_language_id confusion matrix (model scoring as a distributed
+    query, same pattern as the recall reports on the ANN side). The
+    'und' fallback rows count against recall (a miss) but form no
+    language row of their own.
+
+    Integer-exact: tp/fp/fn are counts; precision/recall are one BIGINT
+    division each, F1 the harmonic combination of the milli values."""
+    cm = docs_language_id(spark, sf_dir)
+    tp = cm.filter(F.col("lang") == F.col("predicted_lang")).select(
+        F.col("lang"), F.col("n").alias("tp")
+    )
+    actual = cm.groupBy("lang").agg(F.sum("n").alias("n_actual"))
+    pred = cm.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").alias("n_predicted")
+    )
+    return (
+        actual.join(F.broadcast(tp), "lang", "left")
+        .join(F.broadcast(pred), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            "n_actual",
+            F.coalesce("n_predicted", F.lit(0)).cast("bigint").alias("n_predicted"),
+            F.expr(
+                "(1000 * coalesce(tp, 0)) DIV nullif(coalesce(n_predicted, 0), 0)"
+            ).alias("precision_milli"),
+            F.expr("(1000 * coalesce(tp, 0)) DIV n_actual").alias("recall_milli"),
+        )
+        .withColumn(
+            "f1_milli",
+            F.expr(
+                "(2 * precision_milli * recall_milli)"
+                " DIV nullif(precision_milli + recall_milli, 0)"
+            ),
+        )
+    )
+
+
+LANGID_QUALITY_SQL = f"""
+WITH cm AS ({LANGID_SQL}),
+tp AS (SELECT lang, n AS tp FROM cm WHERE lang = predicted_lang),
+actual AS (SELECT lang, sum(n)::BIGINT AS n_actual FROM cm GROUP BY 1),
+pred AS (SELECT predicted_lang AS lang, sum(n)::BIGINT AS n_predicted FROM cm GROUP BY 1)
+SELECT a.lang, coalesce(tp.tp, 0)::BIGINT AS tp, a.n_actual,
+       coalesce(p.n_predicted, 0)::BIGINT AS n_predicted,
+       ((1000 * coalesce(tp.tp, 0)) // nullif(coalesce(p.n_predicted, 0), 0))::BIGINT AS precision_milli,
+       ((1000 * coalesce(tp.tp, 0)) // a.n_actual)::BIGINT AS recall_milli,
+       ((2 * ((1000 * coalesce(tp.tp, 0)) // nullif(coalesce(p.n_predicted, 0), 0))
+           * ((1000 * coalesce(tp.tp, 0)) // a.n_actual))
+        // nullif(((1000 * coalesce(tp.tp, 0)) // nullif(coalesce(p.n_predicted, 0), 0))
+                  + ((1000 * coalesce(tp.tp, 0)) // a.n_actual), 0))::BIGINT AS f1_milli
+FROM actual a
+LEFT JOIN tp ON a.lang = tp.lang
+LEFT JOIN pred p ON a.lang = p.lang
+"""
+
+
 QUERIES = {
+    "docs_langid_quality": docs_langid_quality,
     "emb_centroid_drift": emb_centroid_drift,
     "emb_pq_distortion": emb_pq_distortion,
     "docs_vocab_coverage": docs_vocab_coverage,
@@ -4645,6 +4708,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_langid_quality": LANGID_QUALITY_SQL,
     "emb_centroid_drift": EMB_CENTROID_DRIFT_SQL,
     "emb_pq_distortion": EMB_PQ_DISTORTION_SQL,
     "docs_vocab_coverage": VOCAB_COVERAGE_SQL,

@@ -1710,7 +1710,76 @@ FROM (
 """
 
 
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic CRM scoring: per customer, days since last order, order
+    count, and total spend in milli; each dimension scored 1-5 by
+    exact-rank quintile (ntile over a total order with customer-key
+    tiebreak -- deterministic, no percentile interpolation), combined
+    into the 3-digit RFM segment code. Bounded output: one row per
+    (r_score, f_score, m_score) cell with its population and averages.
+
+    Scale shape: one per-customer aggregation, three window ranks over
+    it, one 125-cell rollup."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    anchor_ms = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    per = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor_ms), F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice") * 1000).cast("bigint").alias("monetary_milli"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary_milli"), F.asc("o_custkey"))
+    scored = (
+        per.withColumn("r_score", F.lit(6) - F.ntile(5).over(wr))
+        .withColumn("f_score", F.lit(6) - F.ntile(5).over(wf))
+        .withColumn("m_score", F.lit(6) - F.ntile(5).over(wm))
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("frequency").alias("total_orders"),
+            F.sum("monetary_milli").alias("total_milli"),
+        )
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_customers",
+            "total_orders",
+            "total_milli",
+        )
+    )
+
+
+RFM_SQL = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+per AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT mx FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice) * 1000)::BIGINT AS monetary_milli
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT *,
+         6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         6 - ntile(5) OVER (ORDER BY monetary_milli DESC, o_custkey ASC) AS m_score
+  FROM per
+)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score,
+       count(*) AS n_customers, sum(frequency)::BIGINT AS total_orders,
+       sum(monetary_milli)::BIGINT AS total_milli
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "customer_rfm_segments": customer_rfm_segments,
     "basket_brand_lift": basket_brand_lift,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "bloom_semijoin_prefilter": bloom_semijoin_prefilter,
@@ -1760,6 +1829,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_rfm_segments": RFM_SQL,
     "basket_brand_lift": BASKET_LIFT_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "bloom_semijoin_prefilter": BLOOM_PREFILTER_SQL,
