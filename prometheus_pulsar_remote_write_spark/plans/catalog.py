@@ -70,6 +70,8 @@ _CHANGED = [
     "emb_centroid_drift",            # per-label embedding drift
     "customer_rfm_segments",         # RFM quintile segmentation
     "docs_langid_quality",           # precision/recall/F1 eval
+    "docs_postings_compression",     # delta+varint index sizing
+    "consume_lttb_downsample",       # LTTB visual downsampling
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -4619,7 +4619,77 @@ LEFT JOIN pred p ON a.lang = p.lang
 """
 
 
+
+def docs_postings_compression(spark, sf_dir):
+    """Inverted-index COMPRESSION PLANNING: per term (top-30 by posting
+    count), the delta-gap + varint size model every IR engine uses --
+    sorted doc-id gaps, each costing ceil(bitlength(gap)/7) varint
+    bytes -- versus the raw 8-byte encoding, with the ratio in milli.
+    This is the sizing report you run before choosing posting formats
+    (varint vs PForDelta vs roaring) for a 100 TB index; frequent terms
+    compress hardest (small gaps), which the report makes visible.
+
+    All-integer: gaps are BIGINTs, bit lengths come from the base-2
+    string length (the repo's DDSketch idiom), varint bytes =
+    (bits + 6) DIV 7. One explode + two hash aggs + a bounded top-30."""
+    docs = _docs_spread(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = toks.withColumn("prev", F.lag("doc_id").over(w)).select(
+        "term",
+        F.when(F.col("prev").isNull(), F.col("doc_id") + 1)
+        .otherwise(F.col("doc_id") - F.col("prev"))
+        .alias("gap"),
+    )
+    per = gaps.groupBy("term").agg(
+        F.count("*").alias("n_postings"),
+        F.sum(
+            F.floor((F.length(F.conv(F.col("gap"), 10, 2)) + 6) / 7).cast("bigint")
+        ).alias("varint_bytes"),
+    )
+    return (
+        per.select(
+            "term",
+            "n_postings",
+            "varint_bytes",
+            (F.col("n_postings") * 8).alias("raw_bytes"),
+            F.expr("(1000 * varint_bytes) DIV (n_postings * 8)").alias(
+                "ratio_milli"
+            ),
+        )
+        .orderBy(F.desc("n_postings"), F.asc("term"))
+        .limit(30)
+    )
+
+
+POSTINGS_COMPRESSION_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term
+  FROM documents
+), gaps AS (
+  SELECT term,
+         CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id + 1
+              ELSE doc_id - lag(doc_id) OVER w END AS gap
+  FROM toks
+  WINDOW w AS (PARTITION BY term ORDER BY doc_id)
+), per AS (
+  SELECT term, count(*) AS n_postings,
+         sum((length(bin(gap)) + 6) // 7)::BIGINT AS varint_bytes
+  FROM gaps GROUP BY 1
+)
+SELECT term, n_postings, varint_bytes,
+       (n_postings * 8)::BIGINT AS raw_bytes,
+       ((1000 * varint_bytes) // (n_postings * 8))::BIGINT AS ratio_milli
+FROM per
+ORDER BY n_postings DESC, term ASC
+LIMIT 30
+"""
+
+
 QUERIES = {
+    "docs_postings_compression": docs_postings_compression,
     "docs_langid_quality": docs_langid_quality,
     "emb_centroid_drift": emb_centroid_drift,
     "emb_pq_distortion": emb_pq_distortion,
@@ -4708,6 +4778,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_postings_compression": POSTINGS_COMPRESSION_SQL,
     "docs_langid_quality": LANGID_QUALITY_SQL,
     "emb_centroid_drift": EMB_CENTROID_DRIFT_SQL,
     "emb_pq_distortion": EMB_PQ_DISTORTION_SQL,

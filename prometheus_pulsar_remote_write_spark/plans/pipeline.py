@@ -2113,7 +2113,298 @@ JOIN dd db ON db.tenant_id = b.tenant_id AND db.name = b.name AND db.timestamp =
 """
 
 
+
+
+# --- LTTB downsampling (dual-engine expression generator) --------------------
+
+_LTTB_K = 12  # output points per series: first + 10 selected + last
+
+
+def _lttb_bucket_exprs(spark_dialect: bool) -> tuple:
+    """(bks, nsums) expressions over per-series columns ``pts``/``n``:
+    the per-bucket point slices and each bucket's NEXT-neighbor sums
+    [S_t, S_v, count] (the last middle bucket's neighbor is the final
+    point). Materialized as their own columns so the selection fold
+    only nests two lambda levels -- DuckDB's vectorized evaluation of
+    deeper correlated-lambda trees was observed returning wrong values
+    on multi-row inputs, and two flat columns are cheaper anyway."""
+    M = _LTTB_K - 2
+    div = "div" if spark_dialect else "//"
+
+    def start1(i):
+        return f"(2 + (({i} * (n - 2)) {div} {M}))"
+
+    if spark_dialect:
+        bks = (
+            f"transform(sequence(0, {M - 1}), bi -> slice(pts, {start1('bi')}, "
+            f"{start1('(bi + 1)')} - {start1('bi')}))"
+        )
+        bsum = (
+            "aggregate({b}, array(0L, 0L, 0L), (sa, sp) -> "
+            "array(element_at(sa, 1) + element_at(sp, 1), "
+            "element_at(sa, 2) + element_at(sp, 2), element_at(sa, 3) + 1L))"
+        )
+        nsums = (
+            f"transform(sequence(0, {M - 1}), ni -> if(ni < {M - 1}, "
+            + bsum.format(b="element_at(bks, ni + 2)")
+            + ", array(element_at(element_at(pts, n), 1), "
+            "element_at(element_at(pts, n), 2), 1L)))"
+        )
+    else:
+        bks = (
+            f"list_transform(range(0, {M}), bi -> "
+            f"pts[{start1('bi')}:{start1('(bi + 1)')} - 1])"
+        )
+        bsum = (
+            "list_reduce(list_prepend([0, 0, 0]::BIGINT[], {b}), (sa, sp) -> "
+            "[sa[1] + sp[1], sa[2] + sp[2], sa[3] + 1])"
+        )
+        nsums = (
+            f"list_transform(range(0, {M}), ni -> CASE WHEN ni < {M - 1} THEN "
+            + bsum.format(b="bks[ni + 2]")
+            + " ELSE [pts[n][1], pts[n][2], 1] END)"
+        )
+    return bks, nsums
+
+
+def _lttb_select_expr(spark_dialect: bool) -> str:
+    """LTTB selection fold over the precomputed ``bks``/``nsums``
+    columns (see _lttb_bucket_exprs): evaluates to the flat selected
+    list [t1, v1, ...]. Identical integer arithmetic in both dialects;
+    triangle areas carry the next bucket's count as a common
+    denominator so everything stays BIGINT, and the strictly-greater
+    comparison makes ties resolve to the earliest point in both
+    engines."""
+    M = _LTTB_K - 2
+
+    def E(a, i):
+        return f"element_at({a}, {i})" if spark_dialect else f"({a})[{i}]"
+
+    bk = E("bks", "__OI__ + 1")
+    ns = E("nsums", "__OI__ + 1")
+    nn, st, sv = E(f"({ns})", 3), E(f"({ns})", 1), E(f"({ns})", 2)
+    pv_t, pv_v = E("acc", 1), E("acc", 2)
+    area = (
+        f"abs(({pv_t} * {nn} - {st}) * ({{pv}} - {pv_v}) "
+        f"- ({pv_t} - {{pt}}) * ({sv} - {pv_v} * {nn}))"
+    )
+    a_p = area.format(pt=E("p", 1), pv=E("p", 2))
+    if spark_dialect:
+        best = (
+            f"aggregate({bk}, array(-1L, 0L, 0L), (b, p) -> "
+            f"if({a_p} > element_at(b, 1), "
+            f"array({a_p}, element_at(p, 1), element_at(p, 2)), b))"
+        )
+        fold = (
+            f"aggregate(sequence(0, {M - 1}), "
+            "array(element_at(element_at(pts, 1), 1), "
+            "element_at(element_at(pts, 1), 2)), "
+            f"(acc, oi) -> concat("
+            f"array(element_at({best}, 2), element_at({best}, 3)), "
+            f"slice(acc, 3, size(acc) - 2), "
+            f"array(element_at({best}, 2), element_at({best}, 3))))"
+        ).replace("__OI__", "oi")
+        mid = f"slice({fold}, 3, 2 * {M})"
+        full = (
+            "concat(array(element_at(element_at(pts, 1), 1), "
+            f"element_at(element_at(pts, 1), 2)), {mid}, "
+            "array(element_at(element_at(pts, n), 1), "
+            "element_at(element_at(pts, n), 2)))"
+        )
+        passthrough = (
+            "aggregate(pts, cast(array() as array<bigint>), (fa, fp) -> concat(fa, fp))"
+        )
+        return f"if(n <= {_LTTB_K}, {passthrough}, {full})"
+    best = (
+        f"list_reduce(list_prepend([-1, 0, 0]::BIGINT[], {bk}), (b, p) -> "
+        f"CASE WHEN {a_p} > b[1] THEN [{a_p}, p[1], p[2]] ELSE b END)"
+    ).replace("__OI__", "e[1]")
+    fold = (
+        "list_reduce(list_prepend([pts[1][1], pts[1][2]], "
+        f"list_transform(range(0, {M}), q -> [q])), "
+        f"(acc, e) -> list_concat(list_concat("
+        f"[({best})[2], ({best})[3]], acc[3:]), "
+        f"[({best})[2], ({best})[3]]))"
+    )
+    mid = f"({fold})[3:{2 + 2 * M}]"
+    full = (
+        f"list_concat(list_concat([pts[1][1], pts[1][2]], {mid}), "
+        "[pts[n][1], pts[n][2]])"
+    )
+    passthrough = (
+        "list_reduce(list_prepend([]::BIGINT[], pts), (fa, fp) -> list_concat(fa, fp))"
+    )
+    return f"CASE WHEN n <= {_LTTB_K} THEN {passthrough} ELSE {full} END"
+
+
+def consume_lttb_downsample(spark, sf_dir):
+    """LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013)
+    downsampling per series -- the visual downsampler Grafana and
+    Timescale ship: keep first and last points; split the rest into
+    equal-count buckets; from each bucket keep the point forming the
+    largest triangle with the PREVIOUSLY KEPT point and the next
+    bucket's centroid. Preserves the spikes a mean-downsample erases
+    and bounds every dashboard query to K points per series.
+
+    Engine shape: a sequential bucket fold (the algorithm's definition)
+    over pre-sorted per-series arrays, with the bucket slices and
+    next-bucket sums materialized as columns first and ONE shared
+    expression generator emitting both dialects -- integer area
+    cross-products with the next-bucket count as common denominator, so
+    the selected points hash-match bit-for-bit. One shuffle on the
+    series key; per-series state is its range vector."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    bks_e, nsums_e = _lttb_bucket_exprs(True)
+    per = (
+        s.groupBy("tenant_id", "name")
+        .agg(
+            F.min("timestamp").alias("t0"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(timestamp, event_id, vc))),"
+                " x -> array(x.timestamp, x.vc))"
+            ).alias("pts_abs"),
+        )
+        .select(
+            "tenant_id",
+            "name",
+            "t0",
+            F.expr(
+                "transform(pts_abs, p -> array(element_at(p, 1) - t0,"
+                " element_at(p, 2)))"
+            ).alias("pts"),
+        )
+        .withColumn("n", F.size("pts"))
+        .filter(F.col("n") >= 3)
+        .withColumn("bks", F.expr(bks_e))
+        .withColumn("nsums", F.expr(nsums_e))
+    )
+    sel = per.select(
+        "tenant_id",
+        "name",
+        "t0",
+        F.expr(_lttb_select_expr(True)).alias("flat"),
+    )
+    return sel.select(
+        "tenant_id",
+        "name",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(flat) DIV 2), j -> "
+                "array(element_at(flat, cast(2 * j - 1 as int)),"
+                " element_at(flat, cast(2 * j as int))))"
+            )
+        ).alias("seq", "pt"),
+        "t0",
+    ).select(
+        "tenant_id",
+        "name",
+        (F.col("seq") + 1).cast("bigint").alias("seq"),
+        (F.col("pt")[0] + F.col("t0")).alias("t_ms"),
+        F.col("pt")[1].alias("v_centi"),
+    )
+
+
+def _lttb_sql() -> str:
+    """DuckDB replay, PURELY RELATIONAL: the bucket loop unrolls into one
+    CTE per bucket, each an area-argmax via row_number over the
+    bucket's exploded points joined to the previous step's selection --
+    no list lambdas at all. (DuckDB's fused vectorized evaluation of
+    list_reduce lambdas referencing correlated per-row columns was
+    observed mixing rows' values on multi-row inputs, so the oracle
+    avoids the construct entirely; the relational form is also
+    independently auditable per step.) Bucket bounds replicate the
+    Spark expression's integer arithmetic exactly."""
+    M = _LTTB_K - 2
+    sql = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id,
+         round(value * 100)::BIGINT AS vc
+  FROM ({_SAMPLES_SQL})
+), pts AS (
+  SELECT tenant_id, name,
+         row_number() OVER (PARTITION BY tenant_id, name
+                            ORDER BY timestamp, event_id) AS idx,
+         timestamp - min(timestamp) OVER (PARTITION BY tenant_id, name) AS tr,
+         min(timestamp) OVER (PARTITION BY tenant_id, name) AS t0,
+         vc,
+         count(*) OVER (PARTITION BY tenant_id, name) AS n
+  FROM s
+), big AS (SELECT * FROM pts WHERE n > {_LTTB_K}),
+buckets AS (
+  SELECT tenant_id, name, n, i,
+         2 + ((i * (n - 2)) // {M}) AS lo,
+         2 + (((i + 1) * (n - 2)) // {M}) - 1 AS hi
+  FROM (SELECT DISTINCT tenant_id, name, n FROM big),
+       unnest(range(0, {M})) AS r(i)
+), nsums AS (
+  SELECT b.tenant_id, b.name, b.i - 1 AS i,
+         sum(p.tr)::BIGINT AS st, sum(p.vc)::BIGINT AS sv, count(*)::BIGINT AS nn
+  FROM buckets b JOIN big p
+    ON p.tenant_id = b.tenant_id AND p.name = b.name
+   AND p.idx BETWEEN b.lo AND b.hi
+  WHERE b.i >= 1
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT tenant_id, name, {M - 1} AS i, tr, vc, 1
+  FROM big WHERE idx = n
+), prev0 AS (
+  SELECT tenant_id, name, tr AS pv_t, vc AS pv_v FROM big WHERE idx = 1
+)"""
+    for i in range(1, M + 1):
+        b = i - 1  # 0-based bucket
+        sql += f""", step{i} AS (
+  SELECT tenant_id, name, tr AS pv_t, vc AS pv_v FROM (
+    SELECT p.tenant_id, p.name, p.tr, p.vc,
+           row_number() OVER (PARTITION BY p.tenant_id, p.name ORDER BY
+             abs((q.pv_t * ns.nn - ns.st) * (p.vc - q.pv_v)
+                 - (q.pv_t - p.tr) * (ns.sv - q.pv_v * ns.nn)) DESC,
+             p.idx ASC) AS rn
+    FROM big p
+    JOIN buckets b ON b.tenant_id = p.tenant_id AND b.name = p.name
+                  AND b.i = {b} AND p.idx BETWEEN b.lo AND b.hi
+    JOIN {"prev0" if i == 1 else f"step{i - 1}"} q
+      ON q.tenant_id = p.tenant_id AND q.name = p.name
+    JOIN nsums ns ON ns.tenant_id = p.tenant_id AND ns.name = p.name
+                 AND ns.i = {b}
+  ) WHERE rn = 1
+)"""
+    selected = "\n  UNION ALL\n".join(
+        f"  SELECT tenant_id, name, {i + 1} AS seq, pv_t AS tr, pv_v AS vc FROM step{i}"
+        for i in range(1, M + 1)
+    )
+    sql += f""", chain AS (
+  SELECT tenant_id, name, 1 AS seq, tr, vc FROM big WHERE idx = 1
+  UNION ALL
+{selected}
+  UNION ALL
+  SELECT tenant_id, name, {_LTTB_K} AS seq, tr, vc FROM big WHERE idx = n
+), small AS (
+  SELECT tenant_id, name, idx AS seq, tr, vc
+  FROM pts WHERE n <= {_LTTB_K} AND n >= 3
+), unioned AS (
+  SELECT * FROM chain UNION ALL SELECT * FROM small
+)
+SELECT u.tenant_id, u.name, u.seq::BIGINT AS seq,
+       u.tr + p0.t0 AS t_ms, u.vc AS v_centi
+FROM unioned u
+JOIN (SELECT DISTINCT tenant_id, name, t0 FROM pts) p0
+  ON p0.tenant_id = u.tenant_id AND p0.name = u.name
+"""
+    return sql
+
+
+CONSUME_LTTB_SQL = _lttb_sql()
+
+
 QUERIES = {
+    "consume_lttb_downsample": consume_lttb_downsample,
     "consume_time_weighted_avg": consume_time_weighted_avg,
     "consume_interpolated_vector": consume_interpolated_vector,
     "consume_scrape_gaps": consume_scrape_gaps,
@@ -2152,6 +2443,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_lttb_downsample": CONSUME_LTTB_SQL,
     "consume_time_weighted_avg": CONSUME_TWAP_SQL,
     "consume_interpolated_vector": CONSUME_INTERP_SQL,
     "consume_scrape_gaps": CONSUME_SCRAPE_GAPS_SQL,

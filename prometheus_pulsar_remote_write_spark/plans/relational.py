@@ -1721,7 +1721,11 @@ def customer_rfm_segments(spark, sf_dir):
     (r_score, f_score, m_score) cell with its population and averages.
 
     Scale shape: one per-customer aggregation, three window ranks over
-    it, one 125-cell rollup."""
+    it, one 125-cell rollup. The global ntile is a single-partition
+    window -- exact, chosen for oracle bit-parity; at 100 TB the same
+    scores come from 4 percentile BOUNDARIES per dimension (a tiny
+    aggregate broadcast back as a range join), trading the global sort
+    for boundary ties landing deterministically."""
     (orders,) = _t(spark, sf_dir, "orders")
     anchor_ms = orders.agg(F.max("o_orderdate")).collect()[0][0]
     per = orders.groupBy("o_custkey").agg(
