@@ -72,6 +72,8 @@ _CHANGED = [
     "docs_langid_quality",           # precision/recall/F1 eval
     "docs_postings_compression",     # delta+varint index sizing
     "consume_lttb_downsample",       # LTTB visual downsampling
+    "consume_m4_downsample",         # M4 pixel-exact downsampling
+    "events_k_anonymity",            # quasi-identifier privacy audit
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

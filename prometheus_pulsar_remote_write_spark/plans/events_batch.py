@@ -1970,7 +1970,54 @@ FROM enriched
 """
 
 
+
+_K_ANON = 5
+
+
+def events_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit over the quasi-identifier (tenant, event_type,
+    hour-of-day): the privacy QC a data-release pipeline runs before
+    publishing "anonymized" event data -- any combination shared by
+    fewer than k individuals re-identifies them. Reports, per
+    quasi-identifier group-size: how many groups and how many USERS sit
+    at that size, plus the at-risk flag (size < k=5); the row with
+    group_size=1 is the singling-out count regulators ask about first.
+
+    Scale shape: two chained hash aggregations (group sizes, then the
+    size histogram) -- both map-side combinable; no joins."""
+    ev = _events(spark, sf_dir)
+    groups = ev.groupBy(
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        "event_type",
+        F.hour("ts").alias("hod"),
+    ).agg(F.countDistinct("user_id").alias("group_size"))
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_users_exposed"),
+            (F.col("group_size") < _K_ANON).alias("at_risk"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT (user_id % 10)::VARCHAR AS tenant_id, event_type, hour(ts) AS hod,
+         count(DISTINCT user_id) AS group_size
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT group_size, count(*) AS n_groups,
+       (group_size * count(*))::BIGINT AS n_users_exposed,
+       group_size < {_K_ANON} AS at_risk
+FROM groups GROUP BY group_size
+"""
+
+
 QUERIES = {
+    "events_k_anonymity": events_k_anonymity,
     "events_slo_burn_rate": events_slo_burn_rate,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_holt_winters_seasonal": events_holt_winters_seasonal,
@@ -2008,6 +2055,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_k_anonymity": K_ANONYMITY_SQL,
     "events_slo_burn_rate": SLO_BURN_SQL,
     "events_cusum_changepoints": CUSUM_SQL,
     "events_holt_winters_seasonal": HOLT_WINTERS_SEASONAL_SQL,

@@ -2403,7 +2403,120 @@ JOIN (SELECT DISTINCT tenant_id, name, t0 FROM pts) p0
 CONSUME_LTTB_SQL = _lttb_sql()
 
 
+
+_M4_BUCKETS = 16
+
+
+def consume_m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and
+    time-bucket, keep exactly the FIRST, LAST, MIN and MAX points --
+    the four extremes that make a line rendering at pixel width
+    error-free, and the downsampler the original M4 paper proved
+    optimal for that purpose (LTTB's perceptual cousin;
+    consume_lttb_downsample covers the other school). Points are
+    deduplicated when roles coincide; role tie-breaks are by
+    (timestamp, event_id) so both engines pick identical points.
+
+    Scale shape: one shuffle on (series, bucket) with min/max/first/
+    last as ONE struct-packed aggregation -- no window, no sort; at
+    100 TB this is a map-side-combinable agg, which is why M4 is the
+    scalable default in time-series databases."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    bounds = s.groupBy("tenant_id", "name").agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    )
+    w = (
+        s.join(F.broadcast(bounds), ["tenant_id", "name"])
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"least(cast(((timestamp - lo) * {_M4_BUCKETS})"
+                f" DIV greatest(hi - lo + 1, 1) as int), {_M4_BUCKETS - 1})"
+            ),
+        )
+    )
+    agg = w.groupBy("tenant_id", "name", "bucket").agg(
+        F.min(F.struct("timestamp", "event_id", "vc")).alias("first_pt"),
+        F.max(F.struct("timestamp", "event_id", "vc")).alias("last_pt"),
+        F.min(F.struct("vc", "timestamp", "event_id")).alias("min_pt"),
+        F.max(F.struct("vc", "timestamp", "event_id")).alias("max_pt"),
+    )
+    pts = agg.select(
+        "tenant_id",
+        "name",
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("first_pt.timestamp").alias("t_ms"),
+                    F.col("first_pt.vc").alias("v_centi"),
+                ),
+                F.struct(
+                    F.col("last_pt.timestamp").alias("t_ms"),
+                    F.col("last_pt.vc").alias("v_centi"),
+                ),
+                F.struct(
+                    F.col("min_pt.timestamp").alias("t_ms"),
+                    F.col("min_pt.vc").alias("v_centi"),
+                ),
+                F.struct(
+                    F.col("max_pt.timestamp").alias("t_ms"),
+                    F.col("max_pt.vc").alias("v_centi"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "tenant_id",
+        "name",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("p.t_ms").alias("t_ms"),
+        F.col("p.v_centi").alias("v_centi"),
+    )
+    return pts.distinct()
+
+
+CONSUME_M4_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id,
+         round(value * 100)::BIGINT AS vc
+  FROM ({_SAMPLES_SQL})
+), bounds AS (
+  SELECT tenant_id, name, min(timestamp) AS lo, max(timestamp) AS hi
+  FROM s GROUP BY 1, 2
+), w AS (
+  SELECT s.*, least((((s.timestamp - b.lo) * {_M4_BUCKETS})
+           // greatest(b.hi - b.lo + 1, 1))::INT, {_M4_BUCKETS - 1}) AS bucket
+  FROM s JOIN bounds b USING (tenant_id, name)
+), agg AS (
+  SELECT tenant_id, name, bucket,
+         min(ROW(timestamp, event_id, vc)) AS first_pt,
+         max(ROW(timestamp, event_id, vc)) AS last_pt,
+         min(ROW(vc, timestamp, event_id)) AS min_pt,
+         max(ROW(vc, timestamp, event_id)) AS max_pt
+  FROM w GROUP BY 1, 2, 3
+)
+SELECT DISTINCT tenant_id, name, bucket::BIGINT AS bucket, t_ms, v_centi
+FROM (
+  SELECT tenant_id, name, bucket, first_pt[1] AS t_ms, first_pt[3] AS v_centi FROM agg
+  UNION ALL
+  SELECT tenant_id, name, bucket, last_pt[1], last_pt[3] FROM agg
+  UNION ALL
+  SELECT tenant_id, name, bucket, min_pt[2], min_pt[1] FROM agg
+  UNION ALL
+  SELECT tenant_id, name, bucket, max_pt[2], max_pt[1] FROM agg
+)
+"""
+
+
 QUERIES = {
+    "consume_m4_downsample": consume_m4_downsample,
     "consume_lttb_downsample": consume_lttb_downsample,
     "consume_time_weighted_avg": consume_time_weighted_avg,
     "consume_interpolated_vector": consume_interpolated_vector,
@@ -2443,6 +2556,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_m4_downsample": CONSUME_M4_SQL,
     "consume_lttb_downsample": CONSUME_LTTB_SQL,
     "consume_time_weighted_avg": CONSUME_TWAP_SQL,
     "consume_interpolated_vector": CONSUME_INTERP_SQL,
