@@ -74,6 +74,8 @@ _CHANGED = [
     "consume_lttb_downsample",       # LTTB visual downsampling
     "consume_m4_downsample",         # M4 pixel-exact downsampling
     "events_k_anonymity",            # quasi-identifier privacy audit
+    "events_benford_audit",          # first-digit forensic audit
+    "customer_pareto_curve",         # revenue concentration deciles
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -2016,7 +2016,72 @@ FROM groups GROUP BY group_size
 """
 
 
+
+def events_benford_audit(spark, sf_dir):
+    """BENFORD'S-LAW forensic audit per event type: the first significant
+    digit distribution of the value column against Benford's expected
+    frequencies (floor(1000*log10(1+1/d)) milli, precomputed constants)
+    -- the classic fabricated-numbers detector auditors run; a uniform
+    or spiked digit histogram flags synthetic or capped data. Reports
+    per (event_type, digit): observed count, observed milli share,
+    expected milli share, and the absolute deviation.
+
+    Scale shape: the first digit is a scan-side string expression; one
+    hash agg + a 9-row broadcast of the expected table."""
+    ev = _events(spark, sf_dir)
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.round(F.col("value") * 100).cast("bigint")).cast("string"),
+            "^0+", "",
+        ),
+        1,
+        1,
+    ).cast("int")
+    d = ev.select("event_type", digit.alias("digit")).filter(
+        F.col("digit").isNotNull() & (F.col("digit") > 0)
+    )
+    counts = d.groupBy("event_type", "digit").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    expected = spark.createDataFrame(
+        [(1, 301), (2, 176), (3, 124), (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45)], ["digit", "expected_milli"]
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .join(F.broadcast(expected), "digit")
+        .select(
+            "event_type",
+            F.col("digit").cast("bigint").alias("digit"),
+            "n",
+            F.expr("(1000 * n) DIV n_total").alias("observed_milli"),
+            F.col("expected_milli").cast("bigint"),
+            F.abs(
+                F.expr("(1000 * n) DIV n_total") - F.col("expected_milli")
+            ).alias("deviation_milli"),
+        )
+    )
+
+
+BENFORD_SQL = """
+WITH d AS (
+  SELECT event_type,
+         substr(regexp_replace(abs(round(value * 100)::BIGINT)::VARCHAR, '^0+', ''), 1, 1)::INT AS digit
+  FROM events
+), filtered AS (SELECT * FROM d WHERE digit IS NOT NULL AND digit > 0),
+counts AS (
+  SELECT event_type, digit, count(*) AS n FROM filtered GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, sum(n)::BIGINT AS n_total FROM counts GROUP BY 1
+), expected(digit, expected_milli) AS (VALUES (1, 301), (2, 176), (3, 124), (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45))
+SELECT c.event_type, c.digit::BIGINT AS digit, c.n,
+       ((1000 * c.n) // t.n_total)::BIGINT AS observed_milli,
+       e.expected_milli::BIGINT AS expected_milli,
+       abs((1000 * c.n) // t.n_total - e.expected_milli)::BIGINT AS deviation_milli
+FROM counts c JOIN totals t USING (event_type) JOIN expected e USING (digit)
+"""
+
+
 QUERIES = {
+    "events_benford_audit": events_benford_audit,
     "events_k_anonymity": events_k_anonymity,
     "events_slo_burn_rate": events_slo_burn_rate,
     "events_cusum_changepoints": events_cusum_changepoints,
@@ -2055,6 +2120,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_benford_audit": BENFORD_SQL,
     "events_k_anonymity": K_ANONYMITY_SQL,
     "events_slo_burn_rate": SLO_BURN_SQL,
     "events_cusum_changepoints": CUSUM_SQL,

@@ -1782,7 +1782,79 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+
+def customer_pareto_curve(spark, sf_dir):
+    """PARETO/concentration analysis: rank customers by revenue and
+    report, at each spend DECILE of the customer base, the cumulative
+    share of total revenue (milli) -- the "top 20% drive 80%" curve a
+    revenue team reads, and a Gini-style concentration measure derived
+    from the same running sum. Exact integers: revenue in milli,
+    cumulative sums over a deterministic (revenue desc, custkey)
+    order, decile boundaries by rank arithmetic.
+
+    Scale shape: one per-customer agg + one global-order window (at
+    100 TB the window becomes a two-pass range-partitioned sort; the
+    decile rollup is 10 rows)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 1000).cast("bigint").alias("rev_milli")
+    )
+    w = Window.orderBy(F.desc("rev_milli"), F.asc("o_custkey"))
+    ranked = per.select(
+        "o_custkey",
+        "rev_milli",
+        F.row_number().over(w).alias("rk"),
+    )
+    n_cust = per.count()
+    total = per.agg(F.sum("rev_milli")).collect()[0][0]
+    cum = ranked.withColumn(
+        "cum_milli",
+        F.sum("rev_milli").over(
+            Window.orderBy(F.asc("rk")).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    decile = F.expr(f"((rk - 1) * 10) DIV {n_cust} + 1")
+    return (
+        cum.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max("cum_milli").alias("cum_rev_milli"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers",
+            F.expr(f"(1000 * cum_rev_milli) DIV {total}").alias(
+                "cum_share_milli"
+            ),
+        )
+    )
+
+
+PARETO_SQL = """
+WITH per AS (
+  SELECT o_custkey, round(sum(o_totalprice) * 1000)::BIGINT AS rev_milli
+  FROM orders GROUP BY 1
+), n AS (SELECT count(*) AS n_cust, sum(rev_milli)::BIGINT AS total FROM per),
+ranked AS (
+  SELECT o_custkey, rev_milli,
+         row_number() OVER (ORDER BY rev_milli DESC, o_custkey ASC) AS rk
+  FROM per
+), cum AS (
+  SELECT *, sum(rev_milli) OVER (ORDER BY rk
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_milli
+  FROM ranked
+)
+SELECT (((rk - 1) * 10) // n.n_cust + 1)::BIGINT AS decile,
+       count(*) AS n_customers,
+       ((1000 * max(cum_milli)) // n.total)::BIGINT AS cum_share_milli
+FROM cum CROSS JOIN n
+GROUP BY 1, n.n_cust, n.total
+"""
+
+
 QUERIES = {
+    "customer_pareto_curve": customer_pareto_curve,
     "customer_rfm_segments": customer_rfm_segments,
     "basket_brand_lift": basket_brand_lift,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -1833,6 +1905,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_pareto_curve": PARETO_SQL,
     "customer_rfm_segments": RFM_SQL,
     "basket_brand_lift": BASKET_LIFT_SQL,
     "unpivot_lineitem_measures": UNPIVOT_SQL,
