@@ -376,3 +376,87 @@ def test_broker_client_options_reach_executor_factory_end_to_end(spark, tmp_path
     assert opts["tls_client_key_file_path"] == "/etc/ssl/client.key"
     assert opts["max_connections_per_broker"] == 3
     assert opts["tls_validate_hostname"] is True
+
+
+def test_pulsar_adapter_maps_options_onto_real_sdk_shapes(tmp_path, monkeypatch):
+    """The production Pulsar adapter (streaming/pulsar_adapter.py) builds
+    pulsar.Client with the exact option mapping and sends with the
+    partition key, verified against a faked SDK module -- the closest a
+    broker-less sandbox can get to real-broker evidence, with the real
+    adapter code (not a test-only stub) under test."""
+    import sys
+    import types
+
+    calls = {}
+
+    fake = types.ModuleType("pulsar")
+
+    class _FakeProducer:
+        def __init__(self):
+            self.sent = []
+
+        def send_async(self, payload, callback=None, partition_key=None):
+            self.sent.append((partition_key, payload))
+
+        def flush(self):
+            calls["flushed"] = True
+
+    class _FakeClient:
+        def __init__(self, url, **kwargs):
+            calls["url"] = url
+            calls["kwargs"] = kwargs
+
+        def create_producer(self, topic):
+            calls["topic"] = topic
+            calls["producer"] = _FakeProducer()
+            return calls["producer"]
+
+    class _FakeAuthTLS:
+        def __init__(self, cert, key):
+            calls["auth"] = (cert, key)
+
+    fake.Client = _FakeClient
+    fake.AuthenticationTLS = _FakeAuthTLS
+    monkeypatch.setitem(sys.modules, "pulsar", fake)
+
+    from prometheus_pulsar_remote_write_spark.app import parse_args
+    from prometheus_pulsar_remote_write_spark.streaming.pulsar_adapter import (
+        make_pulsar_bus,
+    )
+
+    cfg = parse_args(
+        [
+            "produce",
+            "--pulsar.topic=persistent://tenant/ns/metrics",
+            f"--web.write-path={tmp_path}/drop",
+            "--pulsar.url=pulsar+ssl://proxy:6651",
+            "--pulsar.certificate-authority=/etc/ssl/ca.pem",
+            "--pulsar.client-certificate=/etc/ssl/client.pem",
+            "--pulsar.client-key=/etc/ssl/client.key",
+            "--pulsar.connection-timeout=5s",
+        ]
+    )
+    bus = make_pulsar_bus("persistent://tenant/ns/metrics", cfg.client_options())
+    publisher = bus.sink()
+    # drive the executor-side factory directly (what BrokerPublisher runs
+    # per worker) and send one keyed message
+    producer = publisher.client_factory()
+    producer.send("fnv-key-1", b"payload")
+    producer.flush()
+
+    assert calls["url"] == "pulsar+ssl://proxy:6651"
+    assert calls["topic"] == "persistent://tenant/ns/metrics"
+    assert calls["auth"] == ("/etc/ssl/client.pem", "/etc/ssl/client.key")
+    kw = calls["kwargs"]
+    assert kw["tls_trust_certs_file_path"] == "/etc/ssl/ca.pem"
+    assert kw["connection_timeout_ms"] == 5000
+    assert kw["tls_validate_hostname"] is True
+    assert "authentication" in kw
+    assert calls["producer"].sent == [("fnv-key-1", b"payload")]
+    assert calls.get("flushed") is True
+
+    # without the SDK-backed connector, the source side must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="connector"):
+        bus.source(None)
