@@ -76,6 +76,7 @@ _CHANGED = [
     "events_k_anonymity",            # quasi-identifier privacy audit
     "events_benford_audit",          # first-digit forensic audit
     "customer_pareto_curve",         # revenue concentration deciles
+    "docs_zipf_slope",               # Zipf's-law corpus fit
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

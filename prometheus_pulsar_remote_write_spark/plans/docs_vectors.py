@@ -4688,7 +4688,89 @@ LIMIT 30
 """
 
 
+
+_ZIPF_TOP = 100
+
+
+def docs_zipf_slope(spark, sf_dir):
+    """ZIPF'S-LAW fit over the corpus vocabulary: regress micro-quantized
+    ln(frequency) on ln(rank) for the top-100 tokens and report the
+    slope (a healthy natural-language corpus sits near -1; templated or
+    synthetic text bends the curve) -- the corpus-statistics sibling of
+    the Heaps-law vocabulary curve (docs_vocab_growth). The exact
+    closed-form least squares runs on integer micro-logs: slope_micro =
+    1e6 * (n*Sxy - Sx*Sy) DIV (n*Sxx - Sx*Sx), every sum a BIGINT.
+
+    Scale shape: one token count agg, a bounded top-100 rank, then
+    arithmetic over 100 rows."""
+    docs = _docs_spread(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    # milli-quantized logs: micro-logs overflow the closed form's
+    # 1e6*(n*Sxy - Sx*Sy) product; the slope is scale-invariant in the
+    # common quantization, so milli keeps 3 digits and int64 headroom
+    xy = top.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1e3)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1e3)
+        .cast("bigint")
+        .alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "n",
+        F.expr("(1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)").alias(
+            "slope_micro"
+        ),
+        F.expr(
+            "(sy - ((1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx))"
+            " * sx DIV 1000000) DIV n"
+        ).alias("intercept_micro"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term,
+         1 AS one
+  FROM documents
+), freqs AS (
+  SELECT term, count(*) AS freq FROM counts GROUP BY 1
+), top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM freqs QUALIFY rank <= {_ZIPF_TOP}
+), xy AS (
+  SELECT floor(ln(rank::DOUBLE) * 1e3)::BIGINT AS x,
+         floor(ln(freq::DOUBLE) * 1e3)::BIGINT AS y
+  FROM top
+), agg AS (
+  SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM xy
+)
+SELECT n,
+       ((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx))::BIGINT AS slope_micro,
+       ((sy - ((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)) * sx // 1000000) // n)::BIGINT AS intercept_micro
+FROM agg
+"""
+
+
 QUERIES = {
+    "docs_zipf_slope": docs_zipf_slope,
     "docs_postings_compression": docs_postings_compression,
     "docs_langid_quality": docs_langid_quality,
     "emb_centroid_drift": emb_centroid_drift,
@@ -4778,6 +4860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_zipf_slope": ZIPF_SQL,
     "docs_postings_compression": POSTINGS_COMPRESSION_SQL,
     "docs_langid_quality": LANGID_QUALITY_SQL,
     "emb_centroid_drift": EMB_CENTROID_DRIFT_SQL,
