@@ -77,6 +77,7 @@ _CHANGED = [
     "events_benford_audit",          # first-digit forensic audit
     "customer_pareto_curve",         # revenue concentration deciles
     "docs_zipf_slope",               # Zipf's-law corpus fit
+    "events_gini_inequality",        # load-concentration coefficient
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -2080,7 +2080,60 @@ FROM counts c JOIN totals t USING (event_type) JOIN expected e USING (digit)
 """
 
 
+
+def events_gini_inequality(spark, sf_dir):
+    """GINI COEFFICIENT of the per-user activity distribution, per event
+    type -- the load-concentration number capacity planning reads ("do
+    5% of users generate 80% of writes?"), computed with the exact
+    rank formula over ascending counts: G_milli = 1000 * (2*S_ranked -
+    (n+1)*S) DIV (n*S), where S_ranked = sum(i * x_i) over the
+    ascending deterministic order. All BIGINT; pairs with the Pareto
+    decile curve on the revenue side.
+
+    Scale shape: per-(type, user) count agg, one rank window per type,
+    then a 5-row rollup."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("i").cast("bigint") * F.col("x")).alias("s_ranked"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            F.col("s").cast("bigint").alias("total_events"),
+            F.expr(
+                "(1000 * (2 * s_ranked - (n_users + 1) * s)) DIV (n_users * s)"
+            ).alias("gini_milli"),
+        )
+    )
+
+
+GINI_SQL = """
+WITH per AS (
+  SELECT event_type, user_id, count(*) AS x
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY x ASC, user_id ASC) AS i
+  FROM per
+)
+SELECT event_type, count(*) AS n_users, sum(x)::BIGINT AS total_events,
+       ((1000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
+        // (count(*) * sum(x)))::BIGINT AS gini_milli
+FROM ranked GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_gini_inequality": events_gini_inequality,
     "events_benford_audit": events_benford_audit,
     "events_k_anonymity": events_k_anonymity,
     "events_slo_burn_rate": events_slo_burn_rate,
@@ -2120,6 +2173,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_gini_inequality": GINI_SQL,
     "events_benford_audit": BENFORD_SQL,
     "events_k_anonymity": K_ANONYMITY_SQL,
     "events_slo_burn_rate": SLO_BURN_SQL,
