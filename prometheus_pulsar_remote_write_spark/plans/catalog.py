@@ -78,6 +78,8 @@ _CHANGED = [
     "customer_pareto_curve",         # revenue concentration deciles
     "docs_zipf_slope",               # Zipf's-law corpus fit
     "events_gini_inequality",        # load-concentration coefficient
+    "docs_pmi_collocations",         # PMI collocation mining
+    "emb_hubness_report",            # kNN-graph hubness QC
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

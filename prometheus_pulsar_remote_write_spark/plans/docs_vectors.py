@@ -4769,7 +4769,171 @@ FROM agg
 """
 
 
+
+_PMI_MIN_PAIRS = 5
+_PMI_TOP = 25
+
+
+def docs_pmi_collocations(spark, sf_dir):
+    """PMI COLLOCATION mining: pointwise mutual information of token
+    pairs co-occurring within a document (distinct per doc), top-25 by
+    PMI with a 5-doc support floor -- the classic collocation
+    extractor ("new york" scores high, "the of" scores ~0) one rung
+    more statistical than raw bigram counts (docs_bigram_topk). PMI =
+    ln(N * n_ab / (n_a * n_b)), micro-quantized AFTER the exact
+    integer ratio so both engines round the same double.
+
+    Scale shape: per-doc distinct tokens explode into within-doc pairs
+    (bounded by per-doc vocabulary, the operator's defined scope), one
+    pair-key hash agg, broadcast unigram counts, bounded top-k."""
+    docs = _docs_spread(spark, sf_dir)
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(tokens_col(F.col("text")), lambda t: t.rlike("^[a-z]+$"))
+            )
+        ).alias("term"),
+    )
+    n_docs = docs.count()
+    uni = dt.groupBy("term").agg(F.count("*").alias("n_t"))
+    a = dt.select(F.col("doc_id").alias("d"), F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id").alias("d"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    na = uni.select(F.col("term").alias("term_a"), F.col("n_t").alias("n_a"))
+    nb = uni.select(F.col("term").alias("term_b"), F.col("n_t").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "term_a")
+        .join(F.broadcast(nb), "term_b")
+        .withColumn(
+            "pmi_micro",
+            F.floor(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("n_ab")
+                    / (F.col("n_a") * F.col("n_b"))
+                )
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOP)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "term_a", "term_b", "n_ab", "n_a", "n_b", "pmi_micro",
+        )
+    )
+
+
+PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '),
+                t -> len(t) > 0 AND regexp_full_match(t, '[a-z]+'))) AS term
+  FROM documents
+), n AS (SELECT count(*) AS n_docs FROM documents),
+uni AS (SELECT term, count(*) AS n_t FROM dt GROUP BY 1),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MIN_PAIRS}
+)
+SELECT rank, term_a, term_b, n_ab, n_a, n_b, pmi_micro
+FROM (
+  SELECT p.term_a, p.term_b, p.n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+         floor(ln(n.n_docs::DOUBLE * p.n_ab / (ua.n_t * ub.n_t)) * 1e6)::BIGINT AS pmi_micro,
+         row_number() OVER (ORDER BY
+           floor(ln(n.n_docs::DOUBLE * p.n_ab / (ua.n_t * ub.n_t)) * 1e6) DESC,
+           p.term_a ASC, p.term_b ASC) AS rank
+  FROM pairs p
+  JOIN uni ua ON p.term_a = ua.term
+  JOIN uni ub ON p.term_b = ub.term
+  CROSS JOIN n
+) WHERE rank <= {_PMI_TOP}
+"""
+
+
+
+def emb_hubness_report(spark, sf_dir):
+    """HUBNESS QC for the embedding space: each vector's IN-DEGREE in the
+    corpus-wide top-3 cosine neighbor graph (how often it appears in
+    OTHER vectors' top-3), reported as the in-degree histogram plus the
+    top-10 hub vectors. Hubness -- a few points appearing in everyone's
+    neighbor list -- is the classic high-dimensional pathology that
+    silently degrades kNN search and dedup; a healthy space has mean
+    in-degree == k with light tails.
+
+    Scale shape: reuses the audited cosine_topk subplan (all vectors as
+    queries; at 100 TB the neighbor lists come from the IVF serving
+    index instead -- same downstream aggregation); the report side is
+    one in-degree count + a 10-row TakeOrdered and a bounded
+    histogram."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    nn = cosine_topk(emb, emb, k=3).select(
+        F.col("match_id").alias("vec_id")
+    )
+    indeg = nn.groupBy("vec_id").agg(F.count("*").alias("in_degree"))
+    base = emb.select("vec_id").join(indeg, "vec_id", "left").select(
+        "vec_id", F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree")
+    )
+    hist = base.groupBy("in_degree").agg(F.count("*").alias("n_vectors")).select(
+        F.lit("histogram").alias("kind"),
+        F.col("in_degree").cast("bigint").alias("k1"),
+        F.col("n_vectors").cast("bigint").alias("k2"),
+    )
+    w = Window.orderBy(F.desc("in_degree"), F.asc("vec_id"))
+    hubs = (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.lit("top_hub").alias("kind"),
+            F.col("rank").cast("bigint").alias("k1"),
+            F.col("vec_id").cast("bigint").alias("k2"),
+        )
+    )
+    return hist.unionByName(hubs)
+
+
+HUBNESS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (
+  SELECT match_id AS vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+               e.vec_id ASC) AS r
+    FROM e q CROSS JOIN e WHERE e.vec_id <> q.vec_id) WHERE r <= 3
+), indeg AS (
+  SELECT a.vec_id, coalesce(d.c, 0)::BIGINT AS in_degree
+  FROM e a LEFT JOIN (SELECT vec_id, count(*) AS c FROM nn GROUP BY 1) d
+    ON a.vec_id = d.vec_id
+)
+SELECT 'histogram' AS kind, in_degree AS k1, count(*)::BIGINT AS k2
+FROM indeg GROUP BY in_degree
+UNION ALL
+SELECT 'top_hub', rank, vec_id FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY in_degree DESC, vec_id ASC)::BIGINT AS rank
+  FROM indeg
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
+    "emb_hubness_report": emb_hubness_report,
+    "docs_pmi_collocations": docs_pmi_collocations,
     "docs_zipf_slope": docs_zipf_slope,
     "docs_postings_compression": docs_postings_compression,
     "docs_langid_quality": docs_langid_quality,
@@ -4860,6 +5024,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_hubness_report": HUBNESS_SQL,
+    "docs_pmi_collocations": PMI_SQL,
     "docs_zipf_slope": ZIPF_SQL,
     "docs_postings_compression": POSTINGS_COMPRESSION_SQL,
     "docs_langid_quality": LANGID_QUALITY_SQL,
