@@ -80,6 +80,7 @@ _CHANGED = [
     "events_gini_inequality",        # load-concentration coefficient
     "docs_pmi_collocations",         # PMI collocation mining
     "emb_hubness_report",            # kNN-graph hubness QC
+    "events_bot_regularity",         # inter-event-time CV abuse signal
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

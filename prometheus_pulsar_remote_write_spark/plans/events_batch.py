@@ -362,7 +362,7 @@ WITH marked AS (
          CASE WHEN lag(event_type) OVER w IS NULL
                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), grp AS (
   -- ORDER BY (ts, event_id), NOT ts_ms: the Spark window orders the
   -- running sum by the full-precision ts, and rows tied at millisecond
@@ -2132,7 +2132,70 @@ FROM ranked GROUP BY event_type
 """
 
 
+
+def events_bot_regularity(spark, sf_dir):
+    """BOT/AUTOMATION detection by inter-event regularity: humans emit
+    bursty gaps, schedulers emit metronomic ones, so a LOW squared
+    coefficient of variation of a user's inter-event times is the
+    classic abuse-detection signal. cv2_milli = 1000 * (n*S2 - S*S)
+    DIV (n * S * S) -- variance over squared mean from exact BIGINT
+    gap sums, no float path at all. Users with >= 10 events and
+    cv2_milli < 100 (std under ~32% of the mean) are flagged robotic.
+
+    Scale shape: one shuffle on user_id shared by the lag window and
+    the aggregation; state per user is its gap list bound."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr("unix_millis(ts::timestamp) div 1000").alias("ts_ms"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("ts_ms").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.col("ts_ms") - F.col("prev")).alias("g"))
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    )
+    return (
+        per.filter((F.col("n") >= 10) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            "n",
+            F.expr("s DIV n").alias("mean_gap_s"),
+            F.expr("(1000 * (n * s2 - s * s)) DIV (n * s * s)").alias(
+                "cv2_milli"
+            ),
+        )
+        .withColumn("robotic", F.col("cv2_milli") < 100)
+    )
+
+
+BOT_REGULARITY_SQL = """
+WITH gaps AS (
+  SELECT user_id, epoch_ms(ts) // 1000 - lag(epoch_ms(ts) // 1000) OVER w AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), per AS (
+  SELECT user_id, count(*) AS n, sum(g)::BIGINT AS s,
+         sum(g * g)::BIGINT AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n, (s // n)::BIGINT AS mean_gap_s,
+       ((1000 * (n * s2 - s * s)) // (n * s * s))::BIGINT AS cv2_milli,
+       ((1000 * (n * s2 - s * s)) // (n * s * s)) < 100 AS robotic
+FROM per WHERE n >= 10 AND s > 0
+"""
+
+
 QUERIES = {
+    "events_bot_regularity": events_bot_regularity,
     "events_gini_inequality": events_gini_inequality,
     "events_benford_audit": events_benford_audit,
     "events_k_anonymity": events_k_anonymity,
@@ -2173,6 +2236,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_bot_regularity": BOT_REGULARITY_SQL,
     "events_gini_inequality": GINI_SQL,
     "events_benford_audit": BENFORD_SQL,
     "events_k_anonymity": K_ANONYMITY_SQL,
