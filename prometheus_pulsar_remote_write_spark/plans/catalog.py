@@ -81,6 +81,8 @@ _CHANGED = [
     "docs_pmi_collocations",         # PMI collocation mining
     "emb_hubness_report",            # kNN-graph hubness QC
     "events_bot_regularity",         # inter-event-time CV abuse signal
+    "nation_market_hhi",             # Herfindahl concentration index
+    "consume_m4_fidelity",           # downsampling error bound report
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

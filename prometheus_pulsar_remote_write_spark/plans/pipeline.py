@@ -2515,7 +2515,114 @@ FROM (
 """
 
 
+
+def consume_m4_fidelity(spark, sf_dir):
+    """DOWNSAMPLING FIDELITY report: reconstruct every original sample by
+    linear interpolation between its surrounding M4-selected points and
+    report, per series, the max and mean absolute deviation (centi) --
+    the error bound that justifies shipping 64 points instead of
+    thousands to a dashboard. M4 guarantees first/last/min/max per
+    bucket, so every original sits inside the selected envelope; the
+    deviations quantify what the line rendering can still miss between
+    buckets.
+
+    Integer-exact: interpolation is one BIGINT division per point (the
+    consume_interpolated_vector arithmetic) over the deduped selected
+    set (per timestamp keep max value -- same rule both engines).
+    Scale shape: the M4 subplan + two as-of matches on the series key +
+    one rollup."""
+    sel = (
+        consume_m4_downsample(spark, sf_dir)
+        .groupBy("tenant_id", "name", "t_ms")
+        .agg(F.max("v_centi").alias("v_centi"))
+    )
+    samples = samples_from_events(spark, sf_dir)
+    orig = samples.select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).groupBy("tenant_id", "name", "timestamp").agg(F.max("vc").alias("vc"))
+    from ..operators.asof import asof_join
+
+    back = asof_join(
+        orig, sel.withColumnRenamed("t_ms", "sel_ts"),
+        on=["tenant_id", "name"], left_time="timestamp", right_time="sel_ts",
+        right_cols=["sel_ts", "v_centi"], how="left",
+    ).select(
+        "tenant_id", "name", "timestamp", "vc",
+        F.col("sel_ts").alias("ta"), F.col("v_centi").alias("va"),
+    )
+    fwd = asof_join(
+        orig.withColumn("neg_t", -F.col("timestamp")),
+        sel.withColumn("neg_sel", -F.col("t_ms")).withColumnRenamed("t_ms", "sel_ts"),
+        on=["tenant_id", "name"], left_time="neg_t", right_time="neg_sel",
+        right_cols=["sel_ts", "v_centi"], how="left",
+    ).select(
+        "tenant_id", "name", "timestamp",
+        F.col("sel_ts").alias("tb"), F.col("v_centi").alias("vb"),
+    )
+    dev = (
+        back.join(fwd, ["tenant_id", "name", "timestamp"])
+        .filter(F.col("ta").isNotNull() & F.col("tb").isNotNull())
+        .withColumn(
+            "interp",
+            F.when(F.col("tb") == F.col("ta"), F.col("va")).otherwise(
+                F.expr(
+                    "(va * (tb - timestamp) + vb * (timestamp - ta)) DIV (tb - ta)"
+                )
+            ),
+        )
+        .withColumn("adev", F.abs(F.col("vc") - F.col("interp")))
+    )
+    return dev.groupBy("tenant_id", "name").agg(
+        F.count("*").alias("n_points"),
+        F.max("adev").alias("max_dev_centi"),
+        F.expr("sum(adev) DIV count(*)").alias("mean_dev_centi"),
+    )
+
+
+CONSUME_M4_FIDELITY_SQL = f"""
+WITH m4 AS ({CONSUME_M4_SQL}),
+sel AS (
+  SELECT tenant_id, name, t_ms, max(v_centi) AS v_centi
+  FROM m4 GROUP BY 1, 2, 3
+), orig AS (
+  SELECT tenant_id, event_type AS name, timestamp,
+         max(round(value * 100)::BIGINT) AS vc
+  FROM ({_SAMPLES_SQL})
+  GROUP BY 1, 2, 3
+), back AS (
+  SELECT o.tenant_id, o.name, o.timestamp, max(s.t_ms) AS ta
+  FROM orig o JOIN sel s
+    ON s.tenant_id = o.tenant_id AND s.name = o.name AND s.t_ms <= o.timestamp
+  GROUP BY 1, 2, 3
+), fwd AS (
+  SELECT o.tenant_id, o.name, o.timestamp, min(s.t_ms) AS tb
+  FROM orig o JOIN sel s
+    ON s.tenant_id = o.tenant_id AND s.name = o.name AND s.t_ms >= o.timestamp
+  GROUP BY 1, 2, 3
+), dev AS (
+  SELECT o.tenant_id, o.name, o.timestamp, o.vc,
+         CASE WHEN f.tb = b.ta THEN sa.v_centi
+              ELSE (sa.v_centi * (f.tb - o.timestamp) + sb.v_centi * (o.timestamp - b.ta))
+                   // (f.tb - b.ta)
+         END AS interp
+  FROM orig o
+  JOIN back b ON b.tenant_id = o.tenant_id AND b.name = o.name AND b.timestamp = o.timestamp
+  JOIN fwd f ON f.tenant_id = o.tenant_id AND f.name = o.name AND f.timestamp = o.timestamp
+  JOIN sel sa ON sa.tenant_id = o.tenant_id AND sa.name = o.name AND sa.t_ms = b.ta
+  JOIN sel sb ON sb.tenant_id = o.tenant_id AND sb.name = o.name AND sb.t_ms = f.tb
+)
+SELECT tenant_id, name, count(*) AS n_points,
+       max(abs(vc - interp))::BIGINT AS max_dev_centi,
+       (sum(abs(vc - interp)) // count(*))::BIGINT AS mean_dev_centi
+FROM dev GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "consume_m4_fidelity": consume_m4_fidelity,
     "consume_m4_downsample": consume_m4_downsample,
     "consume_lttb_downsample": consume_lttb_downsample,
     "consume_time_weighted_avg": consume_time_weighted_avg,
@@ -2556,6 +2663,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_m4_fidelity": CONSUME_M4_FIDELITY_SQL,
     "consume_m4_downsample": CONSUME_M4_SQL,
     "consume_lttb_downsample": CONSUME_LTTB_SQL,
     "consume_time_weighted_avg": CONSUME_TWAP_SQL,

@@ -1853,7 +1853,74 @@ GROUP BY 1, n.n_cust, n.total
 """
 
 
+
+def nation_market_hhi(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN market-concentration index per nation: the
+    sum of squared supplier revenue shares (micro — shares in milli,
+    squared and summed) over lineitem revenue attributed to each
+    supplier -- the antitrust-style concentration number (10000-share
+    scale: > 2500 = highly concentrated) a procurement team reads per
+    market. Exact integers end to end: revenue milli, shares milli via
+    BIGINT division, HHI as the sum of their squares.
+
+    Scale shape: one (nation, supplier) revenue agg, a broadcast of the
+    25-row nation totals, a 25-row rollup."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000
+            )
+            .cast("bigint")
+            .alias("rev_milli")
+        )
+    )
+    totals = rev.groupBy("s_nationkey").agg(
+        F.sum("rev_milli").alias("total_milli"),
+        F.count("*").alias("n_suppliers"),
+    )
+    shares = rev.join(F.broadcast(totals), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.expr("(10000 * rev_milli) DIV total_milli").alias("share_bp"),
+    )
+    return shares.groupBy("s_nationkey", "n_suppliers").agg(
+        F.sum(F.col("share_bp") * F.col("share_bp")).alias("hhi"),
+        F.max("share_bp").alias("top_share_bp"),
+    ).select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        "hhi",
+        "top_share_bp",
+    )
+
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)) * 1000)::BIGINT AS rev_milli
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), totals AS (
+  SELECT s_nationkey, sum(rev_milli)::BIGINT AS total_milli,
+         count(*) AS n_suppliers
+  FROM rev GROUP BY 1
+), shares AS (
+  SELECT r.s_nationkey, t.n_suppliers,
+         (10000 * r.rev_milli) // t.total_milli AS share_bp
+  FROM rev r JOIN totals t USING (s_nationkey)
+)
+SELECT s_nationkey::BIGINT AS nationkey, n_suppliers::BIGINT AS n_suppliers,
+       sum(share_bp * share_bp)::BIGINT AS hhi,
+       max(share_bp)::BIGINT AS top_share_bp
+FROM shares GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "nation_market_hhi": nation_market_hhi,
     "customer_pareto_curve": customer_pareto_curve,
     "customer_rfm_segments": customer_rfm_segments,
     "basket_brand_lift": basket_brand_lift,
@@ -1905,6 +1972,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nation_market_hhi": HHI_SQL,
     "customer_pareto_curve": PARETO_SQL,
     "customer_rfm_segments": RFM_SQL,
     "basket_brand_lift": BASKET_LIFT_SQL,
