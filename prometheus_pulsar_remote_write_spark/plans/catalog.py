@@ -83,6 +83,8 @@ _CHANGED = [
     "events_bot_regularity",         # inter-event-time CV abuse signal
     "nation_market_hhi",             # Herfindahl concentration index
     "consume_m4_fidelity",           # downsampling error bound report
+    "docs_readability",              # Flesch-shaped grade filter
+    "consume_sli_availability",      # per-series nines report
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

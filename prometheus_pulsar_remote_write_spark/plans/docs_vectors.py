@@ -4931,7 +4931,54 @@ SELECT 'top_hub', rank, vec_id FROM (
 """
 
 
+
+def docs_readability(spark, sf_dir):
+    """READABILITY scoring per document: Flesch-reading-ease-shaped
+    formula over integer proxies -- words per sentence (periods as
+    sentence marks, min 1) and vowel-group count per word as the
+    syllable stand-in -- the grade-level filter curation pipelines run
+    beside stopword/length quality scores. score_milli = 206835 -
+    1015 * words DIV sentences - 84600 * vgroups DIV words (the Flesch
+    constants in milli), all BIGINT.
+
+    Scale shape: three scan-side counters per document, zero joins."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = F.size(tokens_col(F.col("text")))
+    sentences = F.greatest(
+        F.size(F.split("text", "[.!?]")) - 1, F.lit(1)
+    )
+    vgroups = F.size(F.split(F.lower("text"), "[aeiou]+")) - 1
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        vgroups.cast("bigint").alias("n_vowel_groups"),
+        F.expr(
+            "206835 - (1015 * n_words) DIV n_sentences"
+            " - (84600 * n_vowel_groups) DIV greatest(n_words, 1)"
+        ).alias("flesch_milli"),
+    ).withColumn(
+        "n_words", F.col("n_words")
+    )
+
+
+READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 0))::BIGINT AS n_words,
+         greatest(len(string_split_regex(text, '[.!?]')) - 1, 1)::BIGINT AS n_sentences,
+         (len(string_split_regex(lower(text), '[aeiou]+')) - 1)::BIGINT AS n_vowel_groups
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       (206835 - (1015 * n_words) // n_sentences
+        - (84600 * n_vowel_groups) // greatest(n_words, 1))::BIGINT AS flesch_milli
+FROM base
+"""
+
+
 QUERIES = {
+    "docs_readability": docs_readability,
     "emb_hubness_report": emb_hubness_report,
     "docs_pmi_collocations": docs_pmi_collocations,
     "docs_zipf_slope": docs_zipf_slope,
@@ -5024,6 +5071,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_readability": READABILITY_SQL,
     "emb_hubness_report": HUBNESS_SQL,
     "docs_pmi_collocations": PMI_SQL,
     "docs_zipf_slope": ZIPF_SQL,

@@ -2621,7 +2621,95 @@ FROM dev GROUP BY 1, 2
 """
 
 
+
+def consume_sli_availability(spark, sf_dir):
+    """AVAILABILITY SLI per series: the fraction of 10-minute evaluation
+    points at which the series had a sample within the 5-minute
+    staleness window -- "was the target up at each probe?" turned into
+    the nines number an SLO dashboard reports. Reuses the
+    instant-vector grid + as-of machinery; a probe point counts as
+    available iff the last sample before it is fresh. Availability in
+    milli (999 = three nines at this grid resolution).
+
+    Scale shape: the broadcast grid x series as-of join
+    (consume_instant_vector's audited plan) + one rollup per series."""
+    from ..operators.asof import asof_join
+
+    samples = samples_from_events(spark, sf_dir).select(
+        "tenant_id",
+        F.col("labels")["__name__"].alias("name"),
+        "timestamp",
+        "event_id",
+    )
+    bounds = samples.agg(
+        F.expr("(min(timestamp) div 600000) * 600000").alias("lo"),
+        F.max("timestamp").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(600000))).alias("eval_ts")
+    )
+    series = samples.select("tenant_id", "name").distinct()
+    pts = F.broadcast(grid).crossJoin(series)
+    dd = samples.groupBy("tenant_id", "name", "timestamp").agg(
+        F.max("event_id").alias("event_id")
+    )
+    matched = asof_join(
+        pts, dd,
+        on=["tenant_id", "name"], left_time="eval_ts", right_time="timestamp",
+        right_cols=["timestamp"], how="left",
+    )
+    return (
+        matched.withColumn(
+            "available",
+            (
+                F.col("timestamp").isNotNull()
+                & (F.col("eval_ts") - F.col("timestamp") < 300000)
+            ).cast("long"),
+        )
+        .groupBy("tenant_id", "name")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum("available").alias("n_available"),
+        )
+        .select(
+            "tenant_id",
+            "name",
+            "n_probes",
+            F.col("n_available").cast("bigint").alias("n_available"),
+            F.expr("(1000 * n_available) DIV n_probes").alias(
+                "availability_milli"
+            ),
+        )
+    )
+
+
+CONSUME_SLI_SQL = f"""
+WITH s AS (
+  SELECT tenant_id, event_type AS name, timestamp, event_id
+  FROM ({_SAMPLES_SQL})
+), bounds AS (
+  SELECT (min(timestamp) // 600000) * 600000 AS lo, max(timestamp) AS hi FROM s
+), grid AS (
+  SELECT unnest(range(lo, hi + 1, 600000)) AS eval_ts FROM bounds
+), series AS (SELECT DISTINCT tenant_id, name FROM s),
+pts AS (SELECT * FROM grid CROSS JOIN series),
+matched AS (
+  SELECT p.tenant_id, p.name, p.eval_ts, max(d.timestamp) AS last_ts
+  FROM pts p LEFT JOIN (SELECT DISTINCT tenant_id, name, timestamp FROM s) d
+    ON d.tenant_id = p.tenant_id AND d.name = p.name AND d.timestamp <= p.eval_ts
+  GROUP BY 1, 2, 3
+)
+SELECT tenant_id, name, count(*) AS n_probes,
+       sum(CASE WHEN last_ts IS NOT NULL AND eval_ts - last_ts < 300000
+                THEN 1 ELSE 0 END)::BIGINT AS n_available,
+       ((1000 * sum(CASE WHEN last_ts IS NOT NULL AND eval_ts - last_ts < 300000
+                         THEN 1 ELSE 0 END)) // count(*))::BIGINT AS availability_milli
+FROM matched GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "consume_sli_availability": consume_sli_availability,
     "consume_m4_fidelity": consume_m4_fidelity,
     "consume_m4_downsample": consume_m4_downsample,
     "consume_lttb_downsample": consume_lttb_downsample,
@@ -2663,6 +2751,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_sli_availability": CONSUME_SLI_SQL,
     "consume_m4_fidelity": CONSUME_M4_FIDELITY_SQL,
     "consume_m4_downsample": CONSUME_M4_SQL,
     "consume_lttb_downsample": CONSUME_LTTB_SQL,
