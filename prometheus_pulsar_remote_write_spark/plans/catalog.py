@@ -85,6 +85,8 @@ _CHANGED = [
     "consume_m4_fidelity",           # downsampling error bound report
     "docs_readability",              # Flesch-shaped grade filter
     "consume_sli_availability",      # per-series nines report
+    "events_survival_curve",         # age-sliced retention decay
+    "emb_triplet_consistency",       # metric-space margin audit
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -4977,7 +4977,101 @@ FROM base
 """
 
 
+
+def emb_triplet_consistency(spark, sf_dir):
+    """METRIC-SPACE sanity audit: for a deterministic sample of
+    (anchor, near, far) triplets -- near = the anchor's top cosine
+    neighbor, far = the anchor's label centroid-farthest sampled peer
+    -- check the margin cos(a, near) - cos(a, far) and report the
+    violation count per label. A healthy embedding space keeps the
+    margin positive almost everywhere; violations localize labels
+    whose embeddings collapsed. Micro-cosines; triplets derive from
+    audited subplans (cosine_topk + deterministic modular sampling).
+
+    Scale shape: top-1 neighbor from the brute/IVF path, one modular
+    'far' pick per anchor (vec_id arithmetic, no RNG), two cosine
+    evaluations per triplet."""
+    from ..operators.similarity import cosine_topk, dot_expr, norm_expr
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    anchors = emb.filter(F.col("vec_id") % 10 == 0)
+    near = cosine_topk(emb, anchors, k=1).select(
+        F.col("query_id").alias("vec_id"), F.col("match_id").alias("near_id")
+    )
+    n_vec = emb.count()
+    far = anchors.select(
+        "vec_id",
+        ((F.col("vec_id") + F.lit(n_vec // 2)) % F.lit(n_vec)).alias("far_id"),
+    )
+    e = emb.select("vec_id", "label", "embedding", norm_expr(F.col("embedding")).alias("nrm"))
+    a = e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    nn = e.select(F.col("vec_id").alias("near_id"), F.col("embedding").alias("vn"), F.col("nrm").alias("nn_"))
+    ff = e.select(F.col("vec_id").alias("far_id"), F.col("embedding").alias("vf"), F.col("nrm").alias("nf"))
+    trip = (
+        near.join(far, "vec_id")
+        .join(a, "vec_id")
+        .join(F.broadcast(nn), "near_id")
+        .join(F.broadcast(ff), "far_id")
+        .withColumn(
+            "margin_micro",
+            F.floor(
+                1e6 * dot_expr(F.col("va"), F.col("vn")) / (F.col("na") * F.col("nn_"))
+            ).cast("bigint")
+            - F.floor(
+                1e6 * dot_expr(F.col("va"), F.col("vf")) / (F.col("na") * F.col("nf"))
+            ).cast("bigint"),
+        )
+    )
+    return trip.groupBy("label").agg(
+        F.count("*").alias("n_triplets"),
+        F.sum(F.when(F.col("margin_micro") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.min("margin_micro").alias("worst_margin_micro"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_triplets",
+        "n_violations",
+        "worst_margin_micro",
+    )
+
+
+TRIPLET_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT count(*) AS n_vec FROM e),
+anchors AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+near AS (
+  SELECT vec_id, near_id FROM (
+    SELECT a.vec_id, e.vec_id AS near_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, e.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+               e.vec_id ASC) AS r
+    FROM anchors a CROSS JOIN e WHERE e.vec_id <> a.vec_id) WHERE r = 1
+), far AS (
+  SELECT a.vec_id, (a.vec_id + n.n_vec // 2) % n.n_vec AS far_id
+  FROM anchors a CROSS JOIN n
+), trip AS (
+  SELECT a.label,
+         floor(1e6 * list_dot_product(a.v, en.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(en.v, en.v))))::BIGINT
+         - floor(1e6 * list_dot_product(a.v, ef.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(ef.v, ef.v))))::BIGINT
+           AS margin_micro
+  FROM near JOIN far USING (vec_id)
+  JOIN e a ON a.vec_id = near.vec_id
+  JOIN e en ON en.vec_id = near.near_id
+  JOIN e ef ON ef.vec_id = far.far_id
+)
+SELECT label::BIGINT AS label, count(*) AS n_triplets,
+       sum(CASE WHEN margin_micro <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       min(margin_micro) AS worst_margin_micro
+FROM trip GROUP BY 1
+"""
+
+
 QUERIES = {
+    "emb_triplet_consistency": emb_triplet_consistency,
     "docs_readability": docs_readability,
     "emb_hubness_report": emb_hubness_report,
     "docs_pmi_collocations": docs_pmi_collocations,
@@ -5071,6 +5165,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_triplet_consistency": TRIPLET_SQL,
     "docs_readability": READABILITY_SQL,
     "emb_hubness_report": HUBNESS_SQL,
     "docs_pmi_collocations": PMI_SQL,

@@ -2194,7 +2194,72 @@ FROM per WHERE n >= 10 AND s > 0
 """
 
 
+
+def events_survival_curve(spark, sf_dir):
+    """Kaplan-Meier-style SURVIVAL/churn curve: per day-since-first-seen,
+    how many users are still "at risk" (observed that long) and how
+    many were active at that age -- the retention decay curve product
+    analytics reads next to cohort retention (which slices by calendar
+    week; this slices by USER AGE). Censoring is handled the KM way:
+    a user only counts in the denominator for ages within their
+    observation window. Survival share in milli; exact integers.
+
+    Scale shape: per-user first/last aggregation, one explode over the
+    bounded age range per user, one age rollup."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr("unix_millis(ts::timestamp) div 86400000").alias("day"),
+    ).distinct()
+    per = days.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    active = days.join(per, "user_id").select(
+        "user_id", (F.col("day") - F.col("first_day")).alias("age")
+    )
+    at_risk = per.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("last_day") - F.col("first_day"))
+        ).alias("age"),
+    )
+    a = active.groupBy("age").agg(F.countDistinct("user_id").alias("n_active"))
+    r = at_risk.groupBy("age").agg(F.count("*").alias("n_at_risk"))
+    return (
+        r.join(a, "age", "left")
+        .select(
+            F.col("age").cast("bigint").alias("age_days"),
+            "n_at_risk",
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            F.expr(
+                "(1000 * coalesce(n_active, 0)) DIV n_at_risk"
+            ).alias("active_share_milli"),
+        )
+    )
+
+
+SURVIVAL_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), per AS (
+  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+  FROM days GROUP BY 1
+), active AS (
+  SELECT d.user_id, d.day - p.first_day AS age
+  FROM days d JOIN per p USING (user_id)
+), at_risk AS (
+  SELECT user_id, unnest(range(0, last_day - first_day + 1)) AS age FROM per
+), a AS (SELECT age, count(DISTINCT user_id) AS n_active FROM active GROUP BY 1),
+r AS (SELECT age, count(*) AS n_at_risk FROM at_risk GROUP BY 1)
+SELECT r.age::BIGINT AS age_days, r.n_at_risk,
+       coalesce(a.n_active, 0)::BIGINT AS n_active,
+       ((1000 * coalesce(a.n_active, 0)) // r.n_at_risk)::BIGINT AS active_share_milli
+FROM r LEFT JOIN a USING (age)
+"""
+
+
 QUERIES = {
+    "events_survival_curve": events_survival_curve,
     "events_bot_regularity": events_bot_regularity,
     "events_gini_inequality": events_gini_inequality,
     "events_benford_audit": events_benford_audit,
@@ -2236,6 +2301,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_survival_curve": SURVIVAL_SQL,
     "events_bot_regularity": BOT_REGULARITY_SQL,
     "events_gini_inequality": GINI_SQL,
     "events_benford_audit": BENFORD_SQL,
