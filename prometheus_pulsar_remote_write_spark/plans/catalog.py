@@ -87,6 +87,8 @@ _CHANGED = [
     "consume_sli_availability",      # per-series nines report
     "events_survival_curve",         # age-sliced retention decay
     "emb_triplet_consistency",       # metric-space margin audit
+    "consume_heatmap_buckets",       # 2-D dashboard histogram feed
+    "orders_seasonality_index",      # monthly demand baseline
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -2708,7 +2708,55 @@ FROM matched GROUP BY 1, 2
 """
 
 
+
+def consume_heatmap_buckets(spark, sf_dir):
+    """HEATMAP feed: the 2-D (time-bucket x value-band) sample histogram
+    a Grafana heatmap panel renders -- hourly time buckets crossed with
+    ten equal value bands over the corpus value range. Bounded output
+    regardless of input (hours x 10 bands); one hash aggregation after
+    scan-side bucket arithmetic, the shape that lets a dashboard
+    request any zoom level without touching raw samples again.
+
+    Integer-exact: band = least((v_centi - lo) * 10 DIV range, 9)."""
+    samples = samples_from_events(spark, sf_dir)
+    s = samples.select(
+        F.expr("(timestamp div 3600000) * 3600").alias("hour_start"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    bounds = s.agg(
+        F.min("vc").alias("lo"), F.max("vc").alias("hi")
+    )
+    banded = s.crossJoin(F.broadcast(bounds)).select(
+        "hour_start",
+        F.expr(
+            "least(((vc - lo) * 10) DIV greatest(hi - lo + 1, 1), 9)"
+        ).alias("band"),
+    )
+    return banded.groupBy("hour_start", "band").agg(
+        F.count("*").alias("n_samples")
+    ).select(
+        "hour_start",
+        F.col("band").cast("bigint").alias("band"),
+        "n_samples",
+    )
+
+
+CONSUME_HEATMAP_SQL = f"""
+WITH s AS (
+  SELECT (timestamp // 3600000) * 3600 AS hour_start,
+         round(value * 100)::BIGINT AS vc
+  FROM ({_SAMPLES_SQL})
+), bounds AS (SELECT min(vc) AS lo, max(vc) AS hi FROM s)
+SELECT hour_start,
+       least(((vc - lo) * 10) // greatest(hi - lo + 1, 1), 9)::BIGINT AS band,
+       count(*) AS n_samples
+FROM s CROSS JOIN bounds
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "consume_heatmap_buckets": consume_heatmap_buckets,
     "consume_sli_availability": consume_sli_availability,
     "consume_m4_fidelity": consume_m4_fidelity,
     "consume_m4_downsample": consume_m4_downsample,
@@ -2751,6 +2799,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "consume_heatmap_buckets": CONSUME_HEATMAP_SQL,
     "consume_sli_availability": CONSUME_SLI_SQL,
     "consume_m4_fidelity": CONSUME_M4_FIDELITY_SQL,
     "consume_m4_downsample": CONSUME_M4_SQL,

@@ -1919,7 +1919,51 @@ FROM shares GROUP BY 1, 2
 """
 
 
+
+def orders_seasonality_index(spark, sf_dir):
+    """SEASONALITY INDEX per calendar month: monthly order count and
+    revenue against the all-months average (milli ratio; 1000 = an
+    average month) -- the demand-planning baseline every retail
+    forecast starts from, and the descriptive complement of the
+    Holt-Winters seasonal model on the events side. Exact integers via
+    milli revenue and cross-joined scalar averages (count*12 DIV total
+    keeps the ratio integer).
+
+    Scale shape: one month rollup + a broadcast scalar; 12 rows out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 1000).cast("bigint").alias("rev_milli"),
+    )
+    tot = per.agg(
+        F.sum("n_orders").alias("t_orders"), F.sum("rev_milli").alias("t_rev")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("month").cast("bigint").alias("month"),
+        "n_orders",
+        "rev_milli",
+        F.expr("(1000 * n_orders * 12) DIV t_orders").alias("order_index_milli"),
+        F.expr("(1000 * rev_milli * 12) DIV t_rev").alias("revenue_index_milli"),
+    )
+
+
+SEASONALITY_SQL = """
+WITH per AS (
+  SELECT month(o_orderdate) AS month, count(*) AS n_orders,
+         round(sum(o_totalprice) * 1000)::BIGINT AS rev_milli
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT sum(n_orders)::BIGINT AS t_orders, sum(rev_milli)::BIGINT AS t_rev FROM per
+)
+SELECT month::BIGINT AS month, n_orders, rev_milli,
+       ((1000 * n_orders * 12) // t_orders)::BIGINT AS order_index_milli,
+       ((1000 * rev_milli * 12) // t_rev)::BIGINT AS revenue_index_milli
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "orders_seasonality_index": orders_seasonality_index,
     "nation_market_hhi": nation_market_hhi,
     "customer_pareto_curve": customer_pareto_curve,
     "customer_rfm_segments": customer_rfm_segments,
@@ -1972,6 +2016,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_seasonality_index": SEASONALITY_SQL,
     "nation_market_hhi": HHI_SQL,
     "customer_pareto_curve": PARETO_SQL,
     "customer_rfm_segments": RFM_SQL,
