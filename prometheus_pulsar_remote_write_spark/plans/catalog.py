@@ -89,6 +89,8 @@ _CHANGED = [
     "emb_triplet_consistency",       # metric-space margin audit
     "consume_heatmap_buckets",       # 2-D dashboard histogram feed
     "orders_seasonality_index",      # monthly demand baseline
+    "events_dau_mau_stickiness",     # engagement ratio
+    "docs_jaccard_threshold_curve",  # dedup threshold sensitivity
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

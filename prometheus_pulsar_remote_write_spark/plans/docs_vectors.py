@@ -5070,7 +5070,83 @@ FROM trip GROUP BY 1
 """
 
 
+
+def docs_jaccard_threshold_curve(spark, sf_dir):
+    """DEDUP THRESHOLD SENSITIVITY curve: for every Jaccard decile
+    band, the number of LSH candidate pairs landing there and the
+    CUMULATIVE docs-dropped count if the dedup threshold were set at
+    that band's floor -- the tuning table a curation team reads before
+    fixing the 0.7 in docs_neardup_dedup (too high leaves twins in,
+    too low deletes originals). Derived from the audited candidate
+    subplan WITHOUT the 0.7 filter, so the whole operating range is
+    visible in one pass.
+
+    Scale shape: the near-dup pair subplan + a 10-row band rollup and
+    a running sum over the bands."""
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_agg,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    sigs = minhash_signatures_agg(docs, num_hashes=N_MINHASH).filter(
+        F.col("mh0").isNotNull()
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    scored = ngram_jaccard_pairs(docs, pairs)
+    banded = scored.select(
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
+            "band"
+        ),
+        "id_b",
+    )
+    per = banded.groupBy("band").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_docs_in_band"),
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_pairs",
+        "n_docs_in_band",
+        F.sum("n_pairs").over(w).alias("cum_pairs_at_threshold"),
+    )
+
+
+JACCARD_CURVE_SQL = f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR AS bucket FROM sigs" for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sh AS ({_SHINGLES_SQL}),
+scored AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+), banded AS (
+  SELECT least(floor(jaccard * 10)::INT, 9) AS band, id_b FROM scored
+), per AS (
+  SELECT band, count(*) AS n_pairs, count(DISTINCT id_b) AS n_docs_in_band
+  FROM banded GROUP BY 1
+)
+SELECT band::BIGINT AS band, n_pairs, n_docs_in_band,
+       sum(n_pairs) OVER (ORDER BY band DESC
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pairs_at_threshold
+FROM per
+"""
+
+
 QUERIES = {
+    "docs_jaccard_threshold_curve": docs_jaccard_threshold_curve,
     "emb_triplet_consistency": emb_triplet_consistency,
     "docs_readability": docs_readability,
     "emb_hubness_report": emb_hubness_report,
@@ -5165,6 +5241,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_jaccard_threshold_curve": JACCARD_CURVE_SQL,
     "emb_triplet_consistency": TRIPLET_SQL,
     "docs_readability": READABILITY_SQL,
     "emb_hubness_report": HUBNESS_SQL,

@@ -2258,7 +2258,66 @@ FROM r LEFT JOIN a USING (age)
 """
 
 
+
+def events_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU STICKINESS per event type: average daily active users
+    over the observed span against the span's total distinct actives
+    (the 30-day-window MAU analog on this fixture), in milli -- THE
+    product-engagement ratio ("what share of the monthly audience
+    shows up on a typical day"). Exact integers: sum of daily
+    distincts DIV day count, then milli ratio over the span distinct.
+
+    Scale shape: two distinct aggregations (per-day and per-span; at
+    100 TB both swap to the HLL sketch with the same output shape) and
+    a 5-row combine."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts::timestamp) div 86400000").alias("day"),
+        "user_id",
+    )
+    daily = base.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    span = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("mau"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    avg_dau = daily.groupBy("event_type").agg(F.sum("dau").alias("dau_sum"))
+    return (
+        avg_dau.join(F.broadcast(span), "event_type")
+        .select(
+            "event_type",
+            F.expr("dau_sum DIV n_days").alias("avg_dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.expr("(1000 * (dau_sum DIV n_days)) DIV mau").alias(
+                "stickiness_milli"
+            ),
+        )
+    )
+
+
+DAU_MAU_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events
+), daily AS (
+  SELECT event_type, day, count(DISTINCT user_id) AS dau
+  FROM base GROUP BY 1, 2
+), span AS (
+  SELECT event_type, count(DISTINCT user_id) AS mau,
+         count(DISTINCT day) AS n_days
+  FROM base GROUP BY 1
+), s AS (SELECT event_type, sum(dau)::BIGINT AS dau_sum FROM daily GROUP BY 1)
+SELECT s.event_type, (s.dau_sum // sp.n_days)::BIGINT AS avg_dau,
+       sp.mau::BIGINT AS mau, sp.n_days::BIGINT AS n_days,
+       ((1000 * (s.dau_sum // sp.n_days)) // sp.mau)::BIGINT AS stickiness_milli
+FROM s JOIN span sp USING (event_type)
+"""
+
+
 QUERIES = {
+    "events_dau_mau_stickiness": events_dau_mau_stickiness,
     "events_survival_curve": events_survival_curve,
     "events_bot_regularity": events_bot_regularity,
     "events_gini_inequality": events_gini_inequality,
@@ -2301,6 +2360,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_dau_mau_stickiness": DAU_MAU_SQL,
     "events_survival_curve": SURVIVAL_SQL,
     "events_bot_regularity": BOT_REGULARITY_SQL,
     "events_gini_inequality": GINI_SQL,
