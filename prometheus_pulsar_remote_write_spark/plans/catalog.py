@@ -91,6 +91,8 @@ _CHANGED = [
     "orders_seasonality_index",      # monthly demand baseline
     "events_dau_mau_stickiness",     # engagement ratio
     "docs_jaccard_threshold_curve",  # dedup threshold sensitivity
+    "emb_isotropy_score",            # pair-join-free space isotropy
+    "orders_shipping_delay_sla",     # fulfillment SLA percentiles
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -5145,7 +5145,104 @@ FROM per
 """
 
 
+
+def emb_isotropy_score(spark, sf_dir):
+    """ISOTROPY score of the embedding space (Ethayarajh-style): the
+    mean pairwise dot product over ALL n^2-n pairs WITHOUT a pair join,
+    via the sum-vector identity sum_ij(vi . vj) = ||sum_i vi||^2 --
+    anisotropic spaces (all vectors leaning one way) inflate this and
+    degrade cosine contrast. Reported per label and corpus-wide, with
+    mean vector norm alongside for scale.
+
+    Determinism without ordered folds: per-vector contributions (each
+    coordinate of v, and v . v) quantize to integer micros BEFORE the
+    cross-partition sums (the logreg/PCA trick), so the identity's
+    integer inputs are exact; one final double division per row.
+
+    Scale shape: ONE map-side-combined aggregate (65 integer sums per
+    group) -- the pair-join-free formulation IS the 100 TB method."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = emb.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dim = 64
+    sums = [
+        F.sum(
+            F.floor(F.element_at("v", j + 1) * 1e6)
+        ).cast("bigint").alias(f"s{j}")
+        for j in range(dim)
+    ]
+    sq = F.sum(
+        F.floor(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1e6
+        )
+    ).cast("bigint").alias("sum_sq")
+
+    def report(grouped, label_col):
+        norm_sq = None
+        for j in range(dim):
+            t = F.col(f"s{j}") * F.col(f"s{j}")
+            norm_sq = t if norm_sq is None else norm_sq + t
+        return grouped.select(
+            label_col.alias("label"),
+            "n",
+            # mean pairwise dot in micro: (||S||^2/1e6 - sum_sq) / (n(n-1))
+            F.floor(
+                (norm_sq / F.lit(1e6) - F.col("sum_sq"))
+                / (F.col("n") * (F.col("n") - 1))
+            )
+            .cast("bigint")
+            .alias("mean_pair_dot_micro"),
+            F.expr("sum_sq DIV n").alias("mean_sq_norm_micro"),
+        )
+
+    per_label = report(
+        e.groupBy("label").agg(F.count("*").alias("n"), sq, *sums),
+        F.col("label").cast("bigint"),
+    )
+    overall = report(
+        e.groupBy().agg(F.count("*").alias("n"), sq, *sums), F.lit(-1)
+    )
+    return per_label.unionByName(overall)
+
+
+def _isotropy_sql() -> str:
+    dim = 64
+    sums = ", ".join(
+        f"sum(floor(v[{j + 1}] * 1e6))::BIGINT AS s{j}" for j in range(dim)
+    )
+    norm_sq = " + ".join(f"s{j} * s{j}" for j in range(dim))
+    inner = (
+        "sum(floor(list_dot_product(v, v) * 1e6))::BIGINT AS sum_sq, "
+        "count(*) AS n, " + sums
+    )
+    def sel(label_expr):
+        return (
+            f"SELECT {label_expr} AS label, n, "
+            f"floor((({norm_sq}) / 1e6 - sum_sq) / (n * (n - 1)))::BIGINT AS mean_pair_dot_micro, "
+            f"(sum_sq // n)::BIGINT AS mean_sq_norm_micro"
+        )
+    return f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+per AS (SELECT label, {inner} FROM e GROUP BY label),
+tot AS (SELECT {inner} FROM e)
+{sel("label::BIGINT")} FROM per
+UNION ALL
+{sel("-1")} FROM tot
+"""
+
+
+ISOTROPY_SQL = _isotropy_sql()
+
+
 QUERIES = {
+    "emb_isotropy_score": emb_isotropy_score,
     "docs_jaccard_threshold_curve": docs_jaccard_threshold_curve,
     "emb_triplet_consistency": emb_triplet_consistency,
     "docs_readability": docs_readability,
@@ -5241,6 +5338,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_isotropy_score": ISOTROPY_SQL,
     "docs_jaccard_threshold_curve": JACCARD_CURVE_SQL,
     "emb_triplet_consistency": TRIPLET_SQL,
     "docs_readability": READABILITY_SQL,

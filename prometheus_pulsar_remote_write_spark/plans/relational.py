@@ -1962,7 +1962,70 @@ FROM per CROSS JOIN tot
 """
 
 
+
+def orders_shipping_delay_sla(spark, sf_dir):
+    """SHIPPING-DELAY SLA per order priority: exact lower-median and
+    p90 days from order date to FIRST line shipment, plus the share
+    meeting a 30-day SLA (milli) -- the fulfillment dashboard that
+    makes 1-URGENT measurably faster (or not) than 5-LOW. Exact
+    integer order statistics, no interpolation.
+
+    Scale shape: one order-grain min-ship aggregation (co-keyed join
+    orders x lineitem), one priority rollup with bounded state."""
+    (orders,), (li,) = [_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")]
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    delays = (
+        orders.join(first_ship, orders["o_orderkey"] == first_ship["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", "o_orderdate").alias("delay_days"),
+        )
+        .filter(F.col("delay_days") >= 0)
+    )
+    per = delays.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sort_array(F.collect_list("delay_days")).alias("ds"),
+        F.sum(F.when(F.col("delay_days") <= 30, 1).otherwise(0)).alias("n_sla"),
+    )
+    med = F.element_at(F.col("ds"), ((F.col("n_orders") - 1) / 2 + 1).cast("int"))
+    p90 = F.element_at(
+        F.col("ds"), (F.floor((F.col("n_orders") - 1) * 9 / 10) + 1).cast("int")
+    )
+    return per.select(
+        "o_orderpriority",
+        "n_orders",
+        med.cast("bigint").alias("median_days"),
+        p90.cast("bigint").alias("p90_days"),
+        F.expr("(1000 * n_sla) DIV n_orders").alias("sla_30d_milli"),
+    )
+
+
+SHIPPING_SLA_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+), delays AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, first_ship) AS delay_days
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+  WHERE date_diff('day', o_orderdate, first_ship) >= 0
+), per AS (
+  SELECT o_orderpriority, count(*) AS n_orders,
+         list_sort(list(delay_days)) AS ds,
+         sum(CASE WHEN delay_days <= 30 THEN 1 ELSE 0 END)::BIGINT AS n_sla
+  FROM delays GROUP BY 1
+)
+SELECT o_orderpriority, n_orders,
+       ds[((n_orders - 1) // 2 + 1)::INT]::BIGINT AS median_days,
+       ds[(((n_orders - 1) * 9 // 10) + 1)::INT]::BIGINT AS p90_days,
+       ((1000 * n_sla) // n_orders)::BIGINT AS sla_30d_milli
+FROM per
+"""
+
+
 QUERIES = {
+    "orders_shipping_delay_sla": orders_shipping_delay_sla,
     "orders_seasonality_index": orders_seasonality_index,
     "nation_market_hhi": nation_market_hhi,
     "customer_pareto_curve": customer_pareto_curve,
@@ -2016,6 +2079,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_shipping_delay_sla": SHIPPING_SLA_SQL,
     "orders_seasonality_index": SEASONALITY_SQL,
     "nation_market_hhi": HHI_SQL,
     "customer_pareto_curve": PARETO_SQL,
