@@ -93,6 +93,7 @@ _CHANGED = [
     "docs_jaccard_threshold_curve",  # dedup threshold sensitivity
     "emb_isotropy_score",            # pair-join-free space isotropy
     "orders_shipping_delay_sla",     # fulfillment SLA percentiles
+    "events_transition_entropy",     # behavioral diversity score
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

@@ -2316,7 +2316,74 @@ FROM s JOIN span sp USING (event_type)
 """
 
 
+
+def events_transition_entropy(spark, sf_dir):
+    """BEHAVIORAL DIVERSITY score: Shannon entropy of each user's
+    event-type TRANSITION distribution (the randomness of their Markov
+    row, micro-quantized with the repo's cnt*floor(ln(n/cnt)*1e6)
+    idiom) -- low entropy = habitual/scripted paths, high = exploratory
+    behavior; the per-user scalar the Markov matrix
+    (events_markov_transitions) summarizes to. Users with >= 10
+    transitions; top-level report is the per-user score.
+
+    Scale shape: one lag window + two hash aggs on the user key."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", F.concat_ws(">", "prev", "event_type").alias("tr"))
+    )
+    counts = trans.groupBy("user_id", "tr").agg(F.count("*").alias("cnt"))
+    per = counts.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_trans"),
+        F.sum(
+            F.col("cnt")
+            * F.floor(F.log(F.col("cnt").cast("double")) * 1e6).cast("bigint")
+        ).alias("sum_clogc"),
+        F.countDistinct("tr").alias("n_kinds"),
+    )
+    return (
+        per.filter(F.col("n_trans") >= 10)
+        .select(
+            "user_id",
+            "n_trans",
+            F.col("n_kinds").cast("bigint").alias("n_kinds"),
+            # H = ln(n) - (1/n) * sum c*ln(c), in micro-nats
+            (
+                F.floor(F.log(F.col("n_trans").cast("double")) * 1e6).cast("bigint")
+                - F.expr("sum_clogc DIV n_trans")
+            ).alias("entropy_micro"),
+        )
+    )
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH trans AS (
+  SELECT user_id,
+         lag(event_type) OVER w || '>' || event_type AS tr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+  SELECT user_id, tr, count(*) AS cnt
+  FROM trans WHERE tr IS NOT NULL GROUP BY 1, 2
+), per AS (
+  SELECT user_id, sum(cnt)::BIGINT AS n_trans,
+         sum(cnt * floor(ln(cnt::DOUBLE) * 1e6)::BIGINT)::BIGINT AS sum_clogc,
+         count(DISTINCT tr) AS n_kinds
+  FROM counts GROUP BY 1
+)
+SELECT user_id, n_trans, n_kinds::BIGINT AS n_kinds,
+       (floor(ln(n_trans::DOUBLE) * 1e6)::BIGINT - sum_clogc // n_trans)::BIGINT AS entropy_micro
+FROM per WHERE n_trans >= 10
+"""
+
+
 QUERIES = {
+    "events_transition_entropy": events_transition_entropy,
     "events_dau_mau_stickiness": events_dau_mau_stickiness,
     "events_survival_curve": events_survival_curve,
     "events_bot_regularity": events_bot_regularity,
@@ -2360,6 +2427,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_transition_entropy": TRANSITION_ENTROPY_SQL,
     "events_dau_mau_stickiness": DAU_MAU_SQL,
     "events_survival_curve": SURVIVAL_SQL,
     "events_bot_regularity": BOT_REGULARITY_SQL,
