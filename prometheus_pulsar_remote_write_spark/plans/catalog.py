@@ -131,8 +131,13 @@ def _latest_green_rounds() -> dict:
 
 
 _LATEST = _latest_green_rounds()
-_PRIORITY = _CHANGED + sorted(
-    (k for k in QUERIES if k not in _CHANGED),
+# The head is capped at the driver's 50-record window: when a round adds
+# more changed/new entries than fit, the overflow needs no special
+# handling -- a never-recorded entry has _LATEST 0 and therefore sorts
+# FIRST in the stalest tail, so it leads the next round's window
+# automatically.
+_PRIORITY = _CHANGED[:50] + sorted(
+    (k for k in QUERIES if k not in _CHANGED[:50]),
     key=lambda k: (_LATEST.get(k, 0), k),
 )
 

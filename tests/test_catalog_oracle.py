@@ -422,9 +422,12 @@ def test_driver_window_rotation_invariants():
     window = names[:50]
     for n in _CHANGED:
         assert n in QUERIES, f"_CHANGED names unknown entry {n}"
+    for n in _CHANGED[:50]:
         assert n in window, f"changed entry {n} fell out of the window"
-    # stalest-first: everything after the changed head is sorted by
-    # latest-green round; never-recorded (new) entries sort first
-    tail = [n for n in names if n not in _CHANGED]
+    # stalest-first: everything after the (capped) changed head sorts by
+    # latest-green round; never-recorded entries (including _CHANGED
+    # overflow beyond the 50-window) have round 0 and sort FIRST, so
+    # they lead the next round's window automatically
+    tail = [n for n in names if n not in set(_CHANGED[:50])]
     rounds = [_LATEST.get(n, 0) for n in tail]
     assert rounds == sorted(rounds), "window tail is not stalest-first"
