@@ -94,6 +94,7 @@ _CHANGED = [
     "emb_isotropy_score",            # pair-join-free space isotropy
     "orders_shipping_delay_sla",     # fulfillment SLA percentiles
     "events_transition_entropy",     # behavioral diversity score
+    "events_touch_attribution",      # first- vs last-touch credits
     # code or oracle touched in round 7
     "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
     "events_scd2_intervals",   # oracle ORDER BY parity fix

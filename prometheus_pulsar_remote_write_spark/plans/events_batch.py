@@ -2382,7 +2382,113 @@ FROM per WHERE n_trans >= 10
 """
 
 
+
+def events_touch_attribution(spark, sf_dir):
+    """FIRST-TOUCH vs LAST-TOUCH attribution: for every purchase, which
+    event type gets the credit under each model -- the user's earliest
+    event ever (first touch) and their latest non-purchase event before
+    the purchase (last touch, the as-of match) -- tallied per credited
+    type with both models side by side. The divergence between the two
+    columns IS the marketing-attribution debate, quantified.
+
+    Scale shape: an argmin per user (first touch, one agg) broadcast
+    to purchases, plus the as-of backward match (union-tag single
+    shuffle) for last touch; final rollup is |event types| rows."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.expr("unix_millis(ts::timestamp)").alias("ts_ms"),
+        "event_id",
+        "event_type",
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ms").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    first = base.groupBy("user_id").agg(
+        F.min(F.struct("ts_ms", "event_id", "event_type"))["event_type"].alias(
+            "first_touch"
+        )
+    )
+    others = base.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts_ms",
+        F.col("event_type").alias("lt_type"),
+    )
+    dd = others.groupBy("user_id", "ts_ms").agg(
+        F.max("lt_type").alias("lt_type")
+    )
+    last = asof_join(
+        purchases, dd,
+        on=["user_id"], left_time="p_ts", right_time="ts_ms",
+        right_cols=["lt_type"], how="left",
+    )
+    credited = last.join(F.broadcast(first), "user_id").select(
+        F.coalesce("lt_type", F.lit("none")).alias("last_touch"),
+        "first_touch",
+    )
+    lt = credited.groupBy(F.col("last_touch").alias("credited_type")).agg(
+        F.count("*").alias("last_touch_credits")
+    )
+    ft = credited.groupBy(F.col("first_touch").alias("credited_type")).agg(
+        F.count("*").alias("first_touch_credits")
+    )
+    return (
+        lt.join(ft, "credited_type", "full")
+        .select(
+            "credited_type",
+            F.coalesce("last_touch_credits", F.lit(0)).cast("bigint").alias(
+                "last_touch_credits"
+            ),
+            F.coalesce("first_touch_credits", F.lit(0)).cast("bigint").alias(
+                "first_touch_credits"
+            ),
+        )
+    )
+
+
+TOUCH_ATTRIBUTION_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+), purchases AS (
+  SELECT user_id, ts_ms AS p_ts, event_id AS p_id
+  FROM base WHERE event_type = 'purchase'
+), first AS (
+  SELECT user_id, event_type AS first_touch FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_ms, event_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+), dd AS (
+  SELECT user_id, ts_ms, max(event_type) AS lt_type
+  FROM base WHERE event_type <> 'purchase' GROUP BY 1, 2
+), last AS (
+  SELECT p.user_id, p.p_ts, p.p_id,
+         (SELECT d.lt_type FROM dd d
+          WHERE d.user_id = p.user_id AND d.ts_ms <= p.p_ts
+          ORDER BY d.ts_ms DESC LIMIT 1) AS lt_type
+  FROM purchases p
+), credited AS (
+  SELECT coalesce(l.lt_type, 'none') AS last_touch, f.first_touch
+  FROM last l JOIN first f USING (user_id)
+), lt AS (
+  SELECT last_touch AS credited_type, count(*) AS last_touch_credits
+  FROM credited GROUP BY 1
+), ft AS (
+  SELECT first_touch AS credited_type, count(*) AS first_touch_credits
+  FROM credited GROUP BY 1
+)
+SELECT coalesce(lt.credited_type, ft.credited_type) AS credited_type,
+       coalesce(lt.last_touch_credits, 0)::BIGINT AS last_touch_credits,
+       coalesce(ft.first_touch_credits, 0)::BIGINT AS first_touch_credits
+FROM lt FULL JOIN ft USING (credited_type)
+"""
+
+
 QUERIES = {
+    "events_touch_attribution": events_touch_attribution,
     "events_transition_entropy": events_transition_entropy,
     "events_dau_mau_stickiness": events_dau_mau_stickiness,
     "events_survival_curve": events_survival_curve,
@@ -2427,6 +2533,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_touch_attribution": TOUCH_ATTRIBUTION_SQL,
     "events_transition_entropy": TRANSITION_ENTROPY_SQL,
     "events_dau_mau_stickiness": DAU_MAU_SQL,
     "events_survival_curve": SURVIVAL_SQL,
