@@ -367,6 +367,28 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jvm_path)
 
 
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API, so the
+    same code path works on local FS, HDFS, and object stores (a
+    ``shutil.rmtree`` would silently no-op anywhere but local disk).
+    Raises if the FS reports a failed delete -- a delete log that cannot
+    be cleared must surface, not linger."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path) and not fs.delete(jvm_path, True):
+        raise IOError(f"Hadoop FileSystem failed to delete {path}")
+
+
+def _escape_partition_value(spark: SparkSession, value) -> str:
+    """Render one partition value the way Spark renders it in a
+    partition directory name (Hive-style escaping; NULL becomes the
+    Hive default-partition sentinel)."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    utils = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    return utils.escapePathName(str(value))
+
+
 
 
 def write_equality_deletes(
@@ -415,9 +437,13 @@ def apply_deletes(
     (``part_cols``, default the lake's (tenant_id, day)). Dynamic
     partition overwrite leaves untouched partitions' files alone; the
     delete log is cleared afterwards. Returns the rewritten partition
-    tuples."""
-    import shutil
+    tuples.
 
+    Dynamic overwrite only replaces partitions PRESENT in the written
+    output -- a partition whose every row was deleted produces no output
+    and its old files would survive the rewrite. Those touched-but-empty
+    partitions are explicitly deleted via the Hadoop FileSystem so the
+    erasure path holds even when a delete wipes out a whole partition."""
     part_cols = part_cols or ["tenant_id", "day"]
     base = spark.read.parquet(path)
     if not _path_exists(spark, deletes_path):
@@ -440,11 +466,35 @@ def apply_deletes(
             .select(*base.columns)
             .localCheckpoint(eager=True)  # cut lineage from the path being rewritten
         )
-        (
-            rewritten.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*part_cols)
-            .parquet(path)
-        )
-    shutil.rmtree(deletes_path, ignore_errors=True)
+        surviving = {
+            tuple(r)
+            for r in rewritten.select(*part_cols).distinct().collect()
+        }
+        emptied = [t for t in touched if t not in surviving]
+        if surviving:
+            (
+                rewritten.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*part_cols)
+                .parquet(path)
+            )
+        # a fully-deleted partition emits no rows, so dynamic overwrite
+        # never rewrites it -- drop its directory explicitly or the
+        # delete silently resurrects on the next read
+        for t in emptied:
+            segments = [
+                f"{c}={_escape_partition_value(spark, v)}"
+                for c, v in zip(part_cols, t)
+            ]
+            _fs_delete(spark, path.rstrip("/") + "/" + "/".join(segments))
+            # prune now-empty ancestor dirs (e.g. tenant_id=X once its
+            # last day=Y child is gone) so the layout stays clean
+            for depth in range(len(segments) - 1, 0, -1):
+                parent = path.rstrip("/") + "/" + "/".join(segments[:depth])
+                jvm_path = spark._jvm.org.apache.hadoop.fs.Path(parent)
+                fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+                if not fs.exists(jvm_path) or len(fs.listStatus(jvm_path)):
+                    break
+                _fs_delete(spark, parent)
+    _fs_delete(spark, deletes_path)
     return sorted(touched)

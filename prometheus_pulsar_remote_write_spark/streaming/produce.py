@@ -126,6 +126,18 @@ class FilePublisher:
 _WORKER_PRODUCERS: dict = {}
 
 
+def worker_producer(factory, cache_key: str):
+    """Get-or-create the worker-local producer for ``cache_key`` (A5:
+    the reference keeps ONE shared producer per process,
+    CHANGELOG.md:20-21 -- repeated partitions/micro-batches on the same
+    python worker reuse the same client/connection pool)."""
+    producer = _WORKER_PRODUCERS.get(cache_key)
+    if producer is None:
+        producer = factory()
+        _WORKER_PRODUCERS[cache_key] = producer
+    return producer
+
+
 class BrokerPublisher:
     """A2 on a REAL message broker: the adapter seam where a broker client
     (e.g. an Apache Pulsar producer) drops into the produce pipeline in
@@ -165,10 +177,7 @@ class BrokerPublisher:
         factory, key, do_flush = self.client_factory, self.cache_key, self.flush
 
         def _send_partition(rows) -> None:
-            producer = _WORKER_PRODUCERS.get(key)
-            if producer is None:
-                producer = factory()
-                _WORKER_PRODUCERS[key] = producer
+            producer = worker_producer(factory, key)
             n = 0
             for row in rows:
                 payload = row.payload

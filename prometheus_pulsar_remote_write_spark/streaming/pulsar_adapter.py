@@ -13,6 +13,14 @@ hostname validation, connection pool), and the producer honors the
 reference's key-shared delivery contract (partition key per message,
 flush-before-ack at micro-batch end via BrokerPublisher).
 
+At-least-once is enforced the way the Go reference enforces it (its
+SendAsync callback joins send errors before Flush returns,
+pkg/pulsar/pulsar.go:245-262): every ``send_async`` here registers a
+delivery callback that records non-OK results, and ``flush()`` raises
+``BrokerDeliveryError`` if any send failed -- so the micro-batch fails,
+the checkpoint does not advance, and the batch replays instead of
+acking lost messages.
+
 Consumer side: a KeyShared streaming SOURCE needs a Spark connector
 package (e.g. the StreamNative pulsar-spark connector) rather than an
 SDK shim; ``make_pulsar_bus`` therefore accepts a ``source_factory``
@@ -23,6 +31,11 @@ fully functional with the SDK alone.
 from __future__ import annotations
 
 from .bus import BrokerBus
+
+
+class BrokerDeliveryError(Exception):
+    """One or more async sends failed delivery; raised from ``flush()``
+    so the micro-batch replays (at-least-once) instead of committing."""
 
 
 def _client_kwargs(options: dict) -> dict:
@@ -37,25 +50,57 @@ def _client_kwargs(options: dict) -> dict:
     if options.get("tls_trust_certs_file_path"):
         kwargs["tls_trust_certs_file_path"] = options["tls_trust_certs_file_path"]
     if options.get("tls_client_cert_file_path"):
+        # the reference validates the cert/key pair together
+        # (pkg/app/pulsar.go:96-103): a cert without its key is a config
+        # error, not a KeyError at connect time
+        key_path = options.get("tls_client_key_file_path")
+        if not key_path:
+            raise ValueError(
+                "pulsar.client-certificate requires pulsar.client-key "
+                "(TLS client cert and key must be configured together)"
+            )
         # SDK takes client TLS auth as an AuthenticationTLS object; built
         # lazily inside make_pulsar_bus where the module is importable
         kwargs["__tls_auth_pair__"] = (
             options["tls_client_cert_file_path"],
-            options["tls_client_key_file_path"],
+            key_path,
         )
     kwargs["tls_allow_insecure_connection"] = bool(
         options.get("tls_allow_insecure_connection", False)
     )
     kwargs["tls_validate_hostname"] = bool(options.get("tls_validate_hostname", True))
+    if options.get("max_connections_per_broker"):
+        # A5 pool sizing (reference pkg/app/pulsar.go:92-93 → Go client
+        # MaxConnectionsPerBroker); passed through verbatim when the
+        # installed SDK's Client accepts it (older python SDKs don't)
+        kwargs["__max_connections_per_broker__"] = int(
+            options["max_connections_per_broker"]
+        )
     return kwargs
+
+
+def _accepts_kwarg(fn, name: str) -> bool:
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return True  # builtins/extension types: optimistic pass-through
+    return any(
+        p.name == name or p.kind is p.VAR_KEYWORD for p in params
+    )
 
 
 def make_pulsar_bus(topic: str, options: dict, source_factory=None) -> BrokerBus:
     """Two-argument ``--pulsar.client`` factory returning a BrokerBus
     whose producer runs on the executors with one cached client per
-    python worker (A5 connection reuse). ``topic`` is the value of
-    --pulsar.topic; ``options`` is AppConfig.client_options()."""
+    python worker (A5 connection reuse -- BrokerPublisher caches the
+    returned producer under ``cache_key``, so ``client_factory`` runs
+    once per worker and every partition/micro-batch reuses the same
+    connection pool). ``topic`` is the value of --pulsar.topic;
+    ``options`` is AppConfig.client_options()."""
     url = options.get("url") or "pulsar://localhost:6650"
+    _client_kwargs(options)  # fail fast on invalid TLS pairing, on the driver
 
     def client_factory():
         import pulsar  # the real SDK, present on the executors' image
@@ -64,19 +109,43 @@ def make_pulsar_bus(topic: str, options: dict, source_factory=None) -> BrokerBus
         auth_pair = kwargs.pop("__tls_auth_pair__", None)
         if auth_pair is not None:
             kwargs["authentication"] = pulsar.AuthenticationTLS(*auth_pair)
+        pool_size = kwargs.pop("__max_connections_per_broker__", None)
+        if pool_size is not None and _accepts_kwarg(
+            pulsar.Client, "max_connections_per_broker"
+        ):
+            kwargs["max_connections_per_broker"] = pool_size
         client = pulsar.Client(url, **kwargs)
         producer = client.create_producer(topic)
+        result_ok = getattr(getattr(pulsar, "Result", None), "Ok", None)
 
         class _Producer:
+            def __init__(self):
+                self._failures: list = []
+
+            def _on_delivery(self, result, msg_id) -> None:
+                # the SDK invokes this from its IO threads; a non-OK
+                # result is a lost message unless the batch replays
+                if isinstance(result, BaseException) or (
+                    result_ok is not None and result != result_ok
+                ):
+                    self._failures.append(result)
+
             def send(self, key: str, payload: bytes) -> None:
                 # partition key == the reference's per-series FNV key, so
                 # one series lands on one partition (KeyShared contract)
                 producer.send_async(
-                    payload, callback=None, partition_key=key
+                    payload, callback=self._on_delivery, partition_key=key
                 )
 
             def flush(self) -> None:
                 producer.flush()
+                if self._failures:
+                    failed, self._failures = self._failures, []
+                    raise BrokerDeliveryError(
+                        f"{len(failed)} async send(s) failed delivery "
+                        f"(first: {failed[0]!r}); failing the micro-batch "
+                        "so it replays instead of acking lost messages"
+                    )
 
         return _Producer()
 

@@ -510,3 +510,67 @@ def test_equality_deletes_merge_on_read_and_compaction(spark, tmp_path):
         assert os.path.getmtime(f) == mt, f"untouched partition rewritten: {f}"
     # idempotent: applying an empty log is a no-op
     assert apply_deletes(spark, lake, dels, ["tenant_id", "series_key"]) == []
+
+
+def test_apply_deletes_removes_fully_deleted_partitions(spark, tmp_path):
+    """Erasure must hold when a delete empties entire partitions: dynamic
+    partition overwrite only replaces partitions present in the written
+    output, so a fully-deleted partition's files survive unless the
+    compactor drops the directory explicitly. Delete EVERY row of one
+    tenant (all its (tenant_id, day) partitions emptied) and assert the
+    rows stay gone after apply_deletes -- the regression was that they
+    all came back while the delete log vanished."""
+    import os
+
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        apply_deletes,
+        read_with_deletes,
+        write_equality_deletes,
+        write_samples_lake,
+    )
+
+    samples = samples_from_events(spark, SF_SMOKE)
+    lake = str(tmp_path / "lake")
+    dels = str(tmp_path / "deletes")
+    write_samples_lake(samples, lake)
+    total = spark.read.parquet(lake).count()
+
+    victim_tenant = (
+        spark.read.parquet(lake)
+        .select("tenant_id")
+        .distinct()
+        .orderBy("tenant_id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    keys = (
+        spark.read.parquet(lake)
+        .where(F.col("tenant_id") == victim_tenant)
+        .select("tenant_id", "series_key")
+        .distinct()
+    )
+    n_victim = (
+        spark.read.parquet(lake)
+        .where(F.col("tenant_id") == victim_tenant)
+        .count()
+    )
+    assert 0 < n_victim < total
+
+    write_equality_deletes(keys, dels, ["tenant_id", "series_key"])
+    touched = apply_deletes(spark, lake, dels, ["tenant_id", "series_key"])
+    assert touched and all(t[0] == victim_tenant for t in touched)
+
+    after = spark.read.parquet(lake)
+    assert after.count() == total - n_victim
+    assert (
+        after.where(F.col("tenant_id") == victim_tenant).count() == 0
+    ), "fully-deleted partitions resurrected after apply_deletes"
+    # the emptied partition directories are physically gone
+    assert not os.path.exists(f"{lake}/tenant_id={victim_tenant}")
+    # log cleared via the Hadoop FS path
+    assert not os.path.exists(dels)
+    # merged read agrees (no log left, so it is the plain read)
+    assert (
+        read_with_deletes(spark, lake, dels, ["tenant_id", "series_key"]).count()
+        == total - n_victim
+    )
