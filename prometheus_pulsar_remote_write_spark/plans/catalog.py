@@ -39,68 +39,13 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED = [
-    # new in round 7
-    "docs_bm25_topk",            # inverted-index sparse retrieval
-    "consume_holt_winters",      # PromQL double exponential smoothing
-    "events_theta_set_ops",      # KMV sketch union/intersection
-    "emb_decontamination",       # semantic eval-leakage report
-    "multimodal_image_dhash",    # real-PNG perceptual hash dedup
-    "docs_quality_logreg",       # quantized-gradient GD classifier
-    "docs_bbit_minhash",         # 2-bit MinHash Jaccard estimation
-    "unpivot_lineitem_measures", # wide-to-long melt showcase
-    "docs_leakage_safe_split",   # family-aware split assignment
-    "docs_mixture_plan",         # token-budget mixture planning
-    "consume_count_values",      # PromQL count_values
-    "events_misra_gries_topk",   # arrival-order MG heavy hitters
-    "emb_matryoshka_recall",     # truncated-dim recall report
-    "consume_scrape_gaps",       # per-series cadence gap detection
-    "emb_power_iteration",       # PCA top component, quantized matvec
-    "events_join_size_estimate", # CMS inner-product cardinality
-    "events_seasonal_anomaly",   # hour-of-day median/MAD outliers
-    "emb_dim_winsor_stats",      # per-dim exact percentile QC
-    "events_holt_winters_seasonal",  # triple-HW hourly forecasting
-    "consume_time_weighted_avg",     # LOCF time-weighted mean
-    "consume_interpolated_vector",   # linear-interp gapfill
-    "events_cusum_changepoints",     # sequential shift detection
-    "docs_dedup_sweep",              # dedup method-comparison table
-    "events_slo_burn_rate",          # multi-window SLO burn alerts
-    "docs_vocab_coverage",           # train/eval OOV report
-    "basket_brand_lift",             # market-basket association lift
-    "emb_pq_distortion",             # codebook-health per subspace
-    "emb_centroid_drift",            # per-label embedding drift
-    "customer_rfm_segments",         # RFM quintile segmentation
-    "docs_langid_quality",           # precision/recall/F1 eval
-    "docs_postings_compression",     # delta+varint index sizing
-    "consume_lttb_downsample",       # LTTB visual downsampling
-    "consume_m4_downsample",         # M4 pixel-exact downsampling
-    "events_k_anonymity",            # quasi-identifier privacy audit
-    "events_benford_audit",          # first-digit forensic audit
-    "customer_pareto_curve",         # revenue concentration deciles
-    "docs_zipf_slope",               # Zipf's-law corpus fit
-    "events_gini_inequality",        # load-concentration coefficient
-    "docs_pmi_collocations",         # PMI collocation mining
-    "emb_hubness_report",            # kNN-graph hubness QC
-    "events_bot_regularity",         # inter-event-time CV abuse signal
-    "nation_market_hhi",             # Herfindahl concentration index
-    "consume_m4_fidelity",           # downsampling error bound report
-    "docs_readability",              # Flesch-shaped grade filter
-    "consume_sli_availability",      # per-series nines report
-    "events_survival_curve",         # age-sliced retention decay
-    "emb_triplet_consistency",       # metric-space margin audit
-    "consume_heatmap_buckets",       # 2-D dashboard histogram feed
-    "orders_seasonality_index",      # monthly demand baseline
-    "events_dau_mau_stickiness",     # engagement ratio
-    "docs_jaccard_threshold_curve",  # dedup threshold sensitivity
-    "emb_isotropy_score",            # pair-join-free space isotropy
-    "orders_shipping_delay_sla",     # fulfillment SLA percentiles
-    "events_transition_entropy",     # behavioral diversity score
-    "events_touch_attribution",      # first- vs last-touch credits
-    # code or oracle touched in round 7
-    "docs_bpe_tokenize",       # explode_outer single-agg plan rewrite
-    "events_scd2_intervals",   # oracle ORDER BY parity fix
-    "consume_instant_vector",  # broadcast-pinned eval grid
-    "emb_semdedup",            # k-means-refined balanced centroids
-    "docs_neardup_pairs",      # all-JVM signature tier
+    # round 8: the global-ntile family rewritten onto the distributed
+    # two-phase ranking operator (operators/ranking.py) -- same results,
+    # no single-partition window
+    "customer_rfm_segments",
+    "customer_pareto_curve",
+    "docs_perplexity_sample",
+    "docs_vocab_growth",
 ]
 
 

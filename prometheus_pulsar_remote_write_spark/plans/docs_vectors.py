@@ -2475,16 +2475,23 @@ def docs_perplexity_sample(spark, sf_dir):
     across engines, runs, and partitionings.
 
     Plan shape: the surprisal subplan is the audited unigram broadcast
-    join; the quartile ntile runs over ONE ROW PER DOCUMENT (corpus doc
-    count, not tokens) -- a global sort that is fine to billions of
-    docs; past that, swap the exact ntile for three precomputed
-    percentile thresholds broadcast into a CASE (identical buckets up
-    to boundary ties). The keep predicate is pure doc_id arithmetic --
-    no extra shuffle beyond the surprisal aggregation itself."""
+    join; the quartile assignment runs over ONE ROW PER DOCUMENT
+    (corpus doc count, not tokens) as a DISTRIBUTED exact rank
+    (operators/ranking.attach_global_order: range exchange +
+    partitioned window + broadcast per-partition offsets) with ntile(4)
+    recovered arithmetically from the rank -- identical buckets to the
+    window ntile, no single-partition stage at any corpus size. The
+    keep predicate is pure doc_id arithmetic."""
+    from ..operators.ranking import attach_global_order, ntile_from_rank
+
     scored = docs_unigram_logprob(spark, sf_dir)
-    w = Window.orderBy(F.asc("surprisal_micro_avg"), F.asc("doc_id"))
-    bucketed = scored.withColumn(
-        "quartile", F.ntile(4).over(w).cast("int")
+    ranked, stats = attach_global_order(
+        scored,
+        [F.asc("surprisal_micro_avg"), F.asc("doc_id")],
+        rank_col="__ppl_rk",
+    )
+    bucketed = ranked.withColumn(
+        "quartile", ntile_from_rank("__ppl_rk", stats["n_rows"], 4).cast("int")
     )
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
     keep_rate = F.element_at(
@@ -2806,12 +2813,13 @@ def docs_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary growth curve over the 3-gram shingle
     vocabulary: cumulative distinct-shingle count as documents are
     consumed in doc_id order. first-appearance doc per shingle (one
-    groupBy) -> new-shingle count per doc -> running sum over the tiny
-    per-doc aggregate (the global window runs over |docs| rows, not the
-    corpus) -- the curve that tells a curation team when a source stops
+    groupBy) -> new-shingle count per doc -> exact global running sum
+    via the distributed two-phase pass (operators/ranking: range
+    exchange + partitioned window + broadcast offsets -- no
+    single-partition window even though the per-doc aggregate is small
+    today) -- the curve that tells a curation team when a source stops
     adding new n-grams."""
-    from pyspark.sql import Window
-
+    from ..operators.ranking import attach_global_order
     from ..operators.text import shingles_col
 
     docs = _docs_spread(spark, sf_dir)
@@ -2820,8 +2828,12 @@ def docs_vocab_growth(spark, sf_dir):
     )
     first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     per_doc = first.groupBy("first_doc").agg(F.count("*").alias("new_shingles"))
-    w = Window.orderBy("first_doc").rowsBetween(Window.unboundedPreceding, 0)
-    curve = per_doc.withColumn("vocab", F.sum("new_shingles").over(w))
+    curve, _ = attach_global_order(
+        per_doc,
+        [F.asc("first_doc")],
+        rank_col=None,
+        cum_cols={"vocab": "new_shingles"},
+    )
     return curve.filter((F.col("first_doc") % 25 == 0)).select(
         F.col("first_doc").alias("docs_seen"), "new_shingles", "vocab"
     )

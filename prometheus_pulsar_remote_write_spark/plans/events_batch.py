@@ -2524,12 +2524,10 @@ QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_funnel_conversion": events_funnel_conversion,
     "events_sliding_10m_5m": events_sliding_10m_5m,
-    "events_sessionization": events_sessionization,
     "events_dedup_per_minute": events_dedup_per_minute,
     "events_type_value_buckets": events_type_value_buckets,
     "events_asof_attribution": events_asof_attribution,
     "events_range_join_conversions": events_range_join_conversions,
-    "events_multires_rollup": events_multires_rollup,
 }
 
 ORACLES = {

@@ -1720,12 +1720,15 @@ def customer_rfm_segments(spark, sf_dir):
     into the 3-digit RFM segment code. Bounded output: one row per
     (r_score, f_score, m_score) cell with its population and averages.
 
-    Scale shape: one per-customer aggregation, three window ranks over
-    it, one 125-cell rollup. The global ntile is a single-partition
-    window -- exact, chosen for oracle bit-parity; at 100 TB the same
-    scores come from 4 percentile BOUNDARIES per dimension (a tiny
-    aggregate broadcast back as a range join), trading the global sort
-    for boundary ties landing deterministically."""
+    Scale shape: one per-customer aggregation, then three DISTRIBUTED
+    exact ranks (operators/ranking.attach_global_order: range exchange +
+    per-partition window + broadcast per-partition offsets -- no
+    single-partition window anywhere), ntile(5) recovered as pure
+    arithmetic on the global rank, one 125-cell rollup. Identical
+    scores to the window ntile (same total order, same tie-splitting),
+    but every stage is parallel at any scale."""
+    from ..operators.ranking import attach_global_order, ntile_from_rank
+
     (orders,) = _t(spark, sf_dir, "orders")
     anchor_ms = orders.agg(F.max("o_orderdate")).collect()[0][0]
     per = orders.groupBy("o_custkey").agg(
@@ -1733,13 +1736,20 @@ def customer_rfm_segments(spark, sf_dir):
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice") * 1000).cast("bigint").alias("monetary_milli"),
     )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary_milli"), F.asc("o_custkey"))
+    ranked, stats = attach_global_order(
+        per, [F.asc("recency_days"), F.asc("o_custkey")], rank_col="rk_r"
+    )
+    ranked, _ = attach_global_order(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], rank_col="rk_f"
+    )
+    ranked, _ = attach_global_order(
+        ranked, [F.desc("monetary_milli"), F.asc("o_custkey")], rank_col="rk_m"
+    )
+    n = stats["n_rows"]
     scored = (
-        per.withColumn("r_score", F.lit(6) - F.ntile(5).over(wr))
-        .withColumn("f_score", F.lit(6) - F.ntile(5).over(wf))
-        .withColumn("m_score", F.lit(6) - F.ntile(5).over(wm))
+        ranked.withColumn("r_score", F.lit(6) - ntile_from_rank("rk_r", n, 5))
+        .withColumn("f_score", F.lit(6) - ntile_from_rank("rk_f", n, 5))
+        .withColumn("m_score", F.lit(6) - ntile_from_rank("rk_m", n, 5))
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1792,27 +1802,27 @@ def customer_pareto_curve(spark, sf_dir):
     cumulative sums over a deterministic (revenue desc, custkey)
     order, decile boundaries by rank arithmetic.
 
-    Scale shape: one per-customer agg + one global-order window (at
-    100 TB the window becomes a two-pass range-partitioned sort; the
-    decile rollup is 10 rows)."""
+    Scale shape: one per-customer agg, then ONE distributed ranking
+    pass (operators/ranking.attach_global_order) that yields the exact
+    global rank AND the exact global running sum together -- range
+    exchange + partitioned window + broadcast offsets, no
+    single-partition window; N and the revenue grand total fall out of
+    the same tiny per-partition aggregate (no extra count/collect
+    jobs). The decile rollup is 10 rows."""
+    from ..operators.ranking import attach_global_order
+
     (orders,) = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 1000).cast("bigint").alias("rev_milli")
     )
-    w = Window.orderBy(F.desc("rev_milli"), F.asc("o_custkey"))
-    ranked = per.select(
-        "o_custkey",
-        "rev_milli",
-        F.row_number().over(w).alias("rk"),
+    cum, stats = attach_global_order(
+        per,
+        [F.desc("rev_milli"), F.asc("o_custkey")],
+        rank_col="rk",
+        cum_cols={"cum_milli": "rev_milli"},
     )
-    n_cust = per.count()
-    total = per.agg(F.sum("rev_milli")).collect()[0][0]
-    cum = ranked.withColumn(
-        "cum_milli",
-        F.sum("rev_milli").over(
-            Window.orderBy(F.asc("rk")).rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    n_cust = stats["n_rows"]
+    total = stats["totals"]["cum_milli"]
     decile = F.expr(f"((rk - 1) * 10) DIV {n_cust} + 1")
     return (
         cum.withColumn("decile", decile)

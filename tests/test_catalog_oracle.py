@@ -431,3 +431,36 @@ def test_driver_window_rotation_invariants():
     tail = [n for n in names if n not in set(_CHANGED[:50])]
     rounds = [_LATEST.get(n, 0) for n in tail]
     assert rounds == sorted(rounds), "window tail is not stalest-first"
+
+
+def test_no_duplicate_literal_keys_in_plan_module_dicts():
+    """Python dicts silently last-wins on duplicate literal keys, so
+    `len(QUERIES)` can't catch a key listed twice -- parse each plan
+    module's SOURCE and assert every dict display uses each string key
+    at most once (a duplicate misstates the section's entry count to a
+    reader even when the values are identical)."""
+    import ast
+    import inspect
+
+    from prometheus_pulsar_remote_write_spark.plans import (
+        docs_vectors,
+        events_batch,
+        pipeline,
+        relational,
+    )
+
+    for module in (pipeline, docs_vectors, events_batch, relational):
+        tree = ast.parse(inspect.getsource(module))
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Dict):
+                continue
+            keys = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            assert not dupes, (
+                f"{module.__name__}: duplicate dict keys {dupes} "
+                f"at line {node.lineno}"
+            )

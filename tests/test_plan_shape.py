@@ -321,3 +321,38 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_rank_family_has_no_single_partition_window(spark):
+    """The former global-ntile family (RFM quintiles, Pareto running
+    sum, perplexity quartiles, vocab-growth cumsum) must never plan an
+    unpartitioned window: every Window node must carry a partition spec
+    and no stage may collapse to Exchange SinglePartition (the
+    "Moving all data to a single partition" scale-killer). The
+    distributed two-phase ranking (operators/ranking.py) replaces it
+    with a range exchange + partitioned window + broadcast offsets."""
+    import re
+
+    from prometheus_pulsar_remote_write_spark.plans import docs_vectors
+
+    cases = {
+        "customer_rfm_segments": relational.customer_rfm_segments,
+        "customer_pareto_curve": relational.customer_pareto_curve,
+        "docs_perplexity_sample": docs_vectors.docs_perplexity_sample,
+        "docs_vocab_growth": docs_vectors.docs_vocab_growth,
+    }
+    for name, fn in cases.items():
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "SinglePartition" not in plan, (
+            f"{name}: plan funnels through a single partition:\n{plan[:2000]}"
+        )
+        # every Window operator must have a partitionBy spec: an
+        # unpartitioned window prints as `Window [ ... ], [ordercols]`
+        # (two bracket groups) vs `Window [...], [partcols], [ordercols]`
+        for line in plan.splitlines():
+            stripped = line.strip(" :+-*")
+            if stripped.startswith("Window ") or stripped.startswith("RunningWindowFunction"):
+                groups = re.findall(r"\[", stripped)
+                assert len(groups) >= 3, (
+                    f"{name}: unpartitioned window in plan line: {stripped[:200]}"
+                )
