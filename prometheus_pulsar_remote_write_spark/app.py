@@ -30,6 +30,9 @@ The reference's process model maps onto Spark like this:
   batch max delay (app.go:36-38)       -> batch_max_delay_ms
   batch size 100 (write.go:20-24)      -> batch_size
   send-timeout                         -> send_timeout_s
+  log.level / log.format (app.go:61,   -> log_level / log_format
+    promlogflag.AddFlags)                 (applied via apply_logging:
+                                          package logger + Spark setLogLevel)
 
 Only pprof (web.disable-pprof) has no analog here -- profiling is
 Spark-UI territory; observability rides DeliveryMetrics (with
@@ -52,6 +55,54 @@ from pyspark.sql import SparkSession
 
 #: the serializer configs the reference accepts (pkg/app/pulsar.go:26-39)
 SERIALIZERS = ("json", "json-compat", "avro-json-compat")
+
+#: promlog's allowed --log.level values -> Spark/log4j level names
+_LOG_LEVELS = {"debug": "DEBUG", "info": "INFO", "warn": "WARN", "error": "ERROR"}
+#: promlog's allowed --log.format values
+_LOG_FORMATS = ("logfmt", "json")
+
+
+def apply_logging(cfg: "AppConfig", spark: SparkSession | None = None):
+    """Apply the --log.level / --log.format flags (reference
+    pkg/app/app.go:61, promlog): set the package logger to the chosen
+    level with a logfmt- or JSON-shaped line format (promlog's two
+    output styles), and propagate the level to the JVM via
+    ``SparkContext.setLogLevel`` so Spark/log4j verbosity follows the
+    same flag. Idempotent -- re-applying replaces the previous handler."""
+    import json as _json
+    import logging
+
+    py_level = {"warn": "WARNING"}.get(cfg.log_level, cfg.log_level).upper()
+    logger = logging.getLogger(__package__ or "prometheus_pulsar_remote_write_spark")
+    logger.setLevel(getattr(logging, py_level))
+
+    class _PromlogFormatter(logging.Formatter):
+        def format(self, record):
+            ts = self.formatTime(record, "%Y-%m-%dT%H:%M:%SZ")
+            level = record.levelname.lower().replace("warning", "warn")
+            if cfg.log_format == "json":
+                return _json.dumps(
+                    {
+                        "ts": ts,
+                        "level": level,
+                        "caller": record.name,
+                        "msg": record.getMessage(),
+                    },
+                    separators=(",", ":"),
+                )
+            msg = record.getMessage().replace('"', '\\"')
+            return f'ts={ts} level={level} caller={record.name} msg="{msg}"'
+
+    handler = logging.StreamHandler()
+    handler.setFormatter(_PromlogFormatter())
+    handler._pprw_log_handler = True
+    logger.handlers = [
+        h for h in logger.handlers if not getattr(h, "_pprw_log_handler", False)
+    ]
+    logger.addHandler(handler)
+    if spark is not None:
+        spark.sparkContext.setLogLevel(_LOG_LEVELS[cfg.log_level])
+    return logger
 
 
 @dataclass
@@ -90,6 +141,10 @@ class AppConfig:
     dlq_dir: str | None = None
     poison_dir: str | None = None
     post_fn: object = None  # injectable HTTP POST (tests / custom clients)
+    # logging (reference pkg/app/app.go:61 promlogflag.AddFlags --
+    # --log.level / --log.format; promlog's allowed values and error shape)
+    log_level: str = "info"
+    log_format: str = "logfmt"
     # execution
     trigger_once: bool = True
     work_dir: str | None = None  # checkpoints + default dlq/poison live here
@@ -97,6 +152,10 @@ class AppConfig:
     def validate(self) -> "AppConfig":
         if self.mode not in ("produce", "consume"):
             raise ValueError(f"unknown command {self.mode!r}")
+        if self.log_level not in _LOG_LEVELS:
+            raise ValueError(f'unrecognized log level "{self.log_level}"')
+        if self.log_format not in _LOG_FORMATS:
+            raise ValueError(f'unrecognized log format "{self.log_format}"')
         fmt = self.serializer
         if fmt not in SERIALIZERS and not fmt.startswith("avro-json-compat="):
             raise ValueError(f"unknown Pulsar serializer config {fmt!r}")
@@ -171,6 +230,8 @@ def parse_args(argv: list) -> AppConfig:
         "work-dir": "work_dir",
         "dlq-dir": "dlq_dir",
         "poison-dir": "poison_dir",
+        "log.level": "log_level",
+        "log.format": "log_format",
     }
     bool_flags = {
         "pulsar.insecure-skip-tls-verify": "insecure_skip_tls_verify",
@@ -227,6 +288,7 @@ def run(spark: SparkSession, cfg: AppConfig):
     the Spark analog is the returned query's ``awaitTermination``.
     """
     cfg.validate()
+    apply_logging(cfg, spark)
     if cfg.mode == "produce":
         from .streaming.produce import run_produce_pipeline
 

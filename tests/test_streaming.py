@@ -1558,3 +1558,63 @@ def test_streaming_kmv_sketches_merge_to_batch(spark, tmp_path):
     assert set(merged) == set(batch) and merged
     for et, b in batch.items():
         assert sorted(merged[et])[:k] == list(b)
+
+
+def test_log_flags_parse_apply_and_reject_unknown_values(capsys):
+    """--log.level / --log.format (reference pkg/app/app.go:61,
+    promlogflag.AddFlags): values parse into AppConfig, apply_logging
+    sets the package logger level + line shape (logfmt vs json) and
+    forwards the level to SparkContext.setLogLevel; promlog's error
+    shape rejects unknown values."""
+    import json
+    import logging
+
+    import pytest
+
+    from prometheus_pulsar_remote_write_spark.app import apply_logging, parse_args
+
+    cfg = parse_args(
+        [
+            "produce",
+            "--pulsar.topic=/b",
+            "--web.write-path=/d",
+            "--log.level=warn",
+            "--log.format=json",
+        ]
+    )
+    assert (cfg.log_level, cfg.log_format) == ("warn", "json")
+
+    class _FakeCtx:
+        def setLogLevel(self, lvl):
+            self.level = lvl
+
+    class _FakeSpark:
+        sparkContext = _FakeCtx()
+
+    spark = _FakeSpark()
+    logger = apply_logging(cfg, spark)
+    assert spark.sparkContext.level == "WARN"
+    assert logger.level == logging.WARNING
+    logger.warning("delivery %s", "stalled")
+    line = capsys.readouterr().err.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["level"] == "warn" and rec["msg"] == "delivery stalled"
+
+    cfg.log_format = "logfmt"
+    logger = apply_logging(cfg, spark)
+    assert len([h for h in logger.handlers if getattr(h, "_pprw_log_handler", 0)]) == 1
+    logger.warning('quote "me"')
+    line = capsys.readouterr().err.strip().splitlines()[-1]
+    assert line.startswith("ts=") and 'msg="quote \\"me\\""' in line
+    assert " level=warn " in line
+
+    with pytest.raises(ValueError, match='unrecognized log level "chatty"'):
+        parse_args(
+            ["produce", "--pulsar.topic=/b", "--web.write-path=/d",
+             "--log.level=chatty"]
+        )
+    with pytest.raises(ValueError, match='unrecognized log format "xml"'):
+        parse_args(
+            ["produce", "--pulsar.topic=/b", "--web.write-path=/d",
+             "--log.format=xml"]
+        )
