@@ -858,3 +858,91 @@ def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def slo_burn_stream(ev: DataFrame, watermark: str = "1 hour", budget_milli: int | None = None) -> DataFrame:
+    """Streaming twin of events_slo_burn_rate (the Google SRE multiwindow
+    multi-burn-rate alert) in ONE stateful aggregation: each event
+    contributes to the SIX hourly long-window buckets it falls inside
+    (explode k=0..5, bucket hour = event hour + k), with k==0 marking
+    its short-window (own-hour) contribution. The per-bucket sums then
+    read directly as (1h count/errors, rolling-6h count/errors) -- no
+    stream-stream join of two aggregates, which Structured Streaming
+    does not allow, and no second stateful stage.
+
+    The watermark rides the DERIVED bucket timestamp (>= event time, so
+    the same lateness bound holds); a bucket closes once real time
+    passes its hour + the watermark delay. Rows whose own-hour count is
+    zero (buckets only reached by the long window) are filtered to
+    match the batch twin's hourly-aggregate row set. State is bounded:
+    6 buckets per event, (tenant x open hours) rows."""
+    from ..plans.events_batch import _SLO_BUDGET_MILLI
+
+    budget = budget_milli if budget_milli is not None else _SLO_BUDGET_MILLI
+    base = ev.select(
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        "ts",
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    contrib = base.select(
+        "tenant_id",
+        "ts",
+        "is_err",
+        F.explode(F.expr("sequence(0, 5)")).alias("k"),
+    ).withColumn(
+        "bucket_ts",
+        F.timestamp_seconds(
+            (F.expr("unix_timestamp(ts) div 3600") + F.col("k")) * 3600
+        ),
+    )
+    agg = (
+        contrib.withWatermark("bucket_ts", watermark)
+        .groupBy(F.window("bucket_ts", "1 hour").alias("w"), "tenant_id")
+        .agg(
+            F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("n_events"),
+            F.sum(F.when(F.col("k") == 0, F.col("is_err")).otherwise(0)).alias(
+                "n_errors"
+            ),
+            F.count("*").alias("n_events_6h"),
+            F.sum("is_err").alias("n_errors_6h"),
+        )
+    )
+    short_burn = F.expr(f"((1000 * n_errors) DIV n_events) * 1000 DIV {budget}")
+    long_burn = F.expr(
+        f"((1000 * n_errors_6h) DIV n_events_6h) * 1000 DIV {budget}"
+    )
+    return agg.filter(F.col("n_events") > 0).select(
+        "tenant_id",
+        F.expr("unix_timestamp(w.start) div 3600").alias("hr"),
+        "n_events",
+        "n_errors",
+        short_burn.alias("short_burn_milli"),
+        long_burn.alias("long_burn_milli"),
+        ((short_burn > 2000) & (long_burn > 2000)).alias("alert"),
+    )
+
+
+def heatmap_stream(
+    ev: DataFrame, lo_centi: int, hi_centi: int, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of consume_heatmap_buckets: the 2-D (hour x value
+    band) histogram feed, windowed. A live dashboard configures its
+    value axis up front, so the band bounds are PARAMETERS here where
+    the batch twin derives them from the corpus min/max -- the
+    stream==batch test feeds the batch-derived bounds in. One windowed
+    hash aggregation over scan-side integer band arithmetic; bounded
+    state (open hours x 10 bands)."""
+    s = ev.select("ts", F.round(F.col("value") * 100).cast("bigint").alias("vc"))
+    band = F.expr(
+        f"least(((vc - {lo_centi}) * 10) DIV greatest({hi_centi} - {lo_centi} + 1, 1), 9)"
+    )
+    return (
+        s.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), band.alias("band"))
+        .agg(F.count("*").alias("n_samples"))
+        .select(
+            F.unix_timestamp("w.start").alias("hour_start"),
+            F.col("band").cast("bigint").alias("band"),
+            "n_samples",
+        )
+    )

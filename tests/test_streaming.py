@@ -1618,3 +1618,92 @@ def test_log_flags_parse_apply_and_reject_unknown_values(capsys):
             ["produce", "--pulsar.topic=/b", "--web.write-path=/d",
              "--log.format=xml"]
         )
+
+
+def test_streaming_slo_burn_matches_batch(spark, tmp_path):
+    """F7 streaming twin (round 8): the multiwindow SLO burn-rate alert
+    as one stateful aggregation (each event exploded into its six
+    long-window buckets) must equal the batch rolling-frame twin on
+    every closed bucket -- short and long burn, and the dual-window
+    alert flag."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_slo_burn_rate,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.slo_burn_stream(ev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slo_burn")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["tenant_id"], r["hr"]): (
+            r["n_events"],
+            r["n_errors"],
+            r["short_burn_milli"],
+            r["long_burn_milli"],
+            r["alert"],
+        )
+        for r in spark.sql("SELECT * FROM slo_burn").collect()
+    }
+    batch = {
+        (r["tenant_id"], r["hr"]): (
+            r["n_events"],
+            r["n_errors"],
+            r["short_burn_milli"],
+            r["long_burn_milli"],
+            r["alert"],
+        )
+        for r in events_slo_burn_rate(spark, SF).collect()
+    }
+    assert streamed
+    # the +5h bucket shift means the final watermark closes every
+    # real-hour bucket: the streamed result must cover the batch twin
+    assert len(streamed) >= len(batch) - 10
+    for k, v in streamed.items():
+        assert batch[k] == v, f"{k}: stream {v} != batch {batch[k]}"
+
+
+def test_streaming_heatmap_matches_batch(spark, tmp_path):
+    """F7 streaming twin (round 8): the hourly heatmap histogram feed
+    with dashboard-configured bounds equals the batch twin (which
+    derives the same bounds from the corpus) on every closed hour."""
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        consume_heatmap_buckets,
+        samples_from_events,
+    )
+
+    bounds = (
+        samples_from_events(spark, SF)
+        .select(F.round(F.col("value") * 100).cast("bigint").alias("vc"))
+        .agg(F.min("vc").alias("lo"), F.max("vc").alias("hi"))
+        .collect()[0]
+    )
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.heatmap_stream(ev, lo_centi=bounds["lo"], hi_centi=bounds["hi"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("heatmap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["hour_start"], r["band"]): r["n_samples"]
+        for r in spark.sql("SELECT * FROM heatmap_stream").collect()
+    }
+    batch = {
+        (r["hour_start"], r["band"]): r["n_samples"]
+        for r in consume_heatmap_buckets(spark, SF).collect()
+    }
+    assert streamed
+    assert len(streamed) >= len(batch) - 25
+    for k, v in streamed.items():
+        assert batch[k] == v, f"{k}: stream {v} != batch {batch[k]}"
