@@ -75,13 +75,15 @@ def attach_global_order(
         local.groupBy(_PID).agg(*aggs).collect(), key=lambda r: r[_PID]
     )
 
-    def _offset_map(values_by_pid: dict) -> F.Column:
+    def _offset_lookup(values_by_pid: dict) -> F.Column:
+        # empty input (no partitions collected): a typed zero, because
+        # map()[int] does not analyze (VOID key type)
         if not values_by_pid:
-            return F.create_map()
+            return F.lit(0).cast("bigint")
         pairs = []
         for pid, off in values_by_pid.items():
             pairs.extend((F.lit(pid), F.lit(off)))
-        return F.create_map(*pairs)
+        return F.coalesce(F.create_map(*pairs)[F.col(_PID)], F.lit(0))
 
     rank_offsets, cum_offsets = {}, {name: {} for name in cum_cols}
     acc_n = 0
@@ -96,18 +98,12 @@ def attach_global_order(
     if rank_col is not None:
         out = out.withColumn(
             rank_col,
-            (
-                F.col("__local_rk")
-                + F.coalesce(_offset_map(rank_offsets)[F.col(_PID)], F.lit(0))
-            ).cast("bigint"),
+            (F.col("__local_rk") + _offset_lookup(rank_offsets)).cast("bigint"),
         )
     for name in cum_cols:
         out = out.withColumn(
             name,
-            (
-                F.col(name)
-                + F.coalesce(_offset_map(cum_offsets[name])[F.col(_PID)], F.lit(0))
-            ).cast("bigint"),
+            (F.col(name) + _offset_lookup(cum_offsets[name])).cast("bigint"),
         )
     stats = {"n_rows": acc_n, "totals": dict(acc_sums)}
     return out.drop(_PID, "__local_rk"), stats
