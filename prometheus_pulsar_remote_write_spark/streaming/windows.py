@@ -946,3 +946,98 @@ def heatmap_stream(
             "n_samples",
         )
     )
+
+
+def cusum_stream(
+    ev: DataFrame,
+    baseline: DataFrame,
+    k2_centi: int = 100,
+    h_centi: int = 4000,
+) -> DataFrame:
+    """Streaming twin of events_cusum_changepoints with a TRAINED
+    baseline: production CUSUM fixes its reference mean from history
+    before going online, so the per-series doubled mid-range
+    (``mu2_centi``) arrives as a static table (stream-static broadcast
+    join -- refresh by swapping the table) and detection runs
+    sequentially with FIVE integers of state per (user, event_type):
+    [s+, s-, n_alarms, max_s, n_samples]. The fold is bit-identical to
+    the batch ``aggregate()`` expression (doubled values, slack
+    ``k2_centi``, threshold ``h_centi``, alarm-and-reset, max over
+    pre-reset candidates); rows fold in (ts, event_id) order inside
+    each micro-batch, the same order the batch sort realizes. Update
+    mode emits each key's running summary, so at drain the final row
+    per key equals the batch fold over the same data and baseline."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("mu2_centi", T.LongType(), False),
+            T.StructField("n_alarms", T.LongType(), False),
+            T.StructField("max_cusum_centi", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sp", T.LongType(), True),
+            T.StructField("sm", T.LongType(), True),
+            T.StructField("n_alarms", T.LongType(), True),
+            T.StructField("max_s", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def _cusum(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        sp, sm, n_alarms, max_s, n = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        mu2 = int(pdf["mu2_centi"].iloc[0])
+        for xc in pdf["xc"]:
+            x2 = 2 * int(xc)
+            cand_p = max(0, sp + (x2 - mu2 - k2_centi))
+            cand_m = max(0, sm + (mu2 - x2 - k2_centi))
+            alarm = cand_p > h_centi or cand_m > h_centi
+            sp = 0 if cand_p > h_centi else cand_p
+            sm = 0 if cand_m > h_centi else cand_m
+            n_alarms += 1 if alarm else 0
+            max_s = max(max_s, cand_p, cand_m)
+            n += 1
+        state.update((sp, sm, n_alarms, max_s, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "event_type": event_type,
+                    "n_samples": n,
+                    "mu2_centi": mu2,
+                    "n_alarms": n_alarms,
+                    "max_cusum_centi": max_s,
+                }
+            ]
+        )
+
+    keyed = ev.join(F.broadcast(baseline), ["user_id", "event_type"]).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+        F.col("mu2_centi").cast("long"),
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _cusum,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

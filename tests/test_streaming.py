@@ -1707,3 +1707,58 @@ def test_streaming_heatmap_matches_batch(spark, tmp_path):
     assert len(streamed) >= len(batch) - 25
     for k, v in streamed.items():
         assert batch[k] == v, f"{k}: stream {v} != batch {batch[k]}"
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """F7 streaming twin (round 8): sequential CUSUM with a trained
+    baseline (per-series mu2 via stream-static broadcast join) must
+    equal the batch aggregate() fold at drain -- same alarm counts and
+    pre-reset maxima, per (user, event_type)."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_cusum_changepoints,
+    )
+    from prometheus_pulsar_remote_write_spark.schema import load_tables
+
+    # the baseline table production would train offline: per-series
+    # doubled mid-range, same definition the batch entry derives inline
+    evb = load_tables(spark, SF, ["events"])["events"]
+    baseline = evb.groupBy("user_id", "event_type").agg(
+        (
+            F.min(F.round(F.col("value") * 100).cast("bigint"))
+            + F.max(F.round(F.col("value") * 100).cast("bigint"))
+        ).alias("mu2_centi")
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.cusum_stream(ev, baseline)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends a row per key per batch: keep each key's last
+    streamed_rows = spark.sql(
+        "SELECT * FROM cusum_stream ORDER BY n_samples"
+    ).collect()
+    latest = {}
+    for r in streamed_rows:
+        latest[(r["user_id"], r["event_type"])] = r
+    streamed = {
+        k: (r["n_samples"], r["mu2_centi"], r["n_alarms"], r["max_cusum_centi"])
+        for k, r in latest.items()
+        if r["n_samples"] >= 5 and r["n_alarms"] > 0
+    }
+    batch = {
+        (r["user_id"], r["event_type"]): (
+            r["n_samples"],
+            r["mu2_centi"],
+            r["n_alarms"],
+            r["max_cusum_centi"],
+        )
+        for r in events_cusum_changepoints(spark, SF).collect()
+    }
+    assert streamed == batch
