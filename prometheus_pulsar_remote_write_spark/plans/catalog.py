@@ -46,6 +46,8 @@ _CHANGED = [
     "customer_pareto_curve",
     "docs_perplexity_sample",
     "docs_vocab_growth",
+    # new in round 8
+    "emb_nprobe_sweep",       # ANN recall-vs-cost tuning curve
 ]
 
 

@@ -3372,6 +3372,116 @@ LEFT JOIN (
 """
 
 
+def emb_nprobe_sweep(spark, sf_dir):
+    """ANN TUNING CURVE: recall@3 vs candidate-scan cost across
+    nprobe in {1, 2, 4, 8} over the same deterministic 8-cell IVF index
+    -- the table an ANN operator reads to pick nprobe (more probed
+    cells = more candidates scanned = higher recall, linearly more
+    cost), the similarity-search sibling of docs_dedup_sweep. Per
+    setting: total candidates scored (probed cells' members minus the
+    query itself -- the real probe cost), exact-top-3 hits over the 5
+    query vectors, and mean recall in milli.
+
+    Scale shape: each setting reuses the audited ivf_topk plan (cell
+    assignment + broadcast probes + per-cell scoring); the sweep unions
+    four one-row aggregates. An offline tuning job by nature -- the
+    assignment recompute per setting is deliberate simplicity, not a
+    serving path."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=3).select(
+        "query_id", F.col("match_id").alias("exact_match")
+    )
+    parts = []
+    for nprobe in (1, 2, 4, 8):
+        scored = ivf_topk(emb, queries, n_cells=8, nprobe=nprobe, k=1 << 30)
+        cand = scored.agg(F.count("*").alias("n_candidates"))
+        top3 = scored.filter(F.col("rank") <= 3)
+        hits = exact.join(
+            top3,
+            (exact["query_id"] == top3["query_id"])
+            & (exact["exact_match"] == top3["match_id"]),
+        ).agg(F.count("*").alias("n_hits"))
+        parts.append(
+            cand.crossJoin(hits).select(
+                F.lit(nprobe).cast("bigint").alias("nprobe"),
+                F.col("n_candidates").cast("bigint"),
+                F.col("n_hits").cast("bigint"),
+                F.floor(F.col("n_hits") * 1000 / 15)
+                .cast("bigint")
+                .alias("recall_milli"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ivf_scored_cte(nprobe: int) -> str:
+    """The probes+scored CTE pair of IVF_TOPK_SQL, parameterized by
+    nprobe (suffix _{nprobe} so four settings coexist in one query)."""
+    return f"""
+probes_{nprobe} AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, cent.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+               cent.cell ASC) AS r
+    FROM q CROSS JOIN cent) WHERE r <= {nprobe}
+),
+scored_{nprobe} AS (
+  SELECT p.query_id, a.vec_id AS match_id,
+         round(list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4)
+             AS cosine
+  FROM probes_{nprobe} p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+top3_{nprobe} AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, match_id ASC) AS rank
+    FROM scored_{nprobe}) WHERE rank <= 3
+)"""
+
+
+def _nprobe_sweep_sql() -> str:
+    ctes = ",".join(_ivf_scored_cte(np) for np in (1, 2, 4, 8))
+    blocks = " UNION ALL ".join(
+        f"""
+SELECT {np}::BIGINT AS nprobe,
+       (SELECT count(*) FROM scored_{np})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM exact e JOIN top3_{np} a
+         ON e.query_id = a.query_id AND e.exact_match = a.match_id)::BIGINT AS n_hits,
+       floor((SELECT count(*) FROM exact e JOIN top3_{np} a
+         ON e.query_id = a.query_id AND e.exact_match = a.match_id) * 1000 / 15)::BIGINT AS recall_milli"""
+        for np in (1, 2, 4, 8)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+               cent.cell ASC) AS r
+    FROM e CROSS JOIN cent) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, match_id AS exact_match FROM ({COSINE_TOPK_SQL})
+),{ctes}
+{blocks}
+"""
+
+
+NPROBE_SWEEP_SQL = _nprobe_sweep_sql()
+
+
 # --- F4: TextRank keyword extraction (iterative PageRank) --------------------
 
 
@@ -5334,6 +5444,7 @@ QUERIES = {
     "multimodal_window_energy": multimodal_window_energy,
     "emb_pq_adc_topk": emb_pq_adc_topk,
     "emb_ivf_recall": emb_ivf_recall,
+    "emb_nprobe_sweep": emb_nprobe_sweep,
     "docs_jaccard_ppjoin": docs_jaccard_ppjoin,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_ngram_novelty": docs_ngram_novelty,
@@ -5425,6 +5536,7 @@ ORACLES = {
     "multimodal_window_energy": WINDOW_ENERGY_SQL,
     "emb_pq_adc_topk": EMB_PQ_ADC_SQL,
     "emb_ivf_recall": EMB_IVF_RECALL_SQL,
+    "emb_nprobe_sweep": NPROBE_SWEEP_SQL,
     "docs_jaccard_ppjoin": JACCARD_INDEX_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "docs_ngram_novelty": NGRAM_NOVELTY_SQL,
