@@ -48,6 +48,7 @@ _CHANGED = [
     "docs_vocab_growth",
     # new in round 8
     "emb_nprobe_sweep",       # ANN recall-vs-cost tuning curve
+    "multimodal_dhash_neardup",  # Hamming-LSH image near-dup pairs
 ]
 
 

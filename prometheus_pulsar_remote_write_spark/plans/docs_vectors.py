@@ -3811,6 +3811,104 @@ FROM h
 
 
 
+def multimodal_dhash_neardup(spark, sf_dir):
+    """PERCEPTUAL image near-dup pairs at scale: band the 64-bit dHash
+    into four 16-bit keys and bucket-join -- by pigeonhole, any two
+    images within Hamming distance 3 share at least one unchanged band,
+    so the banded join is a COMPLETE candidate generator for d <= 3
+    (the exact-recall regime of Hamming LSH), never an all-pairs scan.
+    Candidates verify with a popcount of the XOR-ed halves; output is
+    every pair at distance <= 3 with its distance -- the image twin of
+    docs_neardup_pairs, closing the multimodal dedup loop
+    (hash -> groups was multimodal_image_dhash; this adds NEAR-dup
+    pair discovery).
+
+    Scale shape: the hash tier is the audited narrow Arrow pipeline;
+    banding is a 4-way explode of 16-bit integers; the join touches
+    only same-band buckets (skew-bounded by bucket size); verification
+    is two bit_count expressions. The oracle replays banding, bucket
+    join, and popcount over the same grid-arithmetic hashes."""
+    docs = _docs_spread(spark, sf_dir)
+    with_png = docs.select(
+        "doc_id", multimodal.png_col(F.encode(F.col("text"), "UTF-8")).alias("payload")
+    )
+    hashed = multimodal.image_dhash(with_png).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    )
+    mask = F.lit(65535)
+    banded = hashed.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftrightunsigned("dhash_hi", 16).bitwiseAND(mask).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("dhash_hi").bitwiseAND(mask).alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.shiftrightunsigned("dhash_lo", 16).bitwiseAND(mask).alias("key"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.col("dhash_lo").bitwiseAND(mask).alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash_hi", "dhash_lo", "b.band", "b.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("l.dhash_hi").bitwiseXOR(F.col("r.dhash_hi")))
+                + F.bit_count(F.col("l.dhash_lo").bitwiseXOR(F.col("r.dhash_lo")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+DHASH_NEARDUP_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT doc_id, dhash_hi, dhash_lo FROM ({IMAGE_DHASH_SQL})
+),
+banded AS (
+  SELECT doc_id, dhash_hi, dhash_lo, 0 AS band, (dhash_hi // 65536) % 65536 AS key FROM hashes
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 1 AS band, dhash_hi % 65536 AS key FROM hashes
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 2 AS band, (dhash_lo // 65536) % 65536 AS key FROM hashes
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 3 AS band, dhash_lo % 65536 AS key FROM hashes
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         (bit_count(xor(l.dhash_hi, r.dhash_hi))
+          + bit_count(xor(l.dhash_lo, r.dhash_lo)))::BIGINT AS hamming
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
 _LOGREG_ITERS = 2
 _LOGREG_LR = 0.5
 
@@ -5385,6 +5483,7 @@ QUERIES = {
     "docs_bbit_minhash": docs_bbit_minhash,
     "docs_quality_logreg": docs_quality_logreg,
     "multimodal_image_dhash": multimodal_image_dhash,
+    "multimodal_dhash_neardup": multimodal_dhash_neardup,
     "emb_decontamination": emb_decontamination,
     "docs_bm25_topk": docs_bm25_topk,
     # new-in-round-4 entries lead so they land inside the driver's
@@ -5482,6 +5581,7 @@ ORACLES = {
     "docs_bbit_minhash": BBIT_MINHASH_SQL,
     "docs_quality_logreg": LOGREG_SQL,
     "multimodal_image_dhash": IMAGE_DHASH_SQL,
+    "multimodal_dhash_neardup": DHASH_NEARDUP_SQL,
     "emb_decontamination": EMB_DECON_SQL,
     "docs_bm25_topk": BM25_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SQL,

@@ -173,3 +173,44 @@ def test_png_full_decode_handles_all_filters():
     # the filtered re-encode hashes identically to the filter-0 encode
     w0, h0, px0 = decode_png_pixels(png_bytes(pixels, width))
     assert dhash64(w, h, px) == dhash64(w0, h0, px0)
+
+
+def test_dhash_neardup_banding_is_complete_for_d3(spark):
+    """The 4x16-bit Hamming-LSH banding must find EVERY pair within
+    Hamming distance 3 (pigeonhole: <= 3 flipped bits cannot touch all
+    four bands), verified against the brute-force all-pairs popcount on
+    the smoke corpus."""
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        multimodal_dhash_neardup,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _docs_spread,
+    )
+    from prometheus_pulsar_remote_write_spark.operators import multimodal
+    from tests.conftest import SF_SMOKE
+
+    docs = _docs_spread(spark, SF_SMOKE)
+    with_png = docs.select(
+        "doc_id",
+        multimodal.png_col(F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    hashes = {
+        r["doc_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in multimodal.image_dhash(with_png)
+        .select("doc_id", "dhash_hi", "dhash_lo")
+        .collect()
+    }
+    ids = sorted(hashes)
+    brute = {
+        (a, b): bin((hashes[a][0] ^ hashes[b][0])).count("1")
+        + bin((hashes[a][1] ^ hashes[b][1])).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    expected = {(a, b, d) for (a, b), d in brute.items() if d <= 3}
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal_dhash_neardup(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "smoke corpus should contain at least one d<=3 pair"
