@@ -49,6 +49,7 @@ _CHANGED = [
     # new in round 8
     "emb_nprobe_sweep",       # ANN recall-vs-cost tuning curve
     "multimodal_dhash_neardup",  # Hamming-LSH image near-dup pairs
+    "orders_open_backlog",    # cumulative-flow open-order curve
 ]
 
 

@@ -1864,6 +1864,85 @@ GROUP BY 1, n.n_cust, n.total
 
 
 
+def orders_open_backlog(spark, sf_dir):
+    """CUMULATIVE-FLOW / open-order backlog curve: how many orders are
+    placed-but-not-fully-shipped on each day -- the operations chart
+    that shows backlog building or draining. Classic interval-count
+    done the scalable way: each order's open interval
+    [o_orderdate, max(l_shipdate)] becomes two deltas (+1 at open, -1
+    the day after close), one bounded per-day rollup, and an exact
+    distributed running sum (operators/ranking.attach_global_order --
+    no single-partition window). Output sampled to every 8th epoch day
+    for a bounded curve.
+
+    Scale shape: lineitem aggregates once on its own key, joins orders
+    key-to-key (fact-to-fact, the one shuffle pair), deltas are 2 rows
+    per order, and the day rollup is bounded by the calendar span --
+    the running sum runs over ~2.4k day rows however big the facts
+    get."""
+    from ..operators.ranking import attach_global_order
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    span = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    ).join(
+        lineitem.groupBy("l_orderkey").agg(
+            F.max(F.to_date("l_shipdate")).alias("end_day")
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    deltas = span.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_day").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.d")
+    per_day = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_closed"),
+        F.sum("d").alias("delta"),
+    )
+    curve, _ = attach_global_order(
+        per_day, [F.asc("day")], rank_col=None, cum_cols={"open_backlog": "delta"}
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    return curve.filter(epoch_day % 8 == 0).select(
+        epoch_day.cast("bigint").alias("epoch_day"),
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        "open_backlog",
+    )
+
+
+OPEN_BACKLOG_SQL = """
+WITH span AS (
+  SELECT o.o_orderkey, o.o_orderdate::DATE AS start_day,
+         max(l.l_shipdate::DATE) AS end_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT start_day AS day, 1 AS d FROM span
+  UNION ALL
+  SELECT end_day + 1 AS day, -1 AS d FROM span
+), per_day AS (
+  SELECT day, sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_opened,
+         sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_closed,
+         sum(d) AS delta
+  FROM deltas GROUP BY 1
+)
+SELECT date_diff('day', DATE '1970-01-01', day)::BIGINT AS epoch_day,
+       n_opened::BIGINT AS n_opened, n_closed::BIGINT AS n_closed,
+       (sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS open_backlog
+FROM per_day
+QUALIFY date_diff('day', DATE '1970-01-01', day) % 8 = 0
+"""
+
+
 def nation_market_hhi(spark, sf_dir):
     """HERFINDAHL-HIRSCHMAN market-concentration index per nation: the
     sum of squared supplier revenue shares (micro — shares in milli,
@@ -2038,6 +2117,7 @@ QUERIES = {
     "orders_shipping_delay_sla": orders_shipping_delay_sla,
     "orders_seasonality_index": orders_seasonality_index,
     "nation_market_hhi": nation_market_hhi,
+    "orders_open_backlog": orders_open_backlog,
     "customer_pareto_curve": customer_pareto_curve,
     "customer_rfm_segments": customer_rfm_segments,
     "basket_brand_lift": basket_brand_lift,
@@ -2092,6 +2172,7 @@ ORACLES = {
     "orders_shipping_delay_sla": SHIPPING_SLA_SQL,
     "orders_seasonality_index": SEASONALITY_SQL,
     "nation_market_hhi": HHI_SQL,
+    "orders_open_backlog": OPEN_BACKLOG_SQL,
     "customer_pareto_curve": PARETO_SQL,
     "customer_rfm_segments": RFM_SQL,
     "basket_brand_lift": BASKET_LIFT_SQL,
