@@ -745,14 +745,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest cells per query.
 
     Deterministic centroids: the n_cells lowest-id corpus vectors. Recall
-    vs the brute-force baseline is asserted in tests.
-    """
+    vs the brute-force baseline is asserted in tests. Pass a precomputed
+    ``assigned`` (ivf_assign output for the same centroids) to share the
+    cell-assignment subplan across several probe settings -- the
+    nprobe-sweep pattern, where re-deriving the index per setting would
+    multiply the dominant stage."""
     centroids = corpus.orderBy(id_col).limit(n_cells)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     cent = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")

@@ -3382,23 +3382,32 @@ def emb_nprobe_sweep(spark, sf_dir):
     query itself -- the real probe cost), exact-top-3 hits over the 5
     query vectors, and mean recall in milli.
 
-    Scale shape: each setting reuses the audited ivf_topk plan (cell
-    assignment + broadcast probes + per-cell scoring); the sweep unions
-    four one-row aggregates. An offline tuning job by nature -- the
-    assignment recompute per setting is deliberate simplicity, not a
-    serving path."""
+    Scale shape: the cell assignment (the dominant stage) is computed
+    ONCE and checkpoint-shared across all four settings via ivf_topk's
+    ``assigned=`` hook; each setting then adds only its broadcast probe
+    + per-cell scoring, and the sweep unions four one-row aggregates."""
+    from ..operators.similarity import ivf_assign
+
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk(emb, queries, k=3).select(
-        "query_id", F.col("match_id").alias("exact_match")
+    # 15 rows; checkpointed so the brute-force baseline runs once, not
+    # once per sweep setting
+    exact = (
+        cosine_topk(emb, queries, k=3)
+        .select("query_id", F.col("match_id").alias("exact_match"))
+        .localCheckpoint(eager=True)
     )
+    centroids = emb.orderBy("vec_id").limit(8)
+    assigned = ivf_assign(emb, centroids).localCheckpoint(eager=True)
     parts = []
     for nprobe in (1, 2, 4, 8):
-        scored = ivf_topk(emb, queries, n_cells=8, nprobe=nprobe, k=1 << 30)
+        scored = ivf_topk(
+            emb, queries, n_cells=8, nprobe=nprobe, k=1 << 30, assigned=assigned
+        )
         cand = scored.agg(F.count("*").alias("n_candidates"))
         top3 = scored.filter(F.col("rank") <= 3)
         hits = exact.join(
-            top3,
+            F.broadcast(top3),
             (exact["query_id"] == top3["query_id"])
             & (exact["exact_match"] == top3["match_id"]),
         ).agg(F.count("*").alias("n_hits"))
