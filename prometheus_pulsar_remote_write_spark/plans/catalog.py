@@ -50,6 +50,7 @@ _CHANGED = [
     "emb_nprobe_sweep",       # ANN recall-vs-cost tuning curve
     "multimodal_dhash_neardup",  # Hamming-LSH image near-dup pairs
     "orders_open_backlog",    # cumulative-flow open-order curve
+    "docs_phrase_search",     # positional-index phrase matching
 ]
 
 
