@@ -1041,3 +1041,34 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def seasonal_anomaly_stream(ev: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Streaming twin of events_seasonal_anomaly with a TRAINED
+    baseline: the per-(event_type, hour-of-day) median/MAD cells are
+    trained offline from history and arrive as a static table (the
+    same deployment shape as cusum_stream's trained mean -- refresh by
+    swapping the table); the stream then scores each event against its
+    cell (broadcast join, |vc - median| > 3 * MAD) and keeps per-cell
+    totals as a PLAIN streaming aggregation -- no custom state, state
+    bounded by the 
+    (event types x 24 hours) cell count. At drain the per-cell
+    (n, n_anomalies) equal the batch entry computed with the same
+    baseline."""
+    scored = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).join(F.broadcast(baseline), ["event_type", "hod"])
+    return (
+        scored.withColumn(
+            "is_anom",
+            F.abs(F.col("vc") - F.col("median_centi"))
+            > F.col("mad_centi") * 3,
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_anom").cast("long")).alias("n_anomalies"),
+        )
+    )

@@ -1762,3 +1762,37 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
         for r in events_cusum_changepoints(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_seasonal_anomaly_matches_batch(spark, tmp_path):
+    """F7 streaming twin (round 8): seasonal median/MAD anomaly scoring
+    with a trained baseline must reproduce the batch entry's per-cell
+    counts at drain -- baseline trained offline, scored online, the
+    production split."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_seasonal_anomaly,
+    )
+
+    batch = {
+        (r["event_type"], r["hod"]): (r["n"], r["n_anomalies"])
+        for r in events_seasonal_anomaly(spark, SF).collect()
+    }
+    baseline = events_seasonal_anomaly(spark, SF).select(
+        "event_type", "hod", "median_centi", "mad_centi"
+    )
+    ev = windows.read_events_stream(spark, SF)
+    agg = windows.seasonal_anomaly_stream(ev, baseline)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("seasonal_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["event_type"], r["hod"]): (r["n"], r["n_anomalies"])
+        for r in spark.sql("SELECT * FROM seasonal_stream").collect()
+    }
+    assert streamed == batch
