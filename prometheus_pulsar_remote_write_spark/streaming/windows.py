@@ -1072,3 +1072,76 @@ def seasonal_anomaly_stream(ev: DataFrame, baseline: DataFrame) -> DataFrame:
             F.sum(F.col("is_anom").cast("long")).alias("n_anomalies"),
         )
     )
+
+
+def transition_stream(ev: DataFrame) -> DataFrame:
+    """Online per-user transition extraction -- the streaming front end
+    of events_markov_transitions: each user's LAST event (type, ts,
+    event_id) is the only state kept (three values per user), and every
+    arriving event emits one (prev_type, next_type) transition row.
+    Rows inside a micro-batch sort by (ts, event_id); across batches
+    the carried last-event state stitches the timeline, so the union
+    of emitted transitions over any replay equals the batch lag()
+    extraction exactly. Downstream counting/normalizing is the
+    consumer's aggregation (kept out of this operator: chaining a
+    second stateful aggregation after a state store is the one shape
+    Structured Streaming restricts)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("prev_type", T.StringType(), False),
+            T.StructField("next_type", T.StringType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_type", T.StringType(), True),
+            T.StructField("last_ts_us", T.LongType(), True),
+            T.StructField("last_event_id", T.LongType(), True),
+        ]
+    )
+
+    def _transitions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_type, _, _ = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        out = []
+        for ts_us, event_id, etype in zip(
+            pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+        ):
+            if last_type is not None:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "prev_type": last_type,
+                        "next_type": etype,
+                        "ts_us": int(ts_us),
+                    }
+                )
+            last_type = etype
+            last_ts, last_id = int(ts_us), int(event_id)
+        state.update((last_type, last_ts, last_id))
+        yield pd.DataFrame(out, columns=["user_id", "prev_type", "next_type", "ts_us"])
+
+    keyed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _transitions,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1796,3 +1796,38 @@ def test_streaming_seasonal_anomaly_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM seasonal_stream").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_transitions_match_batch_markov(spark, tmp_path):
+    """F7 streaming twin (round 8): the online transition stream (last
+    event per user as state) must union to exactly the batch lag()
+    pair extraction -- aggregating the emitted rows reproduces
+    events_markov_transitions' counts, including across micro-batch
+    boundaries (maxFilesPerTrigger exercises the state carry)."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_markov_transitions,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    q = (
+        windows.transition_stream(ev)
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, count(*) AS n FROM transitions"
+            " GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in events_markov_transitions(spark, SF).collect()
+    }
+    assert streamed == batch
