@@ -1145,3 +1145,73 @@ def transition_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scrape_gap_stream(ev: DataFrame) -> DataFrame:
+    """Online scrape-interval extraction -- the streaming front end of
+    consume_scrape_gaps: per series (tenant, metric name) the only
+    state is the last sample's (timestamp, event_id), and every
+    arriving sample emits one interval row (gap_ms since the previous
+    sample). The drained union is exactly the batch lag() interval
+    extraction, so the staleness report (median cadence, >2x-median
+    late counts) derives from these rows by the same aggregation. The
+    live-ops use: alert on a gap the moment the sample AFTER it
+    arrives, instead of on the next batch report."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tenant_id", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("gap_ms", T.LongType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts_ms", T.LongType(), True),
+            T.StructField("last_event_id", T.LongType(), True),
+        ]
+    )
+
+    def _gaps(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tenant_id, name = key
+        last_ts, _ = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        out = []
+        for ts_ms, event_id in zip(pdf["ts_ms"], pdf["event_id"]):
+            if last_ts is not None:
+                out.append(
+                    {
+                        "tenant_id": tenant_id,
+                        "name": name,
+                        "gap_ms": int(ts_ms) - int(last_ts),
+                        "ts_ms": int(ts_ms),
+                    }
+                )
+            last_ts, last_id = int(ts_ms), int(event_id)
+        state.update((last_ts, last_id))
+        yield pd.DataFrame(out, columns=["tenant_id", "name", "gap_ms", "ts_ms"])
+
+    keyed = ev.select(
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        F.col("event_type").alias("name"),
+        (
+            F.unix_timestamp("ts") * 1000
+            + F.date_format("ts", "SSS").cast("long")
+        ).alias("ts_ms"),
+        "event_id",
+    )
+    return keyed.groupBy("tenant_id", "name").applyInPandasWithState(
+        _gaps,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1831,3 +1831,53 @@ def test_streaming_transitions_match_batch_markov(spark, tmp_path):
         for r in events_markov_transitions(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_scrape_gaps_match_batch_intervals(spark, tmp_path):
+    """F7 streaming twin (round 8): the online gap stream (last sample
+    per series as state) must emit exactly the batch lag() interval
+    multiset per series -- the consume_scrape_gaps staleness report is
+    then the same aggregation over either side."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        samples_from_events,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    q = (
+        windows.scrape_gap_stream(ev)
+        .writeStream.format("memory")
+        .queryName("gaps_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = Counter(
+        (r["tenant_id"], r["name"], r["gap_ms"])
+        for r in spark.sql("SELECT * FROM gaps_stream").collect()
+    )
+
+    s = samples_from_events(spark, SF).select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+    )
+    w = Window.partitionBy("tenant_id", "name").orderBy("timestamp", "event_id")
+    batch = Counter(
+        (r["tenant_id"], r["name"], r["gap_ms"])
+        for r in s.withColumn("prev_ts", F.lag("timestamp").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "tenant_id",
+            "name",
+            (F.col("timestamp") - F.col("prev_ts")).alias("gap_ms"),
+        )
+        .collect()
+    )
+    assert streamed == batch and streamed
