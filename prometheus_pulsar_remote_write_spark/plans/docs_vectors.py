@@ -3953,8 +3953,12 @@ def multimodal_dhash_neardup(spark, sf_dir):
     with_png = docs.select(
         "doc_id", multimodal.png_col(F.encode(F.col("text"), "UTF-8")).alias("payload")
     )
-    hashed = multimodal.image_dhash(with_png).select(
-        "doc_id", "dhash_hi", "dhash_lo"
+    # checkpoint the decode+hash tier: both legs of the banded self-join
+    # reuse it, so the (expensive) Arrow stage runs once, not per leg
+    hashed = (
+        multimodal.image_dhash(with_png)
+        .select("doc_id", "dhash_hi", "dhash_lo")
+        .localCheckpoint(eager=True)
     )
     mask = F.lit(65535)
     banded = hashed.select(
