@@ -81,3 +81,38 @@ def test_empty_and_single_row_inputs(spark):
     row = got.collect()[0]
     assert (row["rk"], row["cw"]) == (1, 42)
     assert stats == {"n_rows": 1, "totals": {"cw": 42}}
+
+
+def test_ntile_formula_matches_sql_semantics_exhaustively():
+    """The integer ntile recovery must implement SQL ntile semantics for
+    EVERY (n_rows, buckets, rank): first n%b buckets take ceil(n/b)
+    rows, the rest floor(n/b). Checked as pure arithmetic against the
+    reference model over an exhaustive small grid -- no Spark jobs, so
+    the whole space up to 60x12 runs in milliseconds."""
+
+    def reference_ntile(rk: int, n: int, b: int) -> int:
+        q, r = divmod(n, b)
+        sizes = [q + 1] * r + [q] * (b - r)
+        acc = 0
+        for bucket, size in enumerate(sizes, start=1):
+            acc += size
+            if rk <= acc:
+                return bucket
+        raise AssertionError("rank beyond n_rows")
+
+    def formula(rk: int, n: int, b: int) -> int:
+        # mirrors ntile_from_rank's integer arithmetic exactly
+        q, r = divmod(max(n, 0), b)
+        if q == 0:
+            return rk
+        big = r * (q + 1)
+        if rk <= big:
+            return (rk + q) // (q + 1)
+        return r + ((rk - big + q - 1) // q)
+
+    for n in range(1, 61):
+        for b in range(1, 13):
+            for rk in range(1, n + 1):
+                assert formula(rk, n, b) == reference_ntile(rk, n, b), (
+                    f"n={n} b={b} rk={rk}"
+                )
