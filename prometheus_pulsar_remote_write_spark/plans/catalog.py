@@ -51,6 +51,7 @@ _CHANGED = [
     "multimodal_dhash_neardup",  # Hamming-LSH image near-dup pairs
     "orders_open_backlog",    # cumulative-flow open-order curve
     "docs_phrase_search",     # positional-index phrase matching
+    "docs_hard_negatives",    # contrastive hard-negative mining
 ]
 
 

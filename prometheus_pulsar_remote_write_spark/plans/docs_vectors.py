@@ -1771,6 +1771,95 @@ GROUP BY 1, 2, n_occurrences
 """
 
 
+def docs_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for retrieval/contrastive training: for each
+    query document, the top-5 documents that are lexically SIMILAR
+    (shingle overlap > 0) but NOT near-duplicates (Jaccard < 0.5) --
+    the negatives that actually teach a retriever, picked the way
+    curation pipelines do it (similar enough to be confusable, excluded
+    if they'd be positives under the dedup rule; in production the
+    exclusion set is the near-dup family table, here the same Jaccard
+    threshold inline). Integer-exact: overlap counts and milli-Jaccard.
+
+    Scale shape: candidates come from the shingle inverted index (only
+    docs sharing >= 1 shingle with a query doc are touched -- the PPJoin
+    candidate recipe, never all-pairs); the 3 query docs' shingles
+    broadcast; top-5 is a per-query window over the bounded candidate
+    set."""
+    from ..operators.text import shingles_col
+
+    docs = _docs_spread(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    qsh = sh.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode("shingles").alias("shingle"),
+    )
+    csh = sh.select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+    overlap = (
+        csh.join(F.broadcast(qsh), "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id", "n_sh")
+        .agg(F.count("*").alias("n_common"))
+    )
+    qsizes = sh.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.size("shingles").alias("q_sh")
+    )
+    scored = overlap.join(F.broadcast(qsizes), "query_id").select(
+        "query_id",
+        "doc_id",
+        "n_common",
+        F.expr("(1000 * n_common) DIV (q_sh + n_sh - n_common)").alias(
+            "jaccard_milli"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_common"), F.asc("doc_id")
+    )
+    return (
+        scored.filter(F.col("jaccard_milli") < 500)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            "jaccard_milli",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0
+), qsh AS (
+  SELECT doc_id AS query_id, unnest(shingles) AS shingle FROM sh WHERE doc_id < 3
+), csh AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), overlap AS (
+  SELECT query_id, doc_id, n_sh, count(*) AS n_common
+  FROM csh JOIN qsh USING (shingle)
+  WHERE doc_id <> query_id
+  GROUP BY 1, 2, 3
+), qsizes AS (
+  SELECT doc_id AS query_id, len(shingles) AS q_sh FROM sh WHERE doc_id < 3
+), scored AS (
+  SELECT query_id, doc_id, n_common,
+         (1000 * n_common) // (q_sh + n_sh - n_common) AS jaccard_milli
+  FROM overlap JOIN qsizes USING (query_id)
+)
+SELECT query_id, doc_id, n_common::BIGINT AS n_common,
+       jaccard_milli::BIGINT AS jaccard_milli, rank::BIGINT AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_common DESC, doc_id ASC) AS rank
+  FROM scored WHERE jaccard_milli < 500
+) WHERE rank <= 5
+"""
+
+
 def docs_cms_heavy_hitters(spark, sf_dir):
     """Heavy hitters via a count-min sketch: the CMS_DxCMS_W counter
     table (operators/sketch.py) is constant-size and merge-by-addition
@@ -5612,6 +5701,7 @@ QUERIES = {
     "emb_decontamination": emb_decontamination,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_phrase_search": docs_phrase_search,
+    "docs_hard_negatives": docs_hard_negatives,
     # new-in-round-4 entries lead so they land inside the driver's
     # 50-query correctness window (earlier rounds recorded the rest)
     "docs_mixture_sample": docs_mixture_sample,
@@ -5711,6 +5801,7 @@ ORACLES = {
     "emb_decontamination": EMB_DECON_SQL,
     "docs_bm25_topk": BM25_SQL,
     "docs_phrase_search": PHRASE_SEARCH_SQL,
+    "docs_hard_negatives": HARD_NEGATIVES_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SQL,
     "docs_lexical_diversity": DOCS_LEXDIV_SQL,
     "docs_bigram_topk": DOCS_BIGRAM_SQL,
