@@ -1215,3 +1215,79 @@ def scrape_gap_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transition_stream_tws(ev: DataFrame) -> DataFrame:
+    """``transition_stream`` on the Spark-4
+    ``transformWithStateInPandas`` API: the per-user last event is a
+    TYPED ValueState (the API long-lived jobs want for state-schema
+    evolution), emissions are identical. Kept alongside the
+    ``applyInPandasWithState`` twin the same way the D1 batcher keeps
+    both (streaming/batcher.py tws_batches) -- the two state APIs are
+    the only part that differs, and the tests pin them equal. No
+    timers, so timeMode='none'."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("prev_type", T.StringType(), False),
+            T.StructField("next_type", T.StringType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    class _Transitions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last", "last_type string, last_ts_us long, last_event_id long"
+            )
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            st = self._last.get()
+            last_type = st[0] if st else None
+            pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+            out = []
+            for ts_us, event_id, etype in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+            ):
+                if last_type is not None:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "prev_type": last_type,
+                            "next_type": etype,
+                            "ts_us": int(ts_us),
+                        }
+                    )
+                last_type = etype
+                last_ts, last_id = int(ts_us), int(event_id)
+            self._last.update((last_type, last_ts, last_id))
+            yield pd.DataFrame(out, columns=out_cols)
+
+        def close(self) -> None:
+            pass
+
+    keyed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Transitions(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -1881,3 +1881,53 @@ def test_streaming_scrape_gaps_match_batch_intervals(spark, tmp_path):
         .collect()
     )
     assert streamed == batch and streamed
+
+
+def test_transition_stream_tws_twin_matches_batch(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas variant of the transition
+    extractor must aggregate to the same Markov counts as the batch
+    lag() extraction -- the two state APIs differ only in plumbing."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_markov_transitions,
+    )
+
+    ev = windows.read_events_stream(spark, SF)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    # typed state variables are RocksDB column families; the HDFS-backed
+    # provider refuses them (same gating as the TWS batcher test)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            windows.transition_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("transitions_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    streamed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, count(*) AS n FROM transitions_tws"
+            " GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in events_markov_transitions(spark, SF).collect()
+    }
+    assert streamed == batch
