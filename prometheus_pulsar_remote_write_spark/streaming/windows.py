@@ -1291,3 +1291,87 @@ def transition_stream_tws(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def funnel_stream(ev: DataFrame) -> DataFrame:
+    """Online ordered-stage funnel -- the streaming front end of
+    events_batch.events_funnel_conversion: per user the ONLY state is
+    the three stage timestamps (first 'view', first 'click' strictly
+    after it, first 'purchase' strictly after that), and a row is
+    emitted the moment a user newly reaches a stage. Counting emitted
+    rows per stage reproduces the batch entry's per-stage user counts
+    exactly, because under per-key event-time-ordered delivery (the
+    KeyShared contract the bus provides; the batch-twin tests replay
+    ts-ordered files) the greedy fold IS the batch min()-chain: the
+    first qualifying arrival per stage is the minimal qualifying
+    timestamp, and strict '>' comparisons resolve ties identically.
+
+    The live-ops use: conversion dashboards update per micro-batch
+    instead of per nightly batch, and a 'reached checkout, no purchase'
+    audience is the stage-2-minus-stage-3 set of the emitted rows at
+    any moment. State is three longs per user -- bounded by |users|,
+    the same bound the batch entry's per-stage aggregates shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("stage", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t1_us", T.LongType(), True),
+            T.StructField("t2_us", T.LongType(), True),
+            T.StructField("t3_us", T.LongType(), True),
+        ]
+    )
+    stage_of = {"view": 1, "click": 2, "purchase": 3}
+
+    def _funnel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        out = []
+        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if etype == "view" and t1 is None:
+                t1 = ts_us
+            elif etype == "click" and t2 is None and t1 is not None and ts_us > t1:
+                t2 = ts_us
+            elif etype == "purchase" and t3 is None and t2 is not None and ts_us > t2:
+                t3 = ts_us
+            else:
+                continue
+            out.append(
+                {
+                    "user_id": user_id,
+                    "stage": stage_of[etype],
+                    "event_type": etype,
+                    "ts_us": ts_us,
+                }
+            )
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(out, columns=["user_id", "stage", "event_type", "ts_us"])
+
+    keyed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _funnel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

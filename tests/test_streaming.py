@@ -1931,3 +1931,65 @@ def test_transition_stream_tws_twin_matches_batch(spark, tmp_path):
         for r in events_markov_transitions(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
+    """F7 streaming twin (round 8): the online ordered-stage funnel
+    (three stage timestamps per user as state) must reproduce the batch
+    min()-chain funnel's per-stage user counts -- including when the
+    stream is STOPPED mid-history and restarted on the same checkpoint,
+    so a partially-reached funnel (view seen, click not yet) carries
+    across the restart. A fresh state would re-emit stage-1 rows or
+    mis-set t2, and the counts would disagree."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_funnel_conversion,
+    )
+
+    ev_all = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
+    rows = ev_all.count()
+    first = ev_all.limit(rows // 2)
+    second = ev_all.subtract(first)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch1.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev_all.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        if dict(stream.dtypes)["ts"].startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            windows.funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    second.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch2.parquet")
+    run_once()
+
+    emitted = spark.read.parquet(out)
+    # each user reaches each stage at most once, even across the restart
+    assert (
+        emitted.groupBy("user_id", "stage").count().filter("count > 1").count() == 0
+    )
+    streamed = {
+        (r["stage"], r["event_type"]): r["n"]
+        for r in emitted.groupBy("stage", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["stage"], r["event_type"]): r["n"]
+        for r in events_funnel_conversion(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
