@@ -1375,3 +1375,76 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def path_trigram_stream(ev: DataFrame) -> DataFrame:
+    """Online 3-step journey extraction -- the streaming front end of
+    events_batch.events_top_paths: each user's last TWO event types (and
+    the last (ts, event_id) for the in-order contract) are the only
+    state, and every arriving event with two predecessors emits one
+    'p2>p1>current' path row. The emitted multiset equals the batch
+    lag(1)/lag(2) extraction exactly under per-key event-time-ordered
+    delivery (within a micro-batch rows sort by (ts, event_id); across
+    batches the carried pair stitches the timeline), so the top-20
+    dashboard is the same count-and-rank over either side. Downstream
+    counting stays out of this operator -- chaining a second stateful
+    aggregation after a state store is the one shape Structured
+    Streaming restricts."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("p1_type", T.StringType(), True),
+            T.StructField("p2_type", T.StringType(), True),
+            T.StructField("last_ts_us", T.LongType(), True),
+            T.StructField("last_event_id", T.LongType(), True),
+        ]
+    )
+
+    def _paths(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        p1, p2, _, _ = state.get if state.exists else (None, None, None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        out = []
+        for ts_us, event_id, etype in zip(
+            pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+        ):
+            if p2 is not None:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "path": f"{p2}>{p1}>{etype}",
+                        "ts_us": int(ts_us),
+                    }
+                )
+            p2, p1 = p1, etype
+            last_ts, last_id = int(ts_us), int(event_id)
+        state.update((p1, p2, last_ts, last_id))
+        yield pd.DataFrame(out, columns=["user_id", "path", "ts_us"])
+
+    keyed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _paths,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

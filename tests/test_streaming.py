@@ -1993,3 +1993,48 @@ def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
         for r in events_funnel_conversion(spark, SF).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_streaming_path_trigrams_match_batch(spark, tmp_path):
+    """F7 streaming twin (round 8): the online trigram extractor (last
+    two event types per user as state) must emit exactly the batch
+    lag(1)/lag(2) path multiset across micro-batch boundaries -- the
+    events_top_paths dashboard is then the same count-and-rank over
+    either side."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    ev = windows.read_events_stream(spark, SF)
+    q = (
+        windows.path_trigram_stream(ev)
+        .writeStream.format("memory")
+        .queryName("paths_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = Counter(
+        r["path"] for r in spark.sql("SELECT path FROM paths_stream").collect()
+    )
+
+    evb = spark.read.parquet(f"{SF}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = Counter(
+        r["path"]
+        for r in evb.select(
+            F.concat_ws(
+                ">",
+                F.lag("event_type", 2).over(w),
+                F.lag("event_type", 1).over(w),
+                F.col("event_type"),
+            ).alias("path"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        )
+        .filter(F.col("p2").isNotNull())
+        .select("path")
+        .collect()
+    )
+    assert streamed == batch and streamed
