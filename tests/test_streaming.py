@@ -2038,3 +2038,71 @@ def test_streaming_path_trigrams_match_batch(spark, tmp_path):
         .collect()
     )
     assert streamed == batch and streamed
+
+
+def test_stateful_twins_sort_within_batch(spark, tmp_path):
+    """The in-order contract the stateful twins document is per-key
+    ACROSS micro-batches; WITHIN a batch they must not depend on row
+    order (they sort by (ts, event_id) themselves). Feed the same
+    history as one deliberately shuffled file: transition and funnel
+    outputs must still equal the batch extractions."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_funnel_conversion,
+    )
+
+    ev_all = spark.read.parquet(f"{SF}/events.parquet")
+    shuffled = ev_all.orderBy(F.md5(F.col("event_id").cast("string")))
+    src = str(tmp_path / "src")
+    shuffled.coalesce(1).write.mode("overwrite").parquet(f"{src}/all.parquet")
+
+    def drain(make_stream, name):
+        stream = spark.readStream.schema(ev_all.schema).parquet(f"{src}/*")
+        if dict(stream.dtypes)["ts"].startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            make_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain(windows.transition_stream, "shuffled_transitions")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch_pairs = Counter(
+        (r["prev_type"], r["next_type"])
+        for r in ev_all.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    )
+    streamed_pairs = Counter(
+        (r["prev_type"], r["next_type"])
+        for r in spark.sql(
+            "SELECT prev_type, next_type FROM shuffled_transitions"
+        ).collect()
+    )
+    assert streamed_pairs == batch_pairs and streamed_pairs
+
+    drain(windows.funnel_stream, "shuffled_funnel")
+    streamed_funnel = {
+        (r["stage"], r["event_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT stage, event_type, count(*) AS n FROM shuffled_funnel"
+            " GROUP BY 1, 2"
+        ).collect()
+    }
+    batch_funnel = {
+        (r["stage"], r["event_type"]): r["n"]
+        for r in events_funnel_conversion(spark, SF).collect()
+    }
+    assert streamed_funnel == batch_funnel and streamed_funnel
