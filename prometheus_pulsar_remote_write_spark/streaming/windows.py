@@ -1074,7 +1074,7 @@ def seasonal_anomaly_stream(ev: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
-def transition_stream(ev: DataFrame) -> DataFrame:
+def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Online per-user transition extraction -- the streaming front end
     of events_markov_transitions: each user's LAST event (type, ts,
     event_id) is the only state kept (three values per user), and every
@@ -1085,7 +1085,18 @@ def transition_stream(ev: DataFrame) -> DataFrame:
     extraction exactly. Downstream counting/normalizing is the
     consumer's aggregation (kept out of this operator: chaining a
     second stateful aggregation after a state store is the one shape
-    Structured Streaming restricts)."""
+    Structured Streaming restricts).
+
+    ``idle_timeout_ms`` bounds the state at scale: when set, a user
+    whose last event is older than the event-time watermark by more
+    than the horizon is EVICTED (EventTimeTimeout), so the store holds
+    only the recently-active key set instead of every user ever seen --
+    the knob a year-long deployment needs, because 'all users ever'
+    only grows while 'active within the horizon' is stationary. The
+    documented trade: a user returning after the horizon starts a fresh
+    timeline, so the one transition spanning the gap is not emitted
+    (exactly the pair a session-scoped analysis excludes anyway).
+    Default None keeps the exact batch-parity semantics."""
     from typing import Iterator
 
     import pandas as pd
@@ -1112,6 +1123,13 @@ def transition_stream(ev: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        cols = ["user_id", "prev_type", "next_type", "ts_us"]
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # watermark passed last_ts + horizon with no new events:
+            # drop the key so the store tracks only active users
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         last_type, _, _ = state.get if state.exists else (None, None, None)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         out = []
@@ -1130,20 +1148,30 @@ def transition_stream(ev: DataFrame) -> DataFrame:
             last_type = etype
             last_ts, last_id = int(ts_us), int(event_id)
         state.update((last_type, last_ts, last_id))
-        yield pd.DataFrame(out, columns=["user_id", "prev_type", "next_type", "ts_us"])
+        if idle_timeout_ms is not None:
+            state.setTimeoutTimestamp(last_ts // 1000 + idle_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
 
-    keyed = ev.select(
+    src = ev if idle_timeout_ms is None else ev.withWatermark("ts", "0 seconds")
+    keyed = src.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         "event_type",
+        # EventTimeTimeout needs the watermarked column in the grouped
+        # relation; the default path stays byte-identical without it
+        *(["ts"] if idle_timeout_ms is not None else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         _transitions,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 

@@ -2106,3 +2106,64 @@ def test_stateful_twins_sort_within_batch(spark, tmp_path):
         for r in events_funnel_conversion(spark, SF).collect()
     }
     assert streamed_funnel == batch_funnel and streamed_funnel
+
+
+def test_transition_stream_idle_timeout_bounds_state(spark, tmp_path):
+    """State-TTL path (round 8): with idle_timeout_ms set, a user idle
+    beyond the event-time watermark horizon is EVICTED from the state
+    store (the bounded-state knob a year-long deployment needs), and a
+    user returning after the horizon starts a fresh timeline -- the
+    cross-gap transition is NOT emitted. Without the knob the same
+    replay emits it (batch parity, pinned by the other tests)."""
+    from datetime import datetime, timedelta
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    batches = [
+        # user 1 is active early, then goes idle past the horizon
+        [(1, 1, "view", base), (1, 2, "click", base + timedelta(minutes=1))],
+        # user 2 advances the watermark 2h past user 1's last event
+        [(2, 3, "view", base + 2 * hour)],
+        # watermark (delay 0) is now base+2h > user1's last+1h: user 1
+        # times out here; user 1 then RETURNS after the gap
+        [(2, 4, "click", base + 4 * hour)],
+        [(1, 5, "purchase", base + 5 * hour)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.transition_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_transitions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1  # user 1's idle state was evicted
+
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"])
+        for r in spark.sql("SELECT * FROM ttl_transitions").collect()
+    }
+    # user 1's pre-gap pair and user 2's pair are emitted; the pair
+    # spanning user 1's evicted gap (click -> purchase) is not
+    assert (1, "view", "click") in got
+    assert (2, "view", "click") in got
+    assert (1, "click", "purchase") not in got
