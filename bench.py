@@ -52,6 +52,33 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _metrics_snapshot(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle_write, shuffle_read) bytes across all
+    stages, read from the JVM AppStatusStore (populated with the UI off).
+    Per-query deltas are the environment-independent efficiency numbers
+    wall-clock can't give: bytes moved are a property of the PLAN, not of
+    host contention. Returns None if the store's Scala signature ever
+    drifts -- timings must never depend on metrics plumbing."""
+    try:
+        store = spark._jsc.sc().statusStore()
+        defaults = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+        stages = store.stageList(None, *defaults)
+        it = stages.iterator()
+        sw = sr = 0
+        while it.hasNext():
+            s = it.next()
+            sw += s.shuffleWriteBytes()
+            sr += s.shuffleReadBytes()
+        # inputBytes is deliberately not reported: the vectorized parquet
+        # scan under-reports it (near-zero at every SF), and a misleading
+        # zero is worse than no number
+        return sw, sr
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -74,6 +101,7 @@ def main() -> None:
     # plan, not the neighbor.
     timings: dict[str, float] = {}
     spreads: dict[str, list] = {}
+    bytes_moved: dict[str, dict] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
         # a JVM GC between queries keeps one query's garbage (noop write
@@ -82,10 +110,20 @@ def main() -> None:
         spark._jvm.System.gc()
         run_query(fn(spark, sf_dir))  # untimed warmup
         runs = []
+        before = _metrics_snapshot(spark)
         for _ in range(2):
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
+            if before is not None and name not in bytes_moved:
+                after = _metrics_snapshot(spark)
+                if after is not None:
+                    # bytes for ONE steady-state execution (the first
+                    # timed run); deterministic per plan, unlike seconds
+                    bytes_moved[name] = {
+                        "shuffle_write_mb": round((after[0] - before[0]) / 1e6, 2),
+                        "shuffle_read_mb": round((after[1] - before[1]) / 1e6, 2),
+                    }
         # retry (up to 2 extra runs) until the two best runs agree within
         # 1.2x: a single GC pause / contended run then costs one retry
         # instead of poisoning the reported spread
@@ -127,6 +165,7 @@ def main() -> None:
                 "sf": sf,
                 "spread": spreads,
                 "noise_ratio": noise,
+                "bytes": bytes_moved,
             }
         )
     )
