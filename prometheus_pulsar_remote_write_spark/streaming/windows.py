@@ -1175,7 +1175,7 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     )
 
 
-def scrape_gap_stream(ev: DataFrame) -> DataFrame:
+def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Online scrape-interval extraction -- the streaming front end of
     consume_scrape_gaps: per series (tenant, metric name) the only
     state is the last sample's (timestamp, event_id), and every
@@ -1184,7 +1184,17 @@ def scrape_gap_stream(ev: DataFrame) -> DataFrame:
     extraction, so the staleness report (median cadence, >2x-median
     late counts) derives from these rows by the same aggregation. The
     live-ops use: alert on a gap the moment the sample AFTER it
-    arrives, instead of on the next batch report."""
+    arrives, instead of on the next batch report.
+
+    ``idle_timeout_ms`` is the series-churn knob: metrics state is the
+    one that actually explodes in a long-lived deployment (label churn
+    mints new series forever; most never report again), so with the
+    horizon set, a series silent past the event-time watermark by more
+    than it is EVICTED -- the same lifecycle decision Prometheus itself
+    makes when it marks a series stale. The trade: a series returning
+    after the horizon starts fresh, so the one gap row spanning the
+    eviction is not emitted (it is a new series incarnation, not a late
+    scrape). Default None keeps exact batch parity."""
     from typing import Iterator
 
     import pandas as pd
@@ -1210,6 +1220,13 @@ def scrape_gap_stream(ev: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         tenant_id, name = key
+        cols = ["tenant_id", "name", "gap_ms", "ts_ms"]
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # series silent past the horizon: drop it, like Prometheus
+            # staleness -- the store tracks live series, not all ever
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         last_ts, _ = state.get if state.exists else (None, None)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
         out = []
@@ -1225,9 +1242,12 @@ def scrape_gap_stream(ev: DataFrame) -> DataFrame:
                 )
             last_ts, last_id = int(ts_ms), int(event_id)
         state.update((last_ts, last_id))
-        yield pd.DataFrame(out, columns=["tenant_id", "name", "gap_ms", "ts_ms"])
+        if idle_timeout_ms is not None:
+            state.setTimeoutTimestamp(last_ts + idle_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
 
-    keyed = ev.select(
+    src = ev if idle_timeout_ms is None else ev.withWatermark("ts", "0 seconds")
+    keyed = src.select(
         (F.col("user_id") % 10).cast("string").alias("tenant_id"),
         F.col("event_type").alias("name"),
         (
@@ -1235,13 +1255,20 @@ def scrape_gap_stream(ev: DataFrame) -> DataFrame:
             + F.date_format("ts", "SSS").cast("long")
         ).alias("ts_ms"),
         "event_id",
+        # EventTimeTimeout needs the watermarked column in the grouped
+        # relation; the default path stays byte-identical without it
+        *(["ts"] if idle_timeout_ms is not None else []),
     )
     return keyed.groupBy("tenant_id", "name").applyInPandasWithState(
         _gaps,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 

@@ -2167,3 +2167,61 @@ def test_transition_stream_idle_timeout_bounds_state(spark, tmp_path):
     assert (1, "view", "click") in got
     assert (2, "view", "click") in got
     assert (1, "click", "purchase") not in got
+
+
+def test_scrape_gap_stream_idle_timeout_evicts_stale_series(spark, tmp_path):
+    """Series-churn TTL (round 8): with idle_timeout_ms set, a series
+    silent past the watermark horizon is evicted (the Prometheus
+    staleness lifecycle), and a returning series starts a fresh
+    incarnation -- no gap row spans the eviction."""
+    from datetime import datetime, timedelta
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    batches = [
+        # series (0, 'view') scrapes twice then goes silent
+        [(10, 1, "view", base), (10, 2, "view", base + timedelta(minutes=1))],
+        # a different series advances the watermark past the horizon
+        [(11, 3, "click", base + 2 * hour)],
+        [(11, 4, "click", base + 4 * hour)],
+        # the silent series returns after eviction
+        [(10, 5, "view", base + 5 * hour)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.scrape_gap_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_gaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1  # the silent series was evicted
+
+    gaps = [
+        (r["tenant_id"], r["name"], r["gap_ms"])
+        for r in spark.sql("SELECT * FROM ttl_gaps").collect()
+    ]
+    # the intra-horizon gaps are emitted; nothing spans the eviction
+    # (user 10 % 10 = tenant '0', user 11 % 10 = tenant '1')
+    assert ("0", "view", 60_000) in gaps
+    assert ("1", "click", 7_200_000) in gaps
+    assert all(g != ("0", "view", 5 * 3_600_000 - 60_000) for g in gaps)
