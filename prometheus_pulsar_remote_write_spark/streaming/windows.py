@@ -1272,15 +1272,23 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     )
 
 
-def transition_stream_tws(ev: DataFrame) -> DataFrame:
+def transition_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """``transition_stream`` on the Spark-4
     ``transformWithStateInPandas`` API: the per-user last event is a
     TYPED ValueState (the API long-lived jobs want for state-schema
     evolution), emissions are identical. Kept alongside the
     ``applyInPandasWithState`` twin the same way the D1 batcher keeps
     both (streaming/batcher.py tws_batches) -- the two state APIs are
-    the only part that differs, and the tests pin them equal. No
-    timers, so timeMode='none'."""
+    the only part that differs, and the tests pin them equal. Without a
+    TTL there are no timers (timeMode='none').
+
+    ``idle_timeout_ms`` is the same bounded-state knob as on
+    ``transition_stream``, expressed in this API's native vocabulary: a
+    per-key EVENT-TIME TIMER (registerTimer at last_ts + horizon,
+    re-registered on every arrival) whose expiry callback clears the
+    ValueState -- the explicit timer lifecycle the old API folds into
+    GroupStateTimeout. Same documented trade: the transition spanning an
+    evicted gap is not emitted."""
     from typing import Iterator
 
     import pandas as pd
@@ -1302,6 +1310,7 @@ def transition_stream_tws(ev: DataFrame) -> DataFrame:
 
     class _Transitions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._last = handle.getValueState(
                 "last", "last_type string, last_ts_us long, last_event_id long"
             )
@@ -1329,22 +1338,37 @@ def transition_stream_tws(ev: DataFrame) -> DataFrame:
                 last_type = etype
                 last_ts, last_id = int(ts_us), int(event_id)
             self._last.update((last_type, last_ts, last_id))
+            if idle_timeout_ms is not None:
+                # one live timer per key: re-arm at the new horizon
+                for old in self._handle.listTimers():
+                    self._handle.deleteTimer(old)
+                self._handle.registerTimer(last_ts // 1000 + idle_timeout_ms)
             yield pd.DataFrame(out, columns=out_cols)
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            # idle past the horizon: clear the timeline so the store
+            # tracks only recently-active users
+            self._last.clear()
+            yield pd.DataFrame([], columns=out_cols)
 
         def close(self) -> None:
             pass
 
-    keyed = ev.select(
+    src = ev if idle_timeout_ms is None else ev.withWatermark("ts", "0 seconds")
+    keyed = src.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         "event_type",
+        *(["ts"] if idle_timeout_ms is not None else []),
     )
     return keyed.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Transitions(),
         outputStructType=out_schema,
         outputMode="append",
-        timeMode="none",
+        timeMode="none" if idle_timeout_ms is None else "eventTime",
     )
 
 

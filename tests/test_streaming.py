@@ -2225,3 +2225,66 @@ def test_scrape_gap_stream_idle_timeout_evicts_stale_series(spark, tmp_path):
     assert ("0", "view", 60_000) in gaps
     assert ("1", "click", 7_200_000) in gaps
     assert all(g != ("0", "view", 5 * 3_600_000 - 60_000) for g in gaps)
+
+
+def test_transition_stream_tws_timer_ttl(spark, tmp_path):
+    """The transformWithStateInPandas TTL uses the API's native per-key
+    event-time TIMER (registerTimer / handleExpiredTimer) instead of
+    GroupStateTimeout: same semantics as the applyInPandasWithState
+    knob -- idle keys are cleared, and a user returning after the
+    horizon starts a fresh timeline with no cross-gap pair."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    batches = [
+        [(1, 1, "view", base), (1, 2, "click", base + timedelta(minutes=1))],
+        [(2, 3, "view", base + 2 * hour)],
+        [(2, 4, "click", base + 4 * hour)],
+        [(1, 5, "purchase", base + 5 * hour)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = (
+            windows.transition_stream_tws(stream, idle_timeout_ms=3_600_000)
+            .writeStream.format("memory")
+            .queryName("tws_ttl")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"])
+        for r in spark.sql("SELECT * FROM tws_ttl").collect()
+    }
+    assert (1, "view", "click") in got
+    assert (2, "view", "click") in got
+    assert (1, "click", "purchase") not in got
