@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _interval_to_ms(interval: str) -> int:
+    """Parse the subset of Spark's interval strings these operators use
+    ('90 seconds', '1 hour', '2 hours 30 minutes') to milliseconds, so a
+    derived-column watermark can be widened by a known lead without
+    string-concatenating interval units (Spark rejects repeated units)."""
+    units = {
+        "millisecond": 1,
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 604_800_000,
+    }
+    tokens = interval.strip().lower().replace("interval", "").split()
+    if len(tokens) % 2 != 0 or not tokens:
+        raise ValueError(f"unsupported interval string: {interval!r}")
+    total = 0
+    for num, unit in zip(tokens[::2], tokens[1::2]):
+        key = unit.rstrip("s")
+        if key not in units:
+            raise ValueError(f"unsupported interval unit {unit!r} in {interval!r}")
+        total += int(num) * units[key]
+    return total
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -870,15 +895,23 @@ def slo_burn_stream(ev: DataFrame, watermark: str = "1 hour", budget_milli: int 
     stream-stream join of two aggregates, which Structured Streaming
     does not allow, and no second stateful stage.
 
-    The watermark rides the DERIVED bucket timestamp (>= event time, so
-    the same lateness bound holds); a bucket closes once real time
-    passes its hour + the watermark delay. Rows whose own-hour count is
-    zero (buckets only reached by the long window) are filtered to
+    The watermark column must be the windowed one (the DERIVED bucket
+    timestamp), but bucket_ts runs up to 5 hours AHEAD of event time
+    (k=0..5) -- so the configured event-time lateness bound is restored
+    by widening the declared delay by that 5-hour lead. Without the
+    widening, one batch's k=5 buckets would advance the watermark past
+    the NEXT batch's own-hour (k=0) buckets and silently drop them --
+    every hour after the first micro-batch would lose its short-window
+    counts (caught by the multi-batch replay test). A bucket for hour H
+    therefore closes once event time passes H + 1h + ``watermark``,
+    exactly the bound the caller asked for. Rows whose own-hour count
+    is zero (buckets only reached by the long window) are filtered to
     match the batch twin's hourly-aggregate row set. State is bounded:
     6 buckets per event, (tenant x open hours) rows."""
     from ..plans.events_batch import _SLO_BUDGET_MILLI
 
     budget = budget_milli if budget_milli is not None else _SLO_BUDGET_MILLI
+    delay_ms = _interval_to_ms(watermark) + 5 * 3_600_000
     base = ev.select(
         (F.col("user_id") % 10).cast("string").alias("tenant_id"),
         "ts",
@@ -896,7 +929,7 @@ def slo_burn_stream(ev: DataFrame, watermark: str = "1 hour", budget_milli: int 
         ),
     )
     agg = (
-        contrib.withWatermark("bucket_ts", watermark)
+        contrib.withWatermark("bucket_ts", f"{delay_ms} milliseconds")
         .groupBy(F.window("bucket_ts", "1 hour").alias("w"), "tenant_id")
         .agg(
             F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("n_events"),
@@ -933,8 +966,13 @@ def heatmap_stream(
     hash aggregation over scan-side integer band arithmetic; bounded
     state (open hours x 10 bands)."""
     s = ev.select("ts", F.round(F.col("value") * 100).cast("bigint").alias("vc"))
+    # clamp BOTH edges: the dashboard's configured bounds are reachable
+    # from outside (the batch twin derives lo/hi from the corpus, so it
+    # never sees an out-of-range value) -- without the greatest(.., 0) a
+    # below-lo sample lands in a negative band no heatmap panel expects
     band = F.expr(
-        f"least(((vc - {lo_centi}) * 10) DIV greatest({hi_centi} - {lo_centi} + 1, 1), 9)"
+        f"greatest(least(((vc - {lo_centi}) * 10)"
+        f" DIV greatest({hi_centi} - {lo_centi} + 1, 1), 9), 0)"
     )
     return (
         s.withWatermark("ts", watermark)
@@ -1076,9 +1114,9 @@ def seasonal_anomaly_stream(ev: DataFrame, baseline: DataFrame) -> DataFrame:
 
 def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Online per-user transition extraction -- the streaming front end
-    of events_markov_transitions: each user's LAST event (type, ts,
-    event_id) is the only state kept (three values per user), and every
-    arriving event emits one (prev_type, next_type) transition row.
+    of events_markov_transitions: each user's LAST event type is the
+    only state kept (one value per user), and every arriving event
+    emits one (prev_type, next_type) transition row.
     Rows inside a micro-batch sort by (ts, event_id); across batches
     the carried last-event state stitches the timeline, so the union
     of emitted transitions over any replay equals the batch lag()
@@ -1111,12 +1149,12 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
             T.StructField("ts_us", T.LongType(), False),
         ]
     )
+    # only the previous event TYPE is ever read back; persisting the
+    # (ts, event_id) pair too would be dead bytes in every key of the
+    # very store the TTL knob exists to bound (ordering uses the input
+    # rows, and the timeout timestamp is store-managed)
     state_schema = T.StructType(
-        [
-            T.StructField("last_type", T.StringType(), True),
-            T.StructField("last_ts_us", T.LongType(), True),
-            T.StructField("last_event_id", T.LongType(), True),
-        ]
+        [T.StructField("last_type", T.StringType(), True)]
     )
 
     def _transitions(
@@ -1130,7 +1168,7 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
             state.remove()
             yield pd.DataFrame([], columns=cols)
             return
-        last_type, _, _ = state.get if state.exists else (None, None, None)
+        (last_type,) = state.get if state.exists else (None,)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         out = []
         for ts_us, event_id, etype in zip(
@@ -1146,13 +1184,22 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
                     }
                 )
             last_type = etype
-            last_ts, last_id = int(ts_us), int(event_id)
-        state.update((last_type, last_ts, last_id))
+            last_ts = int(ts_us)
+        state.update((last_type,))
         if idle_timeout_ms is not None:
             state.setTimeoutTimestamp(last_ts // 1000 + idle_timeout_ms)
         yield pd.DataFrame(out, columns=cols)
 
-    src = ev if idle_timeout_ms is None else ev.withWatermark("ts", "0 seconds")
+    # lateness tolerance == the idle horizon: a 0s watermark would
+    # silently drop any event out of order ACROSS keys (keys are skewed
+    # in time, so a global max-ts watermark guarantees cross-key drops);
+    # rows later than the horizon are exactly the ones whose key may
+    # already be evicted, so the horizon is the honest bound
+    src = (
+        ev
+        if idle_timeout_ms is None
+        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    )
     keyed = src.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -1178,9 +1225,8 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
 def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Online scrape-interval extraction -- the streaming front end of
     consume_scrape_gaps: per series (tenant, metric name) the only
-    state is the last sample's (timestamp, event_id), and every
-    arriving sample emits one interval row (gap_ms since the previous
-    sample). The drained union is exactly the batch lag() interval
+    state is the last sample's timestamp, and every arriving sample
+    emits one interval row (gap_ms since the previous sample). The drained union is exactly the batch lag() interval
     extraction, so the staleness report (median cadence, >2x-median
     late counts) derives from these rows by the same aggregation. The
     live-ops use: alert on a gap the moment the sample AFTER it
@@ -1209,11 +1255,11 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
             T.StructField("ts_ms", T.LongType(), False),
         ]
     )
+    # only the previous timestamp is read back (the gap arithmetic);
+    # the event_id tiebreak orders rows WITHIN a batch and never needs
+    # to persist
     state_schema = T.StructType(
-        [
-            T.StructField("last_ts_ms", T.LongType(), True),
-            T.StructField("last_event_id", T.LongType(), True),
-        ]
+        [T.StructField("last_ts_ms", T.LongType(), True)]
     )
 
     def _gaps(
@@ -1227,7 +1273,7 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
             state.remove()
             yield pd.DataFrame([], columns=cols)
             return
-        last_ts, _ = state.get if state.exists else (None, None)
+        (last_ts,) = state.get if state.exists else (None,)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
         out = []
         for ts_ms, event_id in zip(pdf["ts_ms"], pdf["event_id"]):
@@ -1240,13 +1286,22 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
                         "ts_ms": int(ts_ms),
                     }
                 )
-            last_ts, last_id = int(ts_ms), int(event_id)
-        state.update((last_ts, last_id))
+            last_ts = int(ts_ms)
+        state.update((last_ts,))
         if idle_timeout_ms is not None:
             state.setTimeoutTimestamp(last_ts + idle_timeout_ms)
         yield pd.DataFrame(out, columns=cols)
 
-    src = ev if idle_timeout_ms is None else ev.withWatermark("ts", "0 seconds")
+    # lateness tolerance == the idle horizon: a 0s watermark would
+    # silently drop any event out of order ACROSS keys (keys are skewed
+    # in time, so a global max-ts watermark guarantees cross-key drops);
+    # rows later than the horizon are exactly the ones whose key may
+    # already be evicted, so the horizon is the honest bound
+    src = (
+        ev
+        if idle_timeout_ms is None
+        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    )
     keyed = src.select(
         (F.col("user_id") % 10).cast("string").alias("tenant_id"),
         F.col("event_type").alias("name"),
@@ -1311,9 +1366,7 @@ def transition_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> 
     class _Transitions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            self._last = handle.getValueState(
-                "last", "last_type string, last_ts_us long, last_event_id long"
-            )
+            self._last = handle.getValueState("last", "last_type string")
 
         def handleInputRows(
             self, key, rows: Iterator[pd.DataFrame], timerValues
@@ -1336,8 +1389,8 @@ def transition_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> 
                         }
                     )
                 last_type = etype
-                last_ts, last_id = int(ts_us), int(event_id)
-            self._last.update((last_type, last_ts, last_id))
+                last_ts = int(ts_us)
+            self._last.update((last_type,))
             if idle_timeout_ms is not None:
                 # one live timer per key: re-arm at the new horizon
                 for old in self._handle.listTimers():
@@ -1356,7 +1409,16 @@ def transition_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> 
         def close(self) -> None:
             pass
 
-    src = ev if idle_timeout_ms is None else ev.withWatermark("ts", "0 seconds")
+    # lateness tolerance == the idle horizon: a 0s watermark would
+    # silently drop any event out of order ACROSS keys (keys are skewed
+    # in time, so a global max-ts watermark guarantees cross-key drops);
+    # rows later than the horizon are exactly the ones whose key may
+    # already be evicted, so the horizon is the honest bound
+    src = (
+        ev
+        if idle_timeout_ms is None
+        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    )
     keyed = src.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -1458,10 +1520,9 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
 
 def path_trigram_stream(ev: DataFrame) -> DataFrame:
     """Online 3-step journey extraction -- the streaming front end of
-    events_batch.events_top_paths: each user's last TWO event types (and
-    the last (ts, event_id) for the in-order contract) are the only
-    state, and every arriving event with two predecessors emits one
-    'p2>p1>current' path row. The emitted multiset equals the batch
+    events_batch.events_top_paths: each user's last TWO event types are
+    the only state, and every arriving event with two predecessors
+    emits one 'p2>p1>current' path row. The emitted multiset equals the batch
     lag(1)/lag(2) extraction exactly under per-key event-time-ordered
     delivery (within a micro-batch rows sort by (ts, event_id); across
     batches the carried pair stitches the timeline), so the top-20
@@ -1482,12 +1543,12 @@ def path_trigram_stream(ev: DataFrame) -> DataFrame:
             T.StructField("ts_us", T.LongType(), False),
         ]
     )
+    # only the last two event types are read back; the (ts, event_id)
+    # pair orders rows within a batch and never needs to persist
     state_schema = T.StructType(
         [
             T.StructField("p1_type", T.StringType(), True),
             T.StructField("p2_type", T.StringType(), True),
-            T.StructField("last_ts_us", T.LongType(), True),
-            T.StructField("last_event_id", T.LongType(), True),
         ]
     )
 
@@ -1495,7 +1556,7 @@ def path_trigram_stream(ev: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        p1, p2, _, _ = state.get if state.exists else (None, None, None, None)
+        p1, p2 = state.get if state.exists else (None, None)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         out = []
         for ts_us, event_id, etype in zip(
@@ -1510,8 +1571,7 @@ def path_trigram_stream(ev: DataFrame) -> DataFrame:
                     }
                 )
             p2, p1 = p1, etype
-            last_ts, last_id = int(ts_us), int(event_id)
-        state.update((p1, p2, last_ts, last_id))
+        state.update((p1, p2))
         yield pd.DataFrame(out, columns=["user_id", "path", "ts_us"])
 
     keyed = ev.select(

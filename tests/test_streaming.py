@@ -1607,6 +1607,17 @@ def test_log_flags_parse_apply_and_reject_unknown_values(capsys):
     line = capsys.readouterr().err.strip().splitlines()[-1]
     assert line.startswith("ts=") and 'msg="quote \\"me\\""' in line
     assert " level=warn " in line
+    # the 'Z' designator must be genuine UTC, not local time mislabeled
+    # (on a non-UTC host the naive formatTime default is off by the UTC
+    # offset; comparing against wall-clock UTC catches that anywhere)
+    import calendar
+    import time as _time
+
+    ts_str = line.split()[0][len("ts="):]
+    logged = calendar.timegm(_time.strptime(ts_str, "%Y-%m-%dT%H:%M:%SZ"))
+    assert abs(logged - _time.time()) < 120
+    # and records must not ALSO propagate to a root handler (duplicates)
+    assert logger.propagate is False
 
     with pytest.raises(ValueError, match='unrecognized log level "chatty"'):
         parse_args(
@@ -1631,7 +1642,9 @@ def test_streaming_slo_burn_matches_batch(spark, tmp_path):
     )
 
     ev = windows.read_events_stream(spark, SF)
-    agg = windows.slo_burn_stream(ev)
+    # 0s lateness: the final watermark then reaches max event time and
+    # closes every bucket except the trailing partial hour
+    agg = windows.slo_burn_stream(ev, watermark="0 seconds")
     q = (
         agg.writeStream.format("memory")
         .queryName("slo_burn")
@@ -1662,11 +1675,106 @@ def test_streaming_slo_burn_matches_batch(spark, tmp_path):
         for r in events_slo_burn_rate(spark, SF).collect()
     }
     assert streamed
-    # the +5h bucket shift means the final watermark closes every
-    # real-hour bucket: the streamed result must cover the batch twin
+    # only the trailing partial hour (one bucket per tenant) may stay
+    # open at drain; everything emitted must match the batch twin
     assert len(streamed) >= len(batch) - 10
     for k, v in streamed.items():
         assert batch[k] == v, f"{k}: stream {v} != batch {batch[k]}"
+
+
+def test_streaming_slo_burn_multi_batch_replay(spark, tmp_path):
+    """Regression: bucket_ts runs up to 5h ahead of event time, so a
+    naive watermark on it lets one micro-batch's k=5 buckets advance the
+    watermark past the NEXT batch's own-hour contributions -- every hour
+    after the first file would lose its short-window counts. The widened
+    delay must keep a ts-ordered MULTI-file replay equal to the batch
+    twin."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_slo_burn_rate,
+    )
+
+    ev_all = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
+    rows = ev_all.count()
+    src = str(tmp_path / "src")
+    third = rows // 3
+    parts = [
+        ev_all.limit(third),
+        ev_all.limit(2 * third).subtract(ev_all.limit(third)),
+        ev_all.subtract(ev_all.limit(2 * third)),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev_all.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    if dict(stream.dtypes)["ts"].startswith("timestamp_ntz"):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        windows.slo_burn_stream(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("slo_burn_multi")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["tenant_id"], r["hr"]): (r["n_events"], r["n_errors"])
+        for r in spark.sql("SELECT * FROM slo_burn_multi").collect()
+    }
+    batch = {
+        (r["tenant_id"], r["hr"]): (r["n_events"], r["n_errors"])
+        for r in events_slo_burn_rate(spark, SF).collect()
+    }
+    assert len(streamed) >= len(batch) - 10
+    for k, v in streamed.items():
+        assert batch[k] == v, f"{k}: stream {v} != batch {batch[k]}"
+
+
+def test_heatmap_stream_clamps_out_of_range_bands(spark, tmp_path):
+    """Regression: the dashboard-configured bounds are reachable from
+    outside (unlike the batch twin's corpus-derived bounds); below-lo
+    samples must clamp to band 0, above-hi to band 9 -- never a negative
+    or >9 band id."""
+    from datetime import datetime, timedelta
+
+    schema = "ts timestamp, value double"
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base, -15.0),
+        (base, -0.2),
+        (base, 0.5),
+        (base, 99.0),
+        # later-hour sentinel so the watermark closes the base hour
+        (base + timedelta(hours=2), 5.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0.parquet")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = (
+        windows.heatmap_stream(stream, lo_centi=0, hi_centi=1000, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("heatmap_clamp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    hour0 = int(base.timestamp())
+    got = {
+        r["band"]: r["n_samples"]
+        for r in spark.sql(
+            f"SELECT * FROM heatmap_clamp WHERE hour_start = {hour0}"
+        ).collect()
+    }
+    assert got == {0: 3, 9: 1}  # -15.0, -0.2, 0.5 -> band 0; 99.0 -> band 9
 
 
 def test_streaming_heatmap_matches_batch(spark, tmp_path):
@@ -2123,12 +2231,15 @@ def test_transition_stream_idle_timeout_bounds_state(spark, tmp_path):
     batches = [
         # user 1 is active early, then goes idle past the horizon
         [(1, 1, "view", base), (1, 2, "click", base + timedelta(minutes=1))],
-        # user 2 advances the watermark 2h past user 1's last event
+        # user 2 advances the watermark (delay == horizon, so the
+        # watermark trails max event time by 1h)
         [(2, 3, "view", base + 2 * hour)],
-        # watermark (delay 0) is now base+2h > user1's last+1h: user 1
-        # times out here; user 1 then RETURNS after the gap
         [(2, 4, "click", base + 4 * hour)],
-        [(1, 5, "purchase", base + 5 * hour)],
+        # at this batch's start the watermark (base+3h) is past user 1's
+        # last+1h timeout and user 1 has no data here: evicted NOW
+        [(2, 6, "view", base + 6 * hour)],
+        # user 1 RETURNS after the eviction
+        [(1, 5, "purchase", base + 7 * hour)],
     ]
     src = str(tmp_path / "src")
     for i, rows in enumerate(batches):
@@ -2182,11 +2293,14 @@ def test_scrape_gap_stream_idle_timeout_evicts_stale_series(spark, tmp_path):
     batches = [
         # series (0, 'view') scrapes twice then goes silent
         [(10, 1, "view", base), (10, 2, "view", base + timedelta(minutes=1))],
-        # a different series advances the watermark past the horizon
+        # a different series advances the watermark (delay == horizon)
         [(11, 3, "click", base + 2 * hour)],
         [(11, 4, "click", base + 4 * hour)],
+        # watermark base+3h > silent series' last+1h and it has no data
+        # in this batch: evicted NOW
+        [(11, 6, "click", base + 6 * hour)],
         # the silent series returns after eviction
-        [(10, 5, "view", base + 5 * hour)],
+        [(10, 5, "view", base + 7 * hour)],
     ]
     src = str(tmp_path / "src")
     for i, rows in enumerate(batches):
@@ -2224,7 +2338,9 @@ def test_scrape_gap_stream_idle_timeout_evicts_stale_series(spark, tmp_path):
     # (user 10 % 10 = tenant '0', user 11 % 10 = tenant '1')
     assert ("0", "view", 60_000) in gaps
     assert ("1", "click", 7_200_000) in gaps
-    assert all(g != ("0", "view", 5 * 3_600_000 - 60_000) for g in gaps)
+    # the evicted series' only gap row is the pre-eviction one: its
+    # post-gap return is a fresh incarnation, not a 7h-61m late scrape
+    assert [g for g in gaps if g[0] == "0"] == [("0", "view", 60_000)]
 
 
 def test_transition_stream_tws_timer_ttl(spark, tmp_path):
@@ -2245,7 +2361,9 @@ def test_transition_stream_tws_timer_ttl(spark, tmp_path):
         [(1, 1, "view", base), (1, 2, "click", base + timedelta(minutes=1))],
         [(2, 3, "view", base + 2 * hour)],
         [(2, 4, "click", base + 4 * hour)],
-        [(1, 5, "purchase", base + 5 * hour)],
+        # watermark-advancing batch with no user-1 data: timer fires
+        [(2, 6, "view", base + 6 * hour)],
+        [(1, 5, "purchase", base + 7 * hour)],
     ]
     src = str(tmp_path / "src")
     for i, rows in enumerate(batches):
@@ -2288,3 +2406,45 @@ def test_transition_stream_tws_timer_ttl(spark, tmp_path):
     assert (1, "view", "click") in got
     assert (2, "view", "click") in got
     assert (1, "click", "purchase") not in got
+
+
+def test_ttl_watermark_tolerates_cross_key_disorder(spark, tmp_path):
+    """Regression: the TTL mode's watermark lateness must be the idle
+    horizon, not 0s -- keys are skewed in time, so one key's fresh event
+    must not make another key's slightly-older (within-horizon) events
+    late. User B's rows arrive a batch after user A's newer event and
+    must still produce B's transition."""
+    from datetime import datetime, timedelta
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    m = timedelta(minutes=1)
+    batches = [
+        [(1, 1, "view", base)],                      # A @ 12:00
+        [(2, 2, "view", base - 2 * m), (2, 3, "click", base - m)],  # B @ 11:58/11:59
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.transition_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_disorder")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"])
+        for r in spark.sql("SELECT * FROM ttl_disorder").collect()
+    }
+    assert (2, "view", "click") in got
