@@ -60,6 +60,17 @@ def _metrics_snapshot(spark) -> tuple[int, int] | None:
     host contention. Returns None if the store's Scala signature ever
     drifts -- timings must never depend on metrics plumbing."""
     try:
+        # the status store is fed by the ASYNC listener bus: a snapshot
+        # taken right after a job returns can miss its final stages'
+        # metrics, so drain the bus first (bounded wait; failure just
+        # means a slightly early snapshot, never a broken bench)
+        try:
+            spark._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        except Exception:
+            try:
+                spark._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:
+                pass
         store = spark._jsc.sc().statusStore()
         defaults = [
             getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)

@@ -71,12 +71,22 @@ def apply_logging(cfg: "AppConfig", spark: SparkSession | None = None):
     same flag. Idempotent -- re-applying replaces the previous handler."""
     import json as _json
     import logging
+    import time as _time
 
     py_level = {"warn": "WARNING"}.get(cfg.log_level, cfg.log_level).upper()
     logger = logging.getLogger(__package__ or "prometheus_pulsar_remote_write_spark")
     logger.setLevel(getattr(logging, py_level))
+    # this handler is the line format: letting records ALSO propagate to
+    # a root handler (logging.basicConfig anywhere in the process) would
+    # print every message twice
+    logger.propagate = False
 
     class _PromlogFormatter(logging.Formatter):
+        # the 'Z' designator must mean UTC: formatTime defaults to LOCAL
+        # time, which would mislabel every timestamp by the host's UTC
+        # offset on non-UTC machines (promlog emits genuine UTC)
+        converter = _time.gmtime
+
         def format(self, record):
             ts = self.formatTime(record, "%Y-%m-%dT%H:%M:%SZ")
             level = record.levelname.lower().replace("warning", "warn")

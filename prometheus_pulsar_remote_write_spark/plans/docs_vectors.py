@@ -1693,6 +1693,10 @@ def docs_phrase_search(spark, sf_dir):
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "w1", "w2")
         .limit(3)
+        # 3 rows, consumed TWICE (broadcast filter + final join):
+        # materialize once so the corpus-wide bigram aggregation behind
+        # it doesn't evaluate twice (the emb_nprobe_sweep sharing trick)
+        .localCheckpoint(eager=True)
     )
     toks = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
