@@ -2448,3 +2448,21 @@ def test_ttl_watermark_tolerates_cross_key_disorder(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ttl_disorder").collect()
     }
     assert (2, "view", "click") in got
+
+
+def test_interval_to_ms_parses_and_rejects():
+    """The watermark-widening helper must agree with Spark's interval
+    vocabulary for the forms the operators use, and reject garbage
+    loudly (a silently-misparsed delay would reintroduce the derived
+    -column watermark bug it exists to prevent)."""
+    import pytest
+
+    assert windows._interval_to_ms("0 seconds") == 0
+    assert windows._interval_to_ms("90 seconds") == 90_000
+    assert windows._interval_to_ms("1 hour") == 3_600_000
+    assert windows._interval_to_ms("2 hours 30 minutes") == 9_000_000
+    assert windows._interval_to_ms("interval 1 day") == 86_400_000
+    assert windows._interval_to_ms("500 milliseconds") == 500
+    for bad in ("", "1", "soon", "1 fortnight", "1 hour 30"):
+        with pytest.raises(ValueError):
+            windows._interval_to_ms(bad)
