@@ -100,7 +100,17 @@ def apply_logging(cfg: "AppConfig", spark: SparkSession | None = None):
                     },
                     separators=(",", ":"),
                 )
-            msg = record.getMessage().replace('"', '\\"')
+            # go-kit's logfmt encoder escapes backslashes and newlines
+            # too: a multi-line message would otherwise split into an
+            # unparseable second line, and a bare backslash makes the
+            # escaped quote ambiguous to logfmt parsers
+            msg = (
+                record.getMessage()
+                .replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+            )
             return f'ts={ts} level={level} caller={record.name} msg="{msg}"'
 
     handler = logging.StreamHandler()

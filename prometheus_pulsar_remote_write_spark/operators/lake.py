@@ -445,6 +445,32 @@ def apply_deletes(
     partitions are explicitly deleted via the Hadoop FileSystem so the
     erasure path holds even when a delete wipes out a whole partition."""
     part_cols = part_cols or ["tenant_id", "day"]
+    # partition values must round-trip as the EXACT on-disk strings:
+    # with type inference on, a string partition like tenant_id='007'
+    # reads back as int 7, the rewrite would emit a NEW 'tenant_id=7'
+    # directory, and the emptied-directory delete below would probe a
+    # name that does not exist -- silently resurrecting erased rows.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior_infer = spark.conf.get(infer_key, None)
+    spark.conf.set(infer_key, "false")
+    try:
+        return _apply_deletes_no_inference(
+            spark, path, deletes_path, key_cols, part_cols
+        )
+    finally:
+        if prior_infer is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, prior_infer)
+
+
+def _apply_deletes_no_inference(
+    spark: SparkSession,
+    path: str,
+    deletes_path: str,
+    key_cols: list[str],
+    part_cols: list[str],
+) -> list:
     base = spark.read.parquet(path)
     if not _path_exists(spark, deletes_path):
         return []

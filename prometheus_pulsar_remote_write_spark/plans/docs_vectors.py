@@ -1709,7 +1709,10 @@ def docs_phrase_search(spark, sf_dir):
     )
     p2 = postings.select(
         "doc_id", F.col("tok").alias("w2"), F.col("positions").alias("pos2")
-    )
+        # prune THIS leg by the broadcast terms too: joining the full
+        # postings relation on (doc_id, w2) would shuffle every (doc,
+        # term, positions) row in the corpus for a 3-phrase query
+    ).join(F.broadcast(phrases.select("w2").distinct()), "w2", "left_semi")
     matched = (
         p1.join(F.broadcast(phrases.select("w1", "w2")), "w1")
         .join(p2, ["doc_id", "w2"])

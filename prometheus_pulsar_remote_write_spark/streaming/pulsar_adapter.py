@@ -118,29 +118,58 @@ def make_pulsar_bus(topic: str, options: dict, source_factory=None) -> BrokerBus
         producer = client.create_producer(topic)
         result_ok = getattr(getattr(pulsar, "Result", None), "Ok", None)
 
+        import threading
+
         class _Producer:
             def __init__(self):
                 self._failures: list = []
+                self._pending = 0
+                self._cond = threading.Condition()
 
             def _on_delivery(self, result, msg_id) -> None:
                 # the SDK invokes this from its IO threads; a non-OK
                 # result is a lost message unless the batch replays
-                if isinstance(result, BaseException) or (
-                    result_ok is not None and result != result_ok
-                ):
-                    self._failures.append(result)
+                with self._cond:
+                    if isinstance(result, BaseException) or (
+                        result_ok is not None and result != result_ok
+                    ):
+                        self._failures.append(result)
+                    self._pending -= 1
+                    if self._pending <= 0:
+                        self._cond.notify_all()
 
             def send(self, key: str, payload: bytes) -> None:
                 # partition key == the reference's per-series FNV key, so
                 # one series lands on one partition (KeyShared contract)
+                with self._cond:
+                    self._pending += 1
                 producer.send_async(
                     payload, callback=self._on_delivery, partition_key=key
                 )
 
-            def flush(self) -> None:
+            def flush(self, timeout_s: float = 120.0) -> None:
                 producer.flush()
-                if self._failures:
+                # the SDK's flush() resolves its internal futures, but the
+                # PYTHON callbacks run on its listener threads with no
+                # happens-before against flush() returning -- a failed
+                # send could still be in flight at the check. Wait until
+                # every registered callback has fired; an unaccounted
+                # send after the timeout is treated as failed (replay
+                # beats silently acking a maybe-lost message).
+                with self._cond:
+                    deadline = threading.TIMEOUT_MAX
+                    ok = self._cond.wait_for(
+                        lambda: self._pending <= 0, timeout=min(timeout_s, deadline)
+                    )
                     failed, self._failures = self._failures, []
+                    still_pending, self._pending = self._pending, 0
+                if not ok:
+                    raise BrokerDeliveryError(
+                        f"{still_pending} send(s) unacknowledged after flush "
+                        f"({timeout_s}s); failing the micro-batch so it "
+                        "replays instead of acking maybe-lost messages"
+                    )
+                if failed:
                     raise BrokerDeliveryError(
                         f"{len(failed)} async send(s) failed delivery "
                         f"(first: {failed[0]!r}); failing the micro-batch "

@@ -630,3 +630,74 @@ def test_pulsar_adapter_pool_option_and_one_client_per_worker(monkeypatch):
     )
     make_pulsar_bus("metrics", options).sink().client_factory()
     assert calls_old["clients"] == [{"connection_timeout_ms": 30000}]
+
+
+def test_pulsar_adapter_flush_waits_for_async_callbacks(monkeypatch):
+    """Review round-8: the real SDK invokes Python delivery callbacks on
+    its own listener threads with no happens-before against flush()
+    returning -- a failed send still in flight at the check would let
+    the micro-batch commit and lose the message. flush() must WAIT for
+    every registered callback (and fail the batch if one never comes),
+    so a fake that delivers callbacks asynchronously after flush() must
+    still surface the failure."""
+    import sys
+    import threading
+    import time
+    import types
+
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.streaming.pulsar_adapter import (
+        BrokerDeliveryError,
+        make_pulsar_bus,
+    )
+
+    fake = types.ModuleType("pulsar")
+
+    class _Result:
+        Ok = "Ok"
+        Timeout = "Timeout"
+
+    class _Producer:
+        def __init__(self):
+            self.pending = []
+
+        def send_async(self, payload, callback=None, partition_key=None):
+            self.pending.append(callback)
+
+        def flush(self):
+            # deliver results ~50ms AFTER flush() returns, from another
+            # thread -- the race the adapter must absorb
+            cbs, self.pending = self.pending, []
+
+            def _later():
+                time.sleep(0.05)
+                for i, cb in enumerate(cbs):
+                    cb(_Result.Timeout if i == 0 else _Result.Ok, f"mid-{i}")
+
+            threading.Thread(target=_later, daemon=True).start()
+
+    class _Client:
+        def __init__(self, url, **kwargs):
+            pass
+
+        def create_producer(self, topic):
+            return _Producer()
+
+    fake.Client = _Client
+    fake.Result = _Result
+    fake.AuthenticationTLS = lambda cert, key: ("tls", cert, key)
+    monkeypatch.setitem(sys.modules, "pulsar", fake)
+
+    producer = make_pulsar_bus("t", {"url": "pulsar://b:6650"}).sink().client_factory()
+    producer.send("k1", b"p1")
+    producer.send("k2", b"p2")
+    with _pytest.raises(BrokerDeliveryError, match="1 async send"):
+        producer.flush()
+
+    # a callback that NEVER arrives must also fail the batch (replay
+    # beats silently acking a maybe-lost message), bounded by timeout
+    producer.send("k3", b"p3")
+    producer._pending += 1  # simulate one send whose callback is dropped
+    with _pytest.raises(BrokerDeliveryError, match="unacknowledged"):
+        producer.flush(timeout_s=0.3)

@@ -502,7 +502,9 @@ def test_equality_deletes_merge_on_read_and_compaction(spark, tmp_path):
     }
     assert untouched_before, "fixture needs more than one tenant"
     touched = apply_deletes(spark, lake, dels, ["tenant_id", "series_key"])
-    assert touched and all(t[0] == victim["tenant_id"] for t in touched)
+    # touched tuples carry the ON-DISK partition strings (inference is
+    # pinned off inside apply_deletes), so compare as strings
+    assert touched and all(str(t[0]) == str(victim["tenant_id"]) for t in touched)
     # physical rows gone, delete log cleared, untouched partitions' files intact
     assert spark.read.parquet(lake).count() == total - n_victim
     assert not os.path.exists(dels)
@@ -558,7 +560,7 @@ def test_apply_deletes_removes_fully_deleted_partitions(spark, tmp_path):
 
     write_equality_deletes(keys, dels, ["tenant_id", "series_key"])
     touched = apply_deletes(spark, lake, dels, ["tenant_id", "series_key"])
-    assert touched and all(t[0] == victim_tenant for t in touched)
+    assert touched and all(str(t[0]) == str(victim_tenant) for t in touched)
 
     after = spark.read.parquet(lake)
     assert after.count() == total - n_victim
@@ -573,4 +575,58 @@ def test_apply_deletes_removes_fully_deleted_partitions(spark, tmp_path):
     assert (
         read_with_deletes(spark, lake, dels, ["tenant_id", "series_key"]).count()
         == total - n_victim
+    )
+
+
+def test_apply_deletes_with_numeric_looking_string_partitions(spark, tmp_path):
+    """Erasure must hold when a STRING partition value looks numeric:
+    with partition type inference on, tenant_id='007' reads back as int
+    7, the rewrite would emit a NEW 'tenant_id=7' directory and the
+    emptied-directory probe would miss 'tenant_id=007' -- resurrecting
+    erased rows while the delete log vanishes. apply_deletes pins
+    inference off so partition values round-trip as the on-disk
+    strings."""
+    import os
+
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        apply_deletes,
+        write_equality_deletes,
+    )
+
+    lake = str(tmp_path / "lake")
+    dels = str(tmp_path / "deletes")
+    rows = [
+        ("007", 1, 10.0),
+        ("007", 2, 20.0),
+        ("042", 3, 30.0),
+        ("042", 4, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "tenant_id string, k long, v double")
+    df.write.partitionBy("tenant_id").parquet(lake)
+    assert os.path.exists(f"{lake}/tenant_id=007")
+
+    # erase ALL of tenant '007' (fully-emptied partition) and one row of
+    # '042' (partition rewrite path) in the same compaction
+    write_equality_deletes(
+        spark.createDataFrame([("007", 1), ("007", 2), ("042", 3)],
+                              "tenant_id string, k long"),
+        dels,
+        ["tenant_id", "k"],
+    )
+    touched = apply_deletes(
+        spark, lake, dels, ["tenant_id", "k"], part_cols=["tenant_id"]
+    )
+    assert sorted(touched) == [("007",), ("042",)]
+
+    assert not os.path.exists(f"{lake}/tenant_id=007"), "emptied dir survives"
+    assert not os.path.exists(f"{lake}/tenant_id=7"), "rewrite minted a renamed dir"
+    assert os.path.exists(f"{lake}/tenant_id=042"), "surviving dir renamed/lost"
+    after = spark.read.parquet(lake)
+    # a plain inference-on read coerces '042' -> 42; the DIRECTORY names
+    # above are the source of truth this test pins
+    assert [(str(r["tenant_id"]), r["k"]) for r in after.collect()] == [("42", 4)]
+    # inference conf restored for the rest of the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+        == "true"
     )

@@ -1618,6 +1618,11 @@ def test_log_flags_parse_apply_and_reject_unknown_values(capsys):
     assert abs(logged - _time.time()) < 120
     # and records must not ALSO propagate to a root handler (duplicates)
     assert logger.propagate is False
+    # backslashes and newlines escape like go-kit's logfmt encoder: a
+    # multi-line message must stay ONE parseable line
+    logger.warning("bad path C:\\x\nretrying")
+    line = capsys.readouterr().err.strip().splitlines()[-1]
+    assert line.endswith('msg="bad path C:\\\\x\\nretrying"')
 
     with pytest.raises(ValueError, match='unrecognized log level "chatty"'):
         parse_args(
