@@ -328,7 +328,10 @@ def stream_continuous_aggregate(
         # of silently degrading the upsert to a blind partition
         # overwrite that erases co-partitioned groups.
         if _path_exists(spark, path):
-            existing = spark.read.parquet(path).select(*batch.columns)
+            # on-disk partition strings, not inferred types: the keep
+            # side's rewrite must land in the SAME directories (see
+            # _read_parquet_no_inference)
+            existing = _read_parquet_no_inference(spark, path).select(*batch.columns)
             parts = [r[0] for r in batch.select(part_col).distinct().collect()]
             keep = (
                 existing.where(F.col(part_col).isin(parts))
@@ -377,6 +380,29 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path) and not fs.delete(jvm_path, True):
         raise IOError(f"Hadoop FileSystem failed to delete {path}")
+
+
+def _read_parquet_no_inference(spark: SparkSession, path: str):
+    """Read a partitioned table with partition values kept as the EXACT
+    on-disk strings. Any read-modify-write that reconstructs partition
+    directories (apply_deletes, the MV upsert) must use this: with type
+    inference on, a string partition like tenant_id='007' reads back as
+    int 7 and the rewrite mints a RENAMED 'tenant_id=7' directory next
+    to the original."""
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior = spark.conf.get(infer_key, None)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        # schema resolution happens at read creation; materialize the
+        # analyzed plan's schema before restoring the conf
+        df.schema
+        return df
+    finally:
+        if prior is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, prior)
 
 
 def _escape_partition_value(spark: SparkSession, value) -> str:
@@ -445,33 +471,11 @@ def apply_deletes(
     partitions are explicitly deleted via the Hadoop FileSystem so the
     erasure path holds even when a delete wipes out a whole partition."""
     part_cols = part_cols or ["tenant_id", "day"]
-    # partition values must round-trip as the EXACT on-disk strings:
-    # with type inference on, a string partition like tenant_id='007'
-    # reads back as int 7, the rewrite would emit a NEW 'tenant_id=7'
-    # directory, and the emptied-directory delete below would probe a
-    # name that does not exist -- silently resurrecting erased rows.
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prior_infer = spark.conf.get(infer_key, None)
-    spark.conf.set(infer_key, "false")
-    try:
-        return _apply_deletes_no_inference(
-            spark, path, deletes_path, key_cols, part_cols
-        )
-    finally:
-        if prior_infer is None:
-            spark.conf.unset(infer_key)
-        else:
-            spark.conf.set(infer_key, prior_infer)
-
-
-def _apply_deletes_no_inference(
-    spark: SparkSession,
-    path: str,
-    deletes_path: str,
-    key_cols: list[str],
-    part_cols: list[str],
-) -> list:
-    base = spark.read.parquet(path)
+    # partition values must round-trip as the EXACT on-disk strings
+    # (tenant_id='007' must not become int 7), or the rewrite mints a
+    # renamed directory and the emptied-dir probe below misses the real
+    # one -- silently resurrecting erased rows
+    base = _read_parquet_no_inference(spark, path)
     if not _path_exists(spark, deletes_path):
         return []
     dels = spark.read.parquet(deletes_path).select(*key_cols).distinct()

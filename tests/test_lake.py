@@ -630,3 +630,26 @@ def test_apply_deletes_with_numeric_looking_string_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
         == "true"
     )
+
+
+def test_read_parquet_no_inference_keeps_partition_strings(spark, tmp_path):
+    """The shared read helper behind apply_deletes and the MV upsert
+    must return partition values as the exact on-disk strings ('007'
+    stays '007'), and must restore the session's inference conf."""
+    from prometheus_pulsar_remote_write_spark.operators.lake import (
+        _read_parquet_no_inference,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("007", 1), ("42", 2)], "tenant_id string, k long"
+    ).write.partitionBy("tenant_id").parquet(p)
+
+    df = _read_parquet_no_inference(spark, p)
+    assert dict(df.dtypes)["tenant_id"] == "string"
+    assert sorted(r["tenant_id"] for r in df.select("tenant_id").collect()) == [
+        "007",
+        "42",
+    ]
+    # conf restored: a plain read infers int again
+    assert dict(spark.read.parquet(p).dtypes)["tenant_id"] in ("int", "bigint")
