@@ -1518,7 +1518,7 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
     )
 
 
-def path_trigram_stream(ev: DataFrame) -> DataFrame:
+def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Online 3-step journey extraction -- the streaming front end of
     events_batch.events_top_paths: each user's last TWO event types are
     the only state, and every arriving event with two predecessors
@@ -1529,7 +1529,13 @@ def path_trigram_stream(ev: DataFrame) -> DataFrame:
     dashboard is the same count-and-rank over either side. Downstream
     counting stays out of this operator -- chaining a second stateful
     aggregation after a state store is the one shape Structured
-    Streaming restricts."""
+    Streaming restricts.
+
+    ``idle_timeout_ms`` is the same bounded-state knob as on
+    transition_stream (journeys are session-scoped by nature): a user
+    idle past the event-time watermark horizon is evicted, and on
+    return the journey restarts -- the trigram bridging the gap is not
+    emitted. Default None keeps exact batch parity."""
     from typing import Iterator
 
     import pandas as pd
@@ -1556,6 +1562,11 @@ def path_trigram_stream(ev: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        cols = ["user_id", "path", "ts_us"]
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         p1, p2 = state.get if state.exists else (None, None)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         out = []
@@ -1571,19 +1582,34 @@ def path_trigram_stream(ev: DataFrame) -> DataFrame:
                     }
                 )
             p2, p1 = p1, etype
+            last_ts = int(ts_us)
         state.update((p1, p2))
-        yield pd.DataFrame(out, columns=["user_id", "path", "ts_us"])
+        if idle_timeout_ms is not None:
+            state.setTimeoutTimestamp(last_ts // 1000 + idle_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
 
-    keyed = ev.select(
+    # lateness tolerance == the idle horizon, same reasoning as the
+    # other TTL twins: a 0s watermark would drop cross-key disorder
+    src_df = (
+        ev
+        if idle_timeout_ms is None
+        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    )
+    keyed = src_df.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         "event_type",
+        *(["ts"] if idle_timeout_ms is not None else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         _paths,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )

@@ -2471,3 +2471,65 @@ def test_interval_to_ms_parses_and_rejects():
     for bad in ("", "1", "soon", "1 fortnight", "1 hour 30"):
         with pytest.raises(ValueError):
             windows._interval_to_ms(bad)
+
+
+def test_path_trigram_stream_idle_timeout(spark, tmp_path):
+    """Journey-TTL (round 8): an idle user's trigram state evicts past
+    the watermark horizon; on return the journey restarts, so no
+    trigram bridges the gap. Same contract as transition_stream's
+    knob."""
+    from datetime import datetime, timedelta
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    m = timedelta(minutes=1)
+    batches = [
+        [(1, 1, "view", base), (1, 2, "click", base + m), (1, 3, "view", base + 2 * m)],
+        [(2, 4, "view", base + 2 * hour)],
+        [(2, 5, "click", base + 4 * hour)],
+        # watermark-advancing batch with no user-1 data: eviction fires
+        [(2, 6, "view", base + 6 * hour)],
+        # user 1 returns: two fresh events, only ONE new trigram with
+        # no pre-gap types in it
+        [(1, 7, "purchase", base + 7 * hour),
+         (1, 8, "view", base + 7 * hour + m),
+         (1, 9, "click", base + 7 * hour + 2 * m)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.path_trigram_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_paths")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1
+    got = sorted(
+        (r["user_id"], r["path"])
+        for r in spark.sql("SELECT * FROM ttl_paths").collect()
+    )
+    # user 1 pre-gap trigram + post-gap trigram; nothing bridges user
+    # 1's gap. user 2 (never idle past the horizon) keeps its trigram.
+    assert got == [
+        (1, "purchase>view>click"),
+        (1, "view>click>view"),
+        (2, "view>click>view"),
+    ]
