@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def with_lake_columns(samples: DataFrame) -> DataFrame:
@@ -388,21 +389,44 @@ def _read_parquet_no_inference(spark: SparkSession, path: str):
     directories (apply_deletes, the MV upsert) must use this: with type
     inference on, a string partition like tenant_id='007' reads back as
     int 7 and the rewrite mints a RENAMED 'tenant_id=7' directory next
-    to the original."""
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prior = spark.conf.get(infer_key, None)
-    spark.conf.set(infer_key, "false")
-    try:
-        df = spark.read.parquet(path)
-        # schema resolution happens at read creation; materialize the
-        # analyzed plan's schema before restoring the conf
-        df.schema
-        return df
-    finally:
-        if prior is None:
-            spark.conf.unset(infer_key)
-        else:
-            spark.conf.set(infer_key, prior)
+    to the original.
+
+    Implemented by re-reading with a user-specified schema whose
+    partition columns are StringType -- partition parsing then keeps
+    the raw directory strings. No session-conf mutation: toggling the
+    inference conf around a read is not safe when two threads share the
+    session (one thread's restore races the other's read)."""
+    base = spark.read.parquet(path)
+    # partition columns are exactly the fields ABSENT from the data
+    # files (their values come from directory names, at any nesting
+    # depth) -- find one data file and diff schemas
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jvm_path, True)
+    file_fields: set | None = None
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            file_fields = set(
+                spark.read.parquet(p.toString()).schema.fieldNames()
+            )
+            break
+    if file_fields is None:
+        return base
+    part_names = set(base.schema.fieldNames()) - file_fields
+    if not part_names:
+        return base
+    pinned = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if f.name in part_names else f.dataType,
+                f.nullable,
+            )
+            for f in base.schema.fields
+        ]
+    )
+    return spark.read.schema(pinned).parquet(path)
 
 
 def _escape_partition_value(spark: SparkSession, value) -> str:

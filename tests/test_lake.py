@@ -635,21 +635,30 @@ def test_apply_deletes_with_numeric_looking_string_partitions(spark, tmp_path):
 def test_read_parquet_no_inference_keeps_partition_strings(spark, tmp_path):
     """The shared read helper behind apply_deletes and the MV upsert
     must return partition values as the exact on-disk strings ('007'
-    stays '007'), and must restore the session's inference conf."""
+    stays '007') at ANY partition nesting depth, without touching the
+    session's inference conf (a conf toggle races concurrent readers
+    sharing the session -- the helper pins a user schema instead)."""
     from prometheus_pulsar_remote_write_spark.operators.lake import (
         _read_parquet_no_inference,
     )
 
     p = str(tmp_path / "t")
     spark.createDataFrame(
-        [("007", 1), ("42", 2)], "tenant_id string, k long"
-    ).write.partitionBy("tenant_id").parquet(p)
+        [("007", "2024-01-01", 1), ("42", "2024-01-02", 2)],
+        "tenant_id string, day string, k long",
+    ).write.partitionBy("tenant_id", "day").parquet(p)
 
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior = spark.conf.get(infer_key)
     df = _read_parquet_no_inference(spark, p)
+    assert spark.conf.get(infer_key) == prior  # never mutated
     assert dict(df.dtypes)["tenant_id"] == "string"
-    assert sorted(r["tenant_id"] for r in df.select("tenant_id").collect()) == [
-        "007",
-        "42",
-    ]
-    # conf restored: a plain read infers int again
+    assert dict(df.dtypes)["day"] == "string"  # nested level pinned too
+    assert sorted(
+        (r["tenant_id"], r["day"]) for r in df.select("tenant_id", "day").collect()
+    ) == [("007", "2024-01-01"), ("42", "2024-01-02")]
+    # data columns keep their file types
+    assert dict(df.dtypes)["k"] == "bigint"
+    # a plain read still infers (int tenant, date day) -- the helper is
+    # per-read, not a session-wide behavior change
     assert dict(spark.read.parquet(p).dtypes)["tenant_id"] in ("int", "bigint")
