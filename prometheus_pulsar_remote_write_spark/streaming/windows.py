@@ -1112,6 +1112,79 @@ def seasonal_anomaly_stream(ev: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
+
+
+def _keyed_fold_stream(
+    ev: DataFrame,
+    *,
+    key_cols: list,
+    select_cols: list,
+    sort_cols: list,
+    fold,
+    out_schema,
+    state_schema,
+    idle_timeout_ms: int | None,
+):
+    """Shared plumbing for the per-key fold twins (transition, scrape
+    gap, trigram, funnel): sort-within-batch, state carry, and the
+    optional idle-TTL contract live HERE so the operators stay in
+    lockstep. ``fold(key, pdf, prior_state) -> (rows, new_state,
+    last_ts_ms)`` is the only per-operator logic.
+
+    TTL semantics (idle_timeout_ms set): the input watermarks ``ts``
+    with lateness == the horizon (a 0s watermark would drop cross-key
+    disorder -- keys are skewed in time, so one key's fresh event must
+    not make another key's slightly-older rows late), the grouped
+    relation carries the watermarked column (EventTimeTimeout requires
+    it; the default path stays byte-identical without it), and a key
+    idle past last_ts + horizon is evicted -- the store holds the
+    recently-active key set instead of every key ever seen."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = [f.name for f in out_schema.fields]
+    n_state = len(state_schema.fields)
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # watermark passed last_ts + horizon with no new events:
+            # drop the key so the store tracks only active keys
+            state.remove()
+            yield pd.DataFrame([], columns=out_cols)
+            return
+        prior = tuple(state.get) if state.exists else (None,) * n_state
+        pdf = pd.concat(list(pdfs)).sort_values(sort_cols)
+        out, new_state, last_ts_ms = fold(key, pdf, prior)
+        state.update(tuple(new_state))
+        if idle_timeout_ms is not None:
+            state.setTimeoutTimestamp(int(last_ts_ms) + idle_timeout_ms)
+        yield pd.DataFrame(out, columns=out_cols)
+
+    src_df = (
+        ev
+        if idle_timeout_ms is None
+        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    )
+    keyed = src_df.select(
+        *select_cols, *(["ts"] if idle_timeout_ms is not None else [])
+    )
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
+    )
+
+
 def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Online per-user transition extraction -- the streaming front end
     of events_markov_transitions: each user's LAST event type is the
@@ -1135,11 +1208,7 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     timeline, so the one transition spanning the gap is not emitted
     (exactly the pair a session-scoped analysis excludes anyway).
     Default None keeps the exact batch-parity semantics."""
-    from typing import Iterator
-
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -1151,29 +1220,14 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     )
     # only the previous event TYPE is ever read back; persisting the
     # (ts, event_id) pair too would be dead bytes in every key of the
-    # very store the TTL knob exists to bound (ordering uses the input
-    # rows, and the timeout timestamp is store-managed)
-    state_schema = T.StructType(
-        [T.StructField("last_type", T.StringType(), True)]
-    )
+    # very store the TTL knob exists to bound
+    state_schema = T.StructType([T.StructField("last_type", T.StringType(), True)])
 
-    def _transitions(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         (user_id,) = key
-        cols = ["user_id", "prev_type", "next_type", "ts_us"]
-        if idle_timeout_ms is not None and state.hasTimedOut:
-            # watermark passed last_ts + horizon with no new events:
-            # drop the key so the store tracks only active users
-            state.remove()
-            yield pd.DataFrame([], columns=cols)
-            return
-        (last_type,) = state.get if state.exists else (None,)
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-        out = []
-        for ts_us, event_id, etype in zip(
-            pdf["ts_us"], pdf["event_id"], pdf["event_type"]
-        ):
+        (last_type,) = prior
+        out, last_ts = [], 0
+        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
             if last_type is not None:
                 out.append(
                     {
@@ -1185,41 +1239,24 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
                 )
             last_type = etype
             last_ts = int(ts_us)
-        state.update((last_type,))
-        if idle_timeout_ms is not None:
-            state.setTimeoutTimestamp(last_ts // 1000 + idle_timeout_ms)
-        yield pd.DataFrame(out, columns=cols)
+        return out, (last_type,), last_ts // 1000
 
-    # lateness tolerance == the idle horizon: a 0s watermark would
-    # silently drop any event out of order ACROSS keys (keys are skewed
-    # in time, so a global max-ts watermark guarantees cross-key drops);
-    # rows later than the horizon are exactly the ones whose key may
-    # already be evicted, so the horizon is the honest bound
-    src = (
-        ev
-        if idle_timeout_ms is None
-        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    return _keyed_fold_stream(
+        ev,
+        key_cols=["user_id"],
+        select_cols=[
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        idle_timeout_ms=idle_timeout_ms,
     )
-    keyed = src.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
-        # EventTimeTimeout needs the watermarked column in the grouped
-        # relation; the default path stays byte-identical without it
-        *(["ts"] if idle_timeout_ms is not None else []),
-    )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _transitions,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if idle_timeout_ms is None
-            else GroupStateTimeout.EventTimeTimeout
-        ),
-    )
+
 
 
 def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
@@ -1241,11 +1278,7 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     after the horizon starts fresh, so the one gap row spanning the
     eviction is not emitted (it is a new series incarnation, not a late
     scrape). Default None keeps exact batch parity."""
-    from typing import Iterator
-
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -1258,25 +1291,13 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     # only the previous timestamp is read back (the gap arithmetic);
     # the event_id tiebreak orders rows WITHIN a batch and never needs
     # to persist
-    state_schema = T.StructType(
-        [T.StructField("last_ts_ms", T.LongType(), True)]
-    )
+    state_schema = T.StructType([T.StructField("last_ts_ms", T.LongType(), True)])
 
-    def _gaps(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         tenant_id, name = key
-        cols = ["tenant_id", "name", "gap_ms", "ts_ms"]
-        if idle_timeout_ms is not None and state.hasTimedOut:
-            # series silent past the horizon: drop it, like Prometheus
-            # staleness -- the store tracks live series, not all ever
-            state.remove()
-            yield pd.DataFrame([], columns=cols)
-            return
-        (last_ts,) = state.get if state.exists else (None,)
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        (last_ts,) = prior
         out = []
-        for ts_ms, event_id in zip(pdf["ts_ms"], pdf["event_id"]):
+        for ts_ms in pdf["ts_ms"]:
             if last_ts is not None:
                 out.append(
                     {
@@ -1287,43 +1308,25 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
                     }
                 )
             last_ts = int(ts_ms)
-        state.update((last_ts,))
-        if idle_timeout_ms is not None:
-            state.setTimeoutTimestamp(last_ts + idle_timeout_ms)
-        yield pd.DataFrame(out, columns=cols)
+        return out, (last_ts,), last_ts
 
-    # lateness tolerance == the idle horizon: a 0s watermark would
-    # silently drop any event out of order ACROSS keys (keys are skewed
-    # in time, so a global max-ts watermark guarantees cross-key drops);
-    # rows later than the horizon are exactly the ones whose key may
-    # already be evicted, so the horizon is the honest bound
-    src = (
-        ev
-        if idle_timeout_ms is None
-        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
-    )
-    keyed = src.select(
-        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
-        F.col("event_type").alias("name"),
-        (
-            F.unix_timestamp("ts") * 1000
-            + F.date_format("ts", "SSS").cast("long")
-        ).alias("ts_ms"),
-        "event_id",
-        # EventTimeTimeout needs the watermarked column in the grouped
-        # relation; the default path stays byte-identical without it
-        *(["ts"] if idle_timeout_ms is not None else []),
-    )
-    return keyed.groupBy("tenant_id", "name").applyInPandasWithState(
-        _gaps,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if idle_timeout_ms is None
-            else GroupStateTimeout.EventTimeTimeout
-        ),
+    return _keyed_fold_stream(
+        ev,
+        key_cols=["tenant_id", "name"],
+        select_cols=[
+            (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+            F.col("event_type").alias("name"),
+            (
+                F.unix_timestamp("ts") * 1000
+                + F.date_format("ts", "SSS").cast("long")
+            ).alias("ts_ms"),
+            "event_id",
+        ],
+        sort_cols=["ts_ms", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        idle_timeout_ms=idle_timeout_ms,
     )
 
 
@@ -1434,6 +1437,7 @@ def transition_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> 
     )
 
 
+
 def funnel_stream(ev: DataFrame) -> DataFrame:
     """Online ordered-stage funnel -- the streaming front end of
     events_batch.events_funnel_conversion: per user the ONLY state is
@@ -1452,11 +1456,7 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
     audience is the stage-2-minus-stage-3 set of the emitted rows at
     any moment. State is three longs per user -- bounded by |users|,
     the same bound the batch entry's per-stage aggregates shuffle."""
-    from typing import Iterator
-
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -1475,12 +1475,9 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
     )
     stage_of = {"view": 1, "click": 2, "purchase": 3}
 
-    def _funnel(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         (user_id,) = key
-        t1, t2, t3 = state.get if state.exists else (None, None, None)
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        t1, t2, t3 = prior
         out = []
         for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
@@ -1500,21 +1497,22 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
                     "ts_us": ts_us,
                 }
             )
-        state.update((t1, t2, t3))
-        yield pd.DataFrame(out, columns=["user_id", "stage", "event_type", "ts_us"])
+        return out, (t1, t2, t3), 0
 
-    keyed = ev.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _funnel,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _keyed_fold_stream(
+        ev,
+        key_cols=["user_id"],
+        select_cols=[
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        idle_timeout_ms=None,
     )
 
 
@@ -1536,11 +1534,7 @@ def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Da
     idle past the event-time watermark horizon is evicted, and on
     return the journey restarts -- the trigram bridging the gap is not
     emitted. Default None keeps exact batch parity."""
-    from typing import Iterator
-
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -1558,21 +1552,11 @@ def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Da
         ]
     )
 
-    def _paths(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         (user_id,) = key
-        cols = ["user_id", "path", "ts_us"]
-        if idle_timeout_ms is not None and state.hasTimedOut:
-            state.remove()
-            yield pd.DataFrame([], columns=cols)
-            return
-        p1, p2 = state.get if state.exists else (None, None)
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-        out = []
-        for ts_us, event_id, etype in zip(
-            pdf["ts_us"], pdf["event_id"], pdf["event_type"]
-        ):
+        p1, p2 = prior
+        out, last_ts = [], 0
+        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
             if p2 is not None:
                 out.append(
                     {
@@ -1583,33 +1567,20 @@ def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Da
                 )
             p2, p1 = p1, etype
             last_ts = int(ts_us)
-        state.update((p1, p2))
-        if idle_timeout_ms is not None:
-            state.setTimeoutTimestamp(last_ts // 1000 + idle_timeout_ms)
-        yield pd.DataFrame(out, columns=cols)
+        return out, (p1, p2), last_ts // 1000
 
-    # lateness tolerance == the idle horizon, same reasoning as the
-    # other TTL twins: a 0s watermark would drop cross-key disorder
-    src_df = (
-        ev
-        if idle_timeout_ms is None
-        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
-    )
-    keyed = src_df.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
-        *(["ts"] if idle_timeout_ms is not None else []),
-    )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _paths,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if idle_timeout_ms is None
-            else GroupStateTimeout.EventTimeTimeout
-        ),
+    return _keyed_fold_stream(
+        ev,
+        key_cols=["user_id"],
+        select_cols=[
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        idle_timeout_ms=idle_timeout_ms,
     )
