@@ -39,19 +39,11 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED = [
-    # round 8: the global-ntile family rewritten onto the distributed
-    # two-phase ranking operator (operators/ranking.py) -- same results,
-    # no single-partition window
-    "customer_rfm_segments",
-    "customer_pareto_curve",
-    "docs_perplexity_sample",
-    "docs_vocab_growth",
-    # new in round 8
-    "emb_nprobe_sweep",       # ANN recall-vs-cost tuning curve
-    "multimodal_dhash_neardup",  # Hamming-LSH image near-dup pairs
-    "orders_open_backlog",    # cumulative-flow open-order curve
-    "docs_phrase_search",     # positional-index phrase matching
-    "docs_hard_negatives",    # contrastive hard-negative mining
+    # round 9: no batch-plan rewrites touch catalog entries (the round's
+    # code changes are streaming-twin vectorization + TWS parity, which
+    # are pytest-verified, and bench harness output) -- so every window
+    # slot goes to the stalest tail: the 27 entries whose latest green
+    # driver record is still r4, then the r5 cohort.
 ]
 
 
