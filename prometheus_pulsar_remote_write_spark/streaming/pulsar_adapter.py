@@ -143,9 +143,21 @@ def make_pulsar_bus(topic: str, options: dict, source_factory=None) -> BrokerBus
                 # one series lands on one partition (KeyShared contract)
                 with self._cond:
                     self._pending += 1
-                producer.send_async(
-                    payload, callback=self._on_delivery, partition_key=key
-                )
+                try:
+                    producer.send_async(
+                        payload, callback=self._on_delivery, partition_key=key
+                    )
+                except BaseException:
+                    # a synchronous send_async failure never invokes the
+                    # callback: un-count it, or the cached producer's next
+                    # flush() blocks the full timeout and reports a
+                    # misleading "unacknowledged sends" error on top of
+                    # the real one raised here
+                    with self._cond:
+                        self._pending -= 1
+                        if self._pending <= 0:
+                            self._cond.notify_all()
+                    raise
 
             def flush(self, timeout_s: float = 120.0) -> None:
                 producer.flush()

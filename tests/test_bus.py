@@ -575,6 +575,61 @@ def test_pulsar_adapter_failed_delivery_fails_the_flush(monkeypatch):
     assert calls2["flushed"] == 1
 
 
+def test_pulsar_adapter_sync_send_failure_does_not_leak_pending(monkeypatch):
+    """ADVICE round-8 (low): _pending is incremented before send_async;
+    a SYNCHRONOUS send_async raise never invokes the delivery callback,
+    so without the un-count the cached producer's next flush() would
+    block its full timeout and raise a misleading 'unacknowledged
+    send(s)' error instead of the real one. The counter must roll back
+    before the original exception propagates."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.streaming.pulsar_adapter import (
+        make_pulsar_bus,
+    )
+
+    fake = types.ModuleType("pulsar")
+
+    class _Result:
+        Ok = "Ok"
+
+    class _Producer:
+        def __init__(self):
+            self.calls = 0
+
+        def send_async(self, payload, callback=None, partition_key=None):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("producer queue full")
+            callback(_Result.Ok, f"mid-{self.calls}")
+
+        def flush(self):
+            pass
+
+    class _Client:
+        def __init__(self, url, **kwargs):
+            pass
+
+        def create_producer(self, topic):
+            return _Producer()
+
+    fake.Client = _Client
+    fake.Result = _Result
+    fake.AuthenticationTLS = lambda cert, key: ("tls", cert, key)
+    monkeypatch.setitem(sys.modules, "pulsar", fake)
+
+    producer = make_pulsar_bus("t", {"url": "pulsar://b:6650"}).sink().client_factory()
+    with _pytest.raises(RuntimeError, match="queue full"):
+        producer.send("k1", b"p1")
+    # the replayed batch reuses the cached producer: a leaked counter
+    # would make this flush wait timeout_s then report 1 unacknowledged
+    producer.send("k2", b"p2")
+    producer.flush(timeout_s=0.5)  # must return promptly and clean
+
+
 def test_pulsar_adapter_tls_cert_without_key_is_a_config_error():
     """ADVICE round-7 (low): --pulsar.client-certificate without
     --pulsar.client-key must raise a clear ValueError at bus-build time
