@@ -1113,7 +1113,6 @@ def seasonal_anomaly_stream(ev: DataFrame, baseline: DataFrame) -> DataFrame:
 
 
 
-
 def _keyed_fold_stream(
     ev: DataFrame,
     *,
@@ -1129,7 +1128,9 @@ def _keyed_fold_stream(
     gap, trigram, funnel): sort-within-batch, state carry, and the
     optional idle-TTL contract live HERE so the operators stay in
     lockstep. ``fold(key, pdf, prior_state) -> (rows, new_state,
-    last_ts_ms)`` is the only per-operator logic.
+    last_ts_ms)`` is the only per-operator logic; ``rows`` may be a
+    list of dicts or a pandas DataFrame (the vectorized folds build
+    the frame directly -- no per-row Python in the hot path).
 
     TTL semantics (idle_timeout_ms set): the input watermarks ``ts``
     with lateness == the horizon (a 0s watermark would drop cross-key
@@ -1158,11 +1159,17 @@ def _keyed_fold_stream(
             return
         prior = tuple(state.get) if state.exists else (None,) * n_state
         pdf = pd.concat(list(pdfs)).sort_values(sort_cols)
+        if pdf.empty:  # never observed from the runtime; keep the fold total
+            yield pd.DataFrame([], columns=out_cols)
+            return
         out, new_state, last_ts_ms = fold(key, pdf, prior)
         state.update(tuple(new_state))
         if idle_timeout_ms is not None:
             state.setTimeoutTimestamp(int(last_ts_ms) + idle_timeout_ms)
-        yield pd.DataFrame(out, columns=out_cols)
+        if isinstance(out, pd.DataFrame):
+            yield out.loc[:, out_cols]
+        else:
+            yield pd.DataFrame(out, columns=out_cols)
 
     src_df = (
         ev
@@ -1182,6 +1189,168 @@ def _keyed_fold_stream(
             if idle_timeout_ms is None
             else GroupStateTimeout.EventTimeTimeout
         ),
+    )
+
+
+def _keyed_fold_stream_tws(
+    ev: DataFrame,
+    *,
+    key_cols: list,
+    select_cols: list,
+    sort_cols: list,
+    fold,
+    out_schema,
+    state_schema,
+    idle_timeout_ms: int | None,
+):
+    """``_keyed_fold_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API: the SAME fold drives both scaffolds -- the carried tuple lives
+    in a typed ValueState (the API long-lived jobs want for state-schema
+    evolution) and the idle-TTL contract is an explicit per-key
+    EVENT-TIME TIMER (registerTimer at last_ts + horizon, re-armed on
+    every arrival, expiry clears the state) -- the lifecycle
+    GroupStateTimeout folds into one enum, spelled out in the new API's
+    native vocabulary. Emissions are identical by construction and the
+    tests pin both APIs equal to the batch extraction. Requires the
+    RocksDB state store provider (typed state variables are column
+    families; the HDFS-backed provider refuses them)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_cols = [f.name for f in out_schema.fields]
+    n_state = len(state_schema.fields)
+
+    class _Fold(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("fold_state", state_schema)
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            st = self._state.get()
+            prior = tuple(st) if st is not None else (None,) * n_state
+            pdf = pd.concat(list(rows)).sort_values(sort_cols)
+            if pdf.empty:
+                yield pd.DataFrame([], columns=out_cols)
+                return
+            out, new_state, last_ts_ms = fold(key, pdf, prior)
+            self._state.update(tuple(new_state))
+            if idle_timeout_ms is not None:
+                # one live timer per key: re-arm at the new horizon
+                for old in self._handle.listTimers():
+                    self._handle.deleteTimer(old)
+                self._handle.registerTimer(int(last_ts_ms) + idle_timeout_ms)
+            if isinstance(out, pd.DataFrame):
+                yield out.loc[:, out_cols]
+            else:
+                yield pd.DataFrame(out, columns=out_cols)
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            # idle past the horizon: clear the carried state so the
+            # store tracks only recently-active keys
+            self._state.clear()
+            yield pd.DataFrame([], columns=out_cols)
+
+        def close(self) -> None:
+            pass
+
+    # lateness tolerance == the idle horizon: a 0s watermark would
+    # silently drop any event out of order ACROSS keys (keys are skewed
+    # in time, so a global max-ts watermark guarantees cross-key drops);
+    # rows later than the horizon are exactly the ones whose key may
+    # already be evicted, so the horizon is the honest bound
+    src_df = (
+        ev
+        if idle_timeout_ms is None
+        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
+    )
+    keyed = src_df.select(
+        *select_cols, *(["ts"] if idle_timeout_ms is not None else [])
+    )
+    return keyed.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_Fold(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none" if idle_timeout_ms is None else "eventTime",
+    )
+
+
+def _transition_fold_kwargs() -> dict:
+    """Fold spec shared by ``transition_stream`` and its TWS twin: each
+    user's LAST event type is the only state, and every arriving event
+    with a predecessor emits one (prev_type, next_type) row."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("prev_type", T.StringType(), False),
+            T.StructField("next_type", T.StringType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+        ]
+    )
+    # only the previous event TYPE is ever read back; persisting the
+    # (ts, event_id) pair too would be dead bytes in every key of the
+    # very store the TTL knob exists to bound
+    state_schema = T.StructType([T.StructField("last_type", T.StringType(), True)])
+
+    def _fold(key, pdf, prior):
+        # vectorized shift-fold on numpy views: prev[i] = type[i-1] with
+        # the carried last event seeding row 0 -- per-batch cost is a
+        # few array ops + one frame build, not a per-row Python loop (a
+        # hot key seeing thousands of rows per micro-batch folds at
+        # columnar speed; scripts/bench_fold.py tracks the ratio)
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        (last_type,) = prior
+        et = pdf["event_type"].to_numpy()
+        ts_us = pdf["ts_us"].to_numpy()
+        if last_type is None:
+            # no carried predecessor: row 0 emits nothing
+            out = pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "prev_type": et[:-1],
+                    "next_type": et[1:],
+                    "ts_us": ts_us[1:],
+                }
+            )
+        else:
+            prev = np.empty(len(et), dtype=object)
+            prev[0] = last_type
+            prev[1:] = et[:-1]
+            out = pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "prev_type": prev,
+                    "next_type": et,
+                    "ts_us": ts_us,
+                }
+            )
+        return out, (et[-1],), int(ts_us[-1]) // 1000
+
+    return dict(
+        key_cols=["user_id"],
+        select_cols=[
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
     )
 
 
@@ -1208,76 +1377,32 @@ def transition_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     timeline, so the one transition spanning the gap is not emitted
     (exactly the pair a session-scoped analysis excludes anyway).
     Default None keeps the exact batch-parity semantics."""
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType(), False),
-            T.StructField("prev_type", T.StringType(), False),
-            T.StructField("next_type", T.StringType(), False),
-            T.StructField("ts_us", T.LongType(), False),
-        ]
-    )
-    # only the previous event TYPE is ever read back; persisting the
-    # (ts, event_id) pair too would be dead bytes in every key of the
-    # very store the TTL knob exists to bound
-    state_schema = T.StructType([T.StructField("last_type", T.StringType(), True)])
-
-    def _fold(key, pdf, prior):
-        (user_id,) = key
-        (last_type,) = prior
-        out, last_ts = [], 0
-        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-            if last_type is not None:
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "prev_type": last_type,
-                        "next_type": etype,
-                        "ts_us": int(ts_us),
-                    }
-                )
-            last_type = etype
-            last_ts = int(ts_us)
-        return out, (last_type,), last_ts // 1000
-
     return _keyed_fold_stream(
-        ev,
-        key_cols=["user_id"],
-        select_cols=[
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_id",
-            "event_type",
-        ],
-        sort_cols=["ts_us", "event_id"],
-        fold=_fold,
-        out_schema=out_schema,
-        state_schema=state_schema,
-        idle_timeout_ms=idle_timeout_ms,
+        ev, idle_timeout_ms=idle_timeout_ms, **_transition_fold_kwargs()
     )
 
 
+def transition_stream_tws(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``transition_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same fold, see ``_keyed_fold_stream_tws``): kept alongside the
+    ``applyInPandasWithState`` twin the same way the D1 batcher keeps
+    both (streaming/batcher.py tws_batches) -- the two state APIs are
+    the only part that differs, and the tests pin them equal. Without a
+    TTL there are no timers (timeMode='none'); with one, a per-key
+    event-time timer re-arms on every arrival and its expiry clears the
+    ValueState. Same documented trade: the transition spanning an
+    evicted gap is not emitted."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_transition_fold_kwargs()
+    )
 
-def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
-    """Online scrape-interval extraction -- the streaming front end of
-    consume_scrape_gaps: per series (tenant, metric name) the only
-    state is the last sample's timestamp, and every arriving sample
-    emits one interval row (gap_ms since the previous sample). The drained union is exactly the batch lag() interval
-    extraction, so the staleness report (median cadence, >2x-median
-    late counts) derives from these rows by the same aggregation. The
-    live-ops use: alert on a gap the moment the sample AFTER it
-    arrives, instead of on the next batch report.
 
-    ``idle_timeout_ms`` is the series-churn knob: metrics state is the
-    one that actually explodes in a long-lived deployment (label churn
-    mints new series forever; most never report again), so with the
-    horizon set, a series silent past the event-time watermark by more
-    than it is EVICTED -- the same lifecycle decision Prometheus itself
-    makes when it marks a series stale. The trade: a series returning
-    after the horizon starts fresh, so the one gap row spanning the
-    eviction is not emitted (it is a new series incarnation, not a late
-    scrape). Default None keeps exact batch parity."""
+def _scrape_gap_fold_kwargs() -> dict:
+    """Fold spec shared by ``scrape_gap_stream`` and its TWS twin: per
+    series (tenant, metric name) the only state is the last sample's
+    timestamp; every arriving sample emits one interval row."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -1294,24 +1419,40 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
     state_schema = T.StructType([T.StructField("last_ts_ms", T.LongType(), True)])
 
     def _fold(key, pdf, prior):
+        # vectorized shift-fold: gap[i] = ts[i] - ts[i-1] with the
+        # carried last timestamp seeding row 0 -- pure int64 array ops,
+        # no per-row Python (scripts/bench_fold.py tracks the ratio)
+        import numpy as np
+        import pandas as pd
+
         tenant_id, name = key
         (last_ts,) = prior
-        out = []
-        for ts_ms in pdf["ts_ms"]:
-            if last_ts is not None:
-                out.append(
-                    {
-                        "tenant_id": tenant_id,
-                        "name": name,
-                        "gap_ms": int(ts_ms) - int(last_ts),
-                        "ts_ms": int(ts_ms),
-                    }
-                )
-            last_ts = int(ts_ms)
-        return out, (last_ts,), last_ts
+        ts = pdf["ts_ms"].to_numpy()
+        if last_ts is None:
+            out = pd.DataFrame(
+                {
+                    "tenant_id": tenant_id,
+                    "name": name,
+                    "gap_ms": ts[1:] - ts[:-1],
+                    "ts_ms": ts[1:],
+                }
+            )
+        else:
+            prev = np.empty_like(ts)
+            prev[0] = last_ts
+            prev[1:] = ts[:-1]
+            out = pd.DataFrame(
+                {
+                    "tenant_id": tenant_id,
+                    "name": name,
+                    "gap_ms": ts - prev,
+                    "ts_ms": ts,
+                }
+            )
+        new_last = int(ts[-1])
+        return out, (new_last,), new_last
 
-    return _keyed_fold_stream(
-        ev,
+    return dict(
         key_cols=["tenant_id", "name"],
         select_cols=[
             (F.col("user_id") % 10).cast("string").alias("tenant_id"),
@@ -1326,136 +1467,54 @@ def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Data
         fold=_fold,
         out_schema=out_schema,
         state_schema=state_schema,
-        idle_timeout_ms=idle_timeout_ms,
     )
 
 
-def transition_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
-    """``transition_stream`` on the Spark-4
-    ``transformWithStateInPandas`` API: the per-user last event is a
-    TYPED ValueState (the API long-lived jobs want for state-schema
-    evolution), emissions are identical. Kept alongside the
-    ``applyInPandasWithState`` twin the same way the D1 batcher keeps
-    both (streaming/batcher.py tws_batches) -- the two state APIs are
-    the only part that differs, and the tests pin them equal. Without a
-    TTL there are no timers (timeMode='none').
+def scrape_gap_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Online scrape-interval extraction -- the streaming front end of
+    consume_scrape_gaps: per series (tenant, metric name) the only
+    state is the last sample's timestamp, and every arriving sample
+    emits one interval row (gap_ms since the previous sample). The
+    drained union is exactly the batch lag() interval
+    extraction, so the staleness report (median cadence, >2x-median
+    late counts) derives from these rows by the same aggregation. The
+    live-ops use: alert on a gap the moment the sample AFTER it
+    arrives, instead of on the next batch report.
 
-    ``idle_timeout_ms`` is the same bounded-state knob as on
-    ``transition_stream``, expressed in this API's native vocabulary: a
-    per-key EVENT-TIME TIMER (registerTimer at last_ts + horizon,
-    re-registered on every arrival) whose expiry callback clears the
-    ValueState -- the explicit timer lifecycle the old API folds into
-    GroupStateTimeout. Same documented trade: the transition spanning an
-    evicted gap is not emitted."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType(), False),
-            T.StructField("prev_type", T.StringType(), False),
-            T.StructField("next_type", T.StringType(), False),
-            T.StructField("ts_us", T.LongType(), False),
-        ]
-    )
-    out_cols = [f.name for f in out_schema.fields]
-
-    class _Transitions(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._handle = handle
-            self._last = handle.getValueState("last", "last_type string")
-
-        def handleInputRows(
-            self, key, rows: Iterator[pd.DataFrame], timerValues
-        ) -> Iterator[pd.DataFrame]:
-            (user_id,) = key
-            st = self._last.get()
-            last_type = st[0] if st else None
-            pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
-            out = []
-            for ts_us, event_id, etype in zip(
-                pdf["ts_us"], pdf["event_id"], pdf["event_type"]
-            ):
-                if last_type is not None:
-                    out.append(
-                        {
-                            "user_id": user_id,
-                            "prev_type": last_type,
-                            "next_type": etype,
-                            "ts_us": int(ts_us),
-                        }
-                    )
-                last_type = etype
-                last_ts = int(ts_us)
-            self._last.update((last_type,))
-            if idle_timeout_ms is not None:
-                # one live timer per key: re-arm at the new horizon
-                for old in self._handle.listTimers():
-                    self._handle.deleteTimer(old)
-                self._handle.registerTimer(last_ts // 1000 + idle_timeout_ms)
-            yield pd.DataFrame(out, columns=out_cols)
-
-        def handleExpiredTimer(
-            self, key, timerValues, expiredTimerInfo
-        ) -> Iterator[pd.DataFrame]:
-            # idle past the horizon: clear the timeline so the store
-            # tracks only recently-active users
-            self._last.clear()
-            yield pd.DataFrame([], columns=out_cols)
-
-        def close(self) -> None:
-            pass
-
-    # lateness tolerance == the idle horizon: a 0s watermark would
-    # silently drop any event out of order ACROSS keys (keys are skewed
-    # in time, so a global max-ts watermark guarantees cross-key drops);
-    # rows later than the horizon are exactly the ones whose key may
-    # already be evicted, so the horizon is the honest bound
-    src = (
-        ev
-        if idle_timeout_ms is None
-        else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
-    )
-    keyed = src.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
-        *(["ts"] if idle_timeout_ms is not None else []),
-    )
-    return keyed.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_Transitions(),
-        outputStructType=out_schema,
-        outputMode="append",
-        timeMode="none" if idle_timeout_ms is None else "eventTime",
+    ``idle_timeout_ms`` is the series-churn knob: metrics state is the
+    one that actually explodes in a long-lived deployment (label churn
+    mints new series forever; most never report again), so with the
+    horizon set, a series silent past the event-time watermark by more
+    than it is EVICTED -- the same lifecycle decision Prometheus itself
+    makes when it marks a series stale. The trade: a series returning
+    after the horizon starts fresh, so the one gap row spanning the
+    eviction is not emitted (it is a new series incarnation, not a late
+    scrape). Default None keeps exact batch parity."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=idle_timeout_ms, **_scrape_gap_fold_kwargs()
     )
 
 
+def scrape_gap_stream_tws(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``scrape_gap_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same fold, see ``_keyed_fold_stream_tws``): the last-sample
+    timestamp is a typed ValueState; the series-churn TTL becomes a
+    per-key event-time timer whose expiry drops the series -- the
+    Prometheus staleness lifecycle in the new API's vocabulary."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_scrape_gap_fold_kwargs()
+    )
 
-def funnel_stream(ev: DataFrame) -> DataFrame:
-    """Online ordered-stage funnel -- the streaming front end of
-    events_batch.events_funnel_conversion: per user the ONLY state is
-    the three stage timestamps (first 'view', first 'click' strictly
-    after it, first 'purchase' strictly after that), and a row is
-    emitted the moment a user newly reaches a stage. Counting emitted
-    rows per stage reproduces the batch entry's per-stage user counts
-    exactly, because under per-key event-time-ordered delivery (the
-    KeyShared contract the bus provides; the batch-twin tests replay
-    ts-ordered files) the greedy fold IS the batch min()-chain: the
-    first qualifying arrival per stage is the minimal qualifying
-    timestamp, and strict '>' comparisons resolve ties identically.
 
-    The live-ops use: conversion dashboards update per micro-batch
-    instead of per nightly batch, and a 'reached checkout, no purchase'
-    audience is the stage-2-minus-stage-3 set of the emitted rows at
-    any moment. State is three longs per user -- bounded by |users|,
-    the same bound the batch entry's per-stage aggregates shuffle."""
+def _funnel_fold_kwargs() -> dict:
+    """Fold spec shared by ``funnel_stream`` and its TWS twin: three
+    stage timestamps per user; a row is emitted the moment a user newly
+    reaches a stage. The fold is a genuine FSM (each row's branch
+    depends on the state the previous row may have just set), so it
+    keeps the per-row loop -- the sequential recurrence the vectorized
+    shift-folds don't have."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -1479,8 +1538,10 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
         (user_id,) = key
         t1, t2, t3 = prior
         out = []
+        last_ts = 0
         for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
+            last_ts = ts_us
             if etype == "view" and t1 is None:
                 t1 = ts_us
             elif etype == "click" and t2 is None and t1 is not None and ts_us > t1:
@@ -1497,10 +1558,9 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
                     "ts_us": ts_us,
                 }
             )
-        return out, (t1, t2, t3), 0
+        return out, (t1, t2, t3), last_ts // 1000
 
-    return _keyed_fold_stream(
-        ev,
+    return dict(
         key_cols=["user_id"],
         select_cols=[
             "user_id",
@@ -1512,28 +1572,55 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
         fold=_fold,
         out_schema=out_schema,
         state_schema=state_schema,
-        idle_timeout_ms=None,
     )
 
 
-def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
-    """Online 3-step journey extraction -- the streaming front end of
-    events_batch.events_top_paths: each user's last TWO event types are
-    the only state, and every arriving event with two predecessors
-    emits one 'p2>p1>current' path row. The emitted multiset equals the batch
-    lag(1)/lag(2) extraction exactly under per-key event-time-ordered
-    delivery (within a micro-batch rows sort by (ts, event_id); across
-    batches the carried pair stitches the timeline), so the top-20
-    dashboard is the same count-and-rank over either side. Downstream
-    counting stays out of this operator -- chaining a second stateful
-    aggregation after a state store is the one shape Structured
-    Streaming restricts.
+def funnel_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Online ordered-stage funnel -- the streaming front end of
+    events_batch.events_funnel_conversion: per user the ONLY state is
+    the three stage timestamps (first 'view', first 'click' strictly
+    after it, first 'purchase' strictly after that), and a row is
+    emitted the moment a user newly reaches a stage. Counting emitted
+    rows per stage reproduces the batch entry's per-stage user counts
+    exactly, because under per-key event-time-ordered delivery (the
+    KeyShared contract the bus provides; the batch-twin tests replay
+    ts-ordered files) the greedy fold IS the batch min()-chain: the
+    first qualifying arrival per stage is the minimal qualifying
+    timestamp, and strict '>' comparisons resolve ties identically.
 
-    ``idle_timeout_ms`` is the same bounded-state knob as on
-    transition_stream (journeys are session-scoped by nature): a user
-    idle past the event-time watermark horizon is evicted, and on
-    return the journey restarts -- the trigram bridging the gap is not
-    emitted. Default None keeps exact batch parity."""
+    The live-ops use: conversion dashboards update per micro-batch
+    instead of per nightly batch, and a 'reached checkout, no purchase'
+    audience is the stage-2-minus-stage-3 set of the emitted rows at
+    any moment. State is three longs per user -- bounded by |users|,
+    the same bound the batch entry's per-stage aggregates shuffle.
+
+    ``idle_timeout_ms`` (default None = exact batch parity) evicts a
+    user idle past the watermark horizon. The funnel-specific trade is
+    stronger than the shift-folds': an evicted user returning later
+    restarts the funnel from stage 1, so a stage may RE-EMIT for that
+    user -- at-most-once-per-stage then holds per incarnation, not per
+    user. Right for session-scoped funnels; leave unset for the
+    lifetime funnel the batch entry computes."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=idle_timeout_ms, **_funnel_fold_kwargs()
+    )
+
+
+def funnel_stream_tws(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """``funnel_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same FSM fold, see ``_keyed_fold_stream_tws``): the three
+    stage timestamps are one typed ValueState tuple; the optional TTL
+    is a per-key event-time timer with the same per-incarnation
+    re-emission trade the applyInPandasWithState knob documents."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_funnel_fold_kwargs()
+    )
+
+
+def _path_trigram_fold_kwargs() -> dict:
+    """Fold spec shared by ``path_trigram_stream`` and its TWS twin:
+    each user's last TWO event types are the only state; every arriving
+    event with two predecessors emits one 'p2>p1>current' path row."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -1553,24 +1640,72 @@ def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Da
     )
 
     def _fold(key, pdf, prior):
+        # vectorized double-shift on factorized codes: event types are
+        # integer-coded once (pd.factorize), the two predecessor columns
+        # are shifted CODE arrays seeded from the carried (p1, p2) pair,
+        # and the 'p2>p1>cur' strings are built only for the DISTINCT
+        # code triples present (a per-unique-path lookup table), then
+        # gathered -- elementwise string concat over object arrays was
+        # the fold's dominant cost (scripts/bench_fold.py tracks it).
+        # The state invariant p2-set => p1-set makes the emission
+        # boundary a plain slice: rows before `start` lack a second
+        # predecessor.
+        import numpy as np
+        import pandas as pd
+
         (user_id,) = key
         p1, p2 = prior
-        out, last_ts = [], 0
-        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-            if p2 is not None:
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "path": f"{p2}>{p1}>{etype}",
-                        "ts_us": int(ts_us),
-                    }
-                )
-            p2, p1 = p1, etype
-            last_ts = int(ts_us)
-        return out, (p1, p2), last_ts // 1000
+        ts_us = pdf["ts_us"].to_numpy()
+        c0, cat_index = pd.factorize(pdf["event_type"])
+        cats = list(cat_index)
 
-    return _keyed_fold_stream(
-        ev,
+        def _code(v):
+            # carried types may be absent from this batch's categories
+            try:
+                return cats.index(v)
+            except ValueError:
+                cats.append(v)
+                return len(cats) - 1
+
+        n = len(c0)
+        c1 = np.empty(n, np.int64)
+        c1[0] = _code(p1) if p1 is not None else -1
+        c1[1:] = c0[:-1]
+        c2 = np.empty(n, np.int64)
+        c2[0] = _code(p2) if p2 is not None else -1
+        c2[1:] = c1[:-1]
+        start = 0 if p2 is not None else (1 if p1 is not None else 2)
+        k = len(cats)
+        combo = (c2 * k + c1) * k + c0
+        emit = combo[start:]
+        if k**3 <= max(4 * n, 4096):
+            # low type cardinality (the event-stream norm): a dense LUT
+            # indexed by the combined code skips np.unique's sort --
+            # strings are built only for the triples actually present
+            lut = np.empty(k**3, dtype=object)
+            present = np.zeros(k**3, dtype=bool)
+            present[emit] = True
+            for u in np.nonzero(present)[0]:
+                lut[u] = f"{cats[u // (k * k)]}>{cats[(u // k) % k]}>{cats[u % k]}"
+            paths = lut[emit]
+        else:
+            uniq, inv = np.unique(emit, return_inverse=True)
+            lut = np.empty(len(uniq), dtype=object)
+            for i, u in enumerate(uniq):
+                lut[i] = f"{cats[u // (k * k)]}>{cats[(u // k) % k]}>{cats[u % k]}"
+            paths = lut[inv]
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "path": paths,
+                "ts_us": ts_us[start:],
+            }
+        )
+        new_p1 = pdf["event_type"].iat[-1]
+        new_p2 = pdf["event_type"].iat[-2] if n >= 2 else p1
+        return out, (new_p1, new_p2), int(ts_us[-1]) // 1000
+
+    return dict(
         key_cols=["user_id"],
         select_cols=[
             "user_id",
@@ -1582,5 +1717,41 @@ def path_trigram_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> Da
         fold=_fold,
         out_schema=out_schema,
         state_schema=state_schema,
-        idle_timeout_ms=idle_timeout_ms,
+    )
+
+
+def path_trigram_stream(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Online 3-step journey extraction -- the streaming front end of
+    events_batch.events_top_paths: each user's last TWO event types are
+    the only state, and every arriving event with two predecessors
+    emits one 'p2>p1>current' path row. The emitted multiset equals the batch
+    lag(1)/lag(2) extraction exactly under per-key event-time-ordered
+    delivery (within a micro-batch rows sort by (ts, event_id); across
+    batches the carried pair stitches the timeline), so the top-20
+    dashboard is the same count-and-rank over either side. Downstream
+    counting stays out of this operator -- chaining a second stateful
+    aggregation after a state store is the one shape Structured
+    Streaming restricts.
+
+    ``idle_timeout_ms`` is the same bounded-state knob as on
+    transition_stream (journeys are session-scoped by nature): a user
+    idle past the event-time watermark horizon is evicted, and on
+    return the journey restarts -- the trigram bridging the gap is not
+    emitted. Default None keeps exact batch parity."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=idle_timeout_ms, **_path_trigram_fold_kwargs()
+    )
+
+
+def path_trigram_stream_tws(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``path_trigram_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same fold, see ``_keyed_fold_stream_tws``): the last-two-types
+    pair is a typed ValueState; the journey TTL is a per-key event-time
+    timer with the same fresh-journey-on-return trade."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_path_trigram_fold_kwargs()
     )

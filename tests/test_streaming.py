@@ -2533,3 +2533,221 @@ def test_path_trigram_stream_idle_timeout(spark, tmp_path):
         (1, "view>click>view"),
         (2, "view>click>view"),
     ]
+
+
+def _rocksdb_provider(spark):
+    """Context manager pinning the RocksDB state store provider (typed
+    TWS state variables are RocksDB column families; the HDFS-backed
+    provider refuses them), restoring the prior conf on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    return _cm()
+
+
+def test_scrape_gap_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the transformWithStateInPandas scrape-gap
+    twin shares the fold with the applyInPandasWithState one, so its
+    drained interval multiset must equal the batch lag() extraction."""
+    from collections import Counter
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        samples_from_events,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.scrape_gap_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("gaps_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    streamed = Counter(
+        (r["tenant_id"], r["name"], r["gap_ms"])
+        for r in spark.sql("SELECT * FROM gaps_tws").collect()
+    )
+    s = samples_from_events(spark, SF).select(
+        "tenant_id",
+        F.col("labels").getItem("__name__").alias("name"),
+        "timestamp",
+        "event_id",
+    )
+    w = Window.partitionBy("tenant_id", "name").orderBy("timestamp", "event_id")
+    batch = Counter(
+        (r["tenant_id"], r["name"], r["gap_ms"])
+        for r in s.withColumn("prev_ts", F.lag("timestamp").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "tenant_id",
+            "name",
+            (F.col("timestamp") - F.col("prev_ts")).alias("gap_ms"),
+        )
+        .collect()
+    )
+    assert streamed == batch and streamed
+
+
+def test_funnel_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the transformWithStateInPandas funnel twin
+    (same FSM fold, ValueState tuple for the three stage timestamps)
+    must reproduce the batch min()-chain per-stage counts, with each
+    user reaching each stage at most once."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_funnel_conversion,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.funnel_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("funnel_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM funnel_tws")
+    assert (
+        emitted.groupBy("user_id", "stage").count().filter("count > 1").count() == 0
+    )
+    streamed = {
+        (r["stage"], r["event_type"]): r["n"]
+        for r in emitted.groupBy("stage", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["stage"], r["event_type"]): r["n"]
+        for r in events_funnel_conversion(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_path_trigram_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the transformWithStateInPandas trigram twin
+    must emit exactly the batch lag(1)/lag(2) path multiset."""
+    from collections import Counter
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.path_trigram_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("paths_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    streamed = Counter(
+        r["path"] for r in spark.sql("SELECT path FROM paths_tws").collect()
+    )
+    evb = spark.read.parquet(f"{SF}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = Counter(
+        r["path"]
+        for r in evb.select(
+            F.concat_ws(
+                ">",
+                F.lag("event_type", 2).over(w),
+                F.lag("event_type", 1).over(w),
+                F.col("event_type"),
+            ).alias("path"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        )
+        .filter(F.col("p2").isNotNull())
+        .select("path")
+        .collect()
+    )
+    assert streamed == batch and streamed
+
+
+def test_path_trigram_stream_tws_timer_ttl(spark, tmp_path):
+    """TWS journey-TTL (round 9): the per-key event-time timer evicts an
+    idle user's trigram pair; on return the journey restarts with no
+    trigram bridging the gap -- the same emissions the
+    applyInPandasWithState knob produces on this replay."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    m = timedelta(minutes=1)
+    batches = [
+        [(1, 1, "view", base), (1, 2, "click", base + m), (1, 3, "view", base + 2 * m)],
+        [(2, 4, "view", base + 2 * hour)],
+        [(2, 5, "click", base + 4 * hour)],
+        # watermark-advancing batch with no user-1 data: timer fires
+        [(2, 6, "view", base + 6 * hour)],
+        [(1, 7, "purchase", base + 7 * hour),
+         (1, 8, "view", base + 7 * hour + m),
+         (1, 9, "click", base + 7 * hour + 2 * m)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+    with _rocksdb_provider(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = (
+            windows.path_trigram_stream_tws(stream, idle_timeout_ms=3_600_000)
+            .writeStream.format("memory")
+            .queryName("tws_ttl_paths")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["path"])
+        for r in spark.sql("SELECT * FROM tws_ttl_paths").collect()
+    )
+    assert got == [
+        (1, "purchase>view>click"),
+        (1, "view>click>view"),
+        (2, "view>click>view"),
+    ]
