@@ -885,6 +885,45 @@ def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
     )
 
 
+def open_backlog_stream(
+    deltas: DataFrame, lateness: str | None = None
+) -> DataFrame:
+    """Streaming twin of relational.orders_open_backlog's per-day
+    rollup (round 9): ingests order lifecycle deltas -- one row per
+    transition, ``ts`` event time, ``d`` = +1 the day an order opens /
+    -1 the day after it fully ships -- and maintains the per-day
+    (n_opened, n_closed, delta) counts as a plain watermark-capable
+    streaming aggregation. The cumulative backlog curve is the
+    consumer's serving aggregation (a running sum over the BOUNDED
+    per-day rows -- ~2.4k for the TPC-H calendar), the same
+    operator/consumer split transition_stream documents: chaining a
+    second stateful aggregation after the first is the one shape
+    Structured Streaming restricts, and the curve over day rows is
+    cheap anywhere. The tests pin drained-rollup + cumsum equal to the
+    batch entry's exact output.
+
+    ``lateness`` set gives append-mode deployments bounded state: a day
+    finalizes (emits once and leaves the store) when the watermark
+    passes it. Default None supports complete/update drains with state
+    bounded by the calendar span -- the honest bound either way, since
+    the rollup key is the DAY, not the order."""
+    src = deltas if lateness is None else deltas.withWatermark("ts", lateness)
+    return (
+        src.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_closed"),
+            F.sum("d").alias("delta"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "n_opened",
+            "n_closed",
+            "delta",
+        )
+    )
+
+
 def slo_burn_stream(ev: DataFrame, watermark: str = "1 hour", budget_milli: int | None = None) -> DataFrame:
     """Streaming twin of events_slo_burn_rate (the Google SRE multiwindow
     multi-burn-rate alert) in ONE stateful aggregation: each event

@@ -2751,3 +2751,87 @@ def test_path_trigram_stream_tws_timer_ttl(spark, tmp_path):
         (1, "view>click>view"),
         (2, "view>click>view"),
     ]
+
+
+def test_open_backlog_stream_matches_batch_curve(spark, tmp_path):
+    """F6->F7 depth (round 9): the cumulative-flow backlog query as an
+    incremental stream. Order lifecycle deltas (+1 at open, -1 the day
+    after last ship) replayed ts-ordered across micro-batches through
+    the per-day streaming rollup, then the consumer-side running sum,
+    must reproduce relational.orders_open_backlog's exact curve."""
+    from prometheus_pulsar_remote_write_spark.plans.relational import (
+        orders_open_backlog,
+    )
+
+    # the same delta extraction the batch entry performs, staged as
+    # three ts-ordered files so day-counts accumulate across batches
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    span = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    ).join(
+        lineitem.groupBy("l_orderkey").agg(
+            F.max(F.to_date("l_shipdate")).alias("end_day")
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    deltas = (
+        span.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("start_day").alias("day"), F.lit(1).alias("d")),
+                    F.struct(
+                        F.date_add("end_day", 1).alias("day"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.day").cast("timestamp").alias("ts"), F.col("e.d"))
+        .orderBy("ts")
+    )
+    rows = deltas.count()
+    src = str(tmp_path / "src")
+    pdf = deltas.toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * rows // 3 : (i + 1) * rows // 3]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, d int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.open_backlog_stream(stream)
+        .writeStream.format("memory")
+        .queryName("backlog_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # consumer-side serving aggregation: running sum over the bounded
+    # day rows, sampled to every 8th epoch day like the batch entry
+    streamed = {
+        (r["epoch_day"], r["n_opened"], r["n_closed"], r["open_backlog"])
+        for r in spark.sql(
+            """
+            SELECT datediff(day, DATE '1970-01-01') AS epoch_day,
+                   n_opened, n_closed,
+                   sum(delta) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS open_backlog
+            FROM backlog_stream
+            """
+        ).collect()
+        if r["epoch_day"] % 8 == 0
+    }
+    batch = {
+        (r["epoch_day"], r["n_opened"], r["n_closed"], r["open_backlog"])
+        for r in orders_open_backlog(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
