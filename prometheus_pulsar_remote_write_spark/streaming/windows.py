@@ -1215,8 +1215,12 @@ def _keyed_fold_stream(
         if idle_timeout_ms is None
         else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
     )
+    # select_cols may be a thunk: Column expressions need a live session,
+    # and the fold specs must stay importable without one (the fold
+    # micro-bench and property tests run the folds pure-pandas)
+    cols = select_cols() if callable(select_cols) else select_cols
     keyed = src_df.select(
-        *select_cols, *(["ts"] if idle_timeout_ms is not None else [])
+        *cols, *(["ts"] if idle_timeout_ms is not None else [])
     )
     return keyed.groupBy(*key_cols).applyInPandasWithState(
         _fn,
@@ -1311,8 +1315,12 @@ def _keyed_fold_stream_tws(
         if idle_timeout_ms is None
         else ev.withWatermark("ts", f"{idle_timeout_ms} milliseconds")
     )
+    # select_cols may be a thunk: Column expressions need a live session,
+    # and the fold specs must stay importable without one (the fold
+    # micro-bench and property tests run the folds pure-pandas)
+    cols = select_cols() if callable(select_cols) else select_cols
     keyed = src_df.select(
-        *select_cols, *(["ts"] if idle_timeout_ms is not None else [])
+        *cols, *(["ts"] if idle_timeout_ms is not None else [])
     )
     return keyed.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=_Fold(),
@@ -1380,7 +1388,7 @@ def _transition_fold_kwargs() -> dict:
 
     return dict(
         key_cols=["user_id"],
-        select_cols=[
+        select_cols=lambda: [
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
             "event_id",
@@ -1493,7 +1501,7 @@ def _scrape_gap_fold_kwargs() -> dict:
 
     return dict(
         key_cols=["tenant_id", "name"],
-        select_cols=[
+        select_cols=lambda: [
             (F.col("user_id") % 10).cast("string").alias("tenant_id"),
             F.col("event_type").alias("name"),
             (
@@ -1601,7 +1609,7 @@ def _funnel_fold_kwargs() -> dict:
 
     return dict(
         key_cols=["user_id"],
-        select_cols=[
+        select_cols=lambda: [
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
             "event_id",
@@ -1746,7 +1754,7 @@ def _path_trigram_fold_kwargs() -> dict:
 
     return dict(
         key_cols=["user_id"],
-        select_cols=[
+        select_cols=lambda: [
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
             "event_id",

@@ -105,12 +105,6 @@ def _time(fn, key, pdf, prior, out_cols, reps=5):
 
 
 def main() -> None:
-    # the fold-spec builders construct Column expressions, which the
-    # classic API only allows with a live session -- a minimal local[1]
-    # one; nothing timed below touches Spark
-    from prometheus_pulsar_remote_write_spark.session import get_spark
-
-    get_spark(app_name="bench-fold", master="local[1]", shuffle_partitions=1)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     rng = np.random.default_rng(7)
     types = np.array(["view", "click", "purchase", "search", "scroll"])

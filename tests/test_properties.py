@@ -66,3 +66,127 @@ def test_tenant_sanitizer_never_escapes_spool(tenant):
         assert "\x00" not in tenant and "\n" not in tenant
     # everything rejected is simply rejected -- nothing to assert beyond
     # the accepted side staying inside the spool
+
+
+# --- vectorized stream folds == the per-row loop spec (round 9) -------------
+# The shift-shaped fold twins (transition, scrape-gap, trigram) were
+# vectorized; these properties pin them to the r8 loop semantics -- same
+# emitted rows, same carried state, same last-ts -- across every edge the
+# replay tests can't sweep: single-row batches, empty priors, carried
+# types absent from the batch's own vocabulary, duplicate timestamps.
+
+_TYPES = ["view", "click", "purchase", "search", "scroll", "rare&type"]
+
+
+def _loop_transition_spec(key, pdf, prior):
+    (user_id,) = key
+    (last_type,) = prior
+    out, last_ts = [], 0
+    for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+        if last_type is not None:
+            out.append((user_id, last_type, etype, int(ts_us)))
+        last_type = etype
+        last_ts = int(ts_us)
+    return out, (last_type,), last_ts // 1000
+
+
+def _loop_scrape_gap_spec(key, pdf, prior):
+    tenant_id, name = key
+    (last_ts,) = prior
+    out = []
+    for ts_ms in pdf["ts_ms"]:
+        if last_ts is not None:
+            out.append((tenant_id, name, int(ts_ms) - int(last_ts), int(ts_ms)))
+        last_ts = int(ts_ms)
+    return out, (last_ts,), last_ts
+
+
+def _loop_trigram_spec(key, pdf, prior):
+    (user_id,) = key
+    p1, p2 = prior
+    out, last_ts = [], 0
+    for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+        if p2 is not None:
+            out.append((user_id, f"{p2}>{p1}>{etype}", int(ts_us)))
+        p2, p1 = p1, etype
+        last_ts = int(ts_us)
+    return out, (p1, p2), last_ts // 1000
+
+
+def _batch_frame(events):
+    import pandas as pd
+
+    ts = [1_700_000_000_000_000 + d for d, _ in events]
+    return pd.DataFrame({"ts_us": ts, "event_type": [t for _, t in events]})
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 10**9), st.sampled_from(_TYPES)),
+        min_size=1,
+        max_size=40,
+    ),
+    prior=st.one_of(st.none(), st.sampled_from(_TYPES + ["absent-type"])),
+)
+@settings(max_examples=200, deadline=None)
+def test_transition_fold_equals_loop_spec(events, prior):
+    from prometheus_pulsar_remote_write_spark.streaming.windows import (
+        _transition_fold_kwargs,
+    )
+
+    pdf = _batch_frame(sorted(events)).sort_values("ts_us", kind="stable")
+    fold = _transition_fold_kwargs()["fold"]
+    out, state, last = fold((7,), pdf, (prior,))
+    ref_out, ref_state, ref_last = _loop_transition_spec((7,), pdf, (prior,))
+    assert [tuple(r) for r in out.itertuples(index=False)] == ref_out
+    assert tuple(state) == ref_state and last == ref_last
+
+
+@given(
+    ts_list=st.lists(st.integers(0, 10**12), min_size=1, max_size=40),
+    prior=st.one_of(st.none(), st.integers(0, 10**12)),
+)
+@settings(max_examples=200, deadline=None)
+def test_scrape_gap_fold_equals_loop_spec(ts_list, prior):
+    import pandas as pd
+
+    from prometheus_pulsar_remote_write_spark.streaming.windows import (
+        _scrape_gap_fold_kwargs,
+    )
+
+    pdf = pd.DataFrame({"ts_ms": sorted(ts_list)})
+    fold = _scrape_gap_fold_kwargs()["fold"]
+    key = ("3", "up")
+    out, state, last = fold(key, pdf, (prior,))
+    ref_out, ref_state, ref_last = _loop_scrape_gap_spec(key, pdf, (prior,))
+    assert [tuple(r) for r in out.itertuples(index=False)] == ref_out
+    assert tuple(state) == ref_state and last == ref_last
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 10**9), st.sampled_from(_TYPES)),
+        min_size=1,
+        max_size=40,
+    ),
+    prior=st.one_of(
+        st.just((None, None)),
+        st.tuples(st.sampled_from(_TYPES + ["absent-type"]), st.none()),
+        st.tuples(
+            st.sampled_from(_TYPES + ["absent-type"]),
+            st.sampled_from(_TYPES + ["other-absent"]),
+        ),
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_trigram_fold_equals_loop_spec(events, prior):
+    from prometheus_pulsar_remote_write_spark.streaming.windows import (
+        _path_trigram_fold_kwargs,
+    )
+
+    pdf = _batch_frame(sorted(events)).sort_values("ts_us", kind="stable")
+    fold = _path_trigram_fold_kwargs()["fold"]
+    out, state, last = fold((7,), pdf, prior)
+    ref_out, ref_state, ref_last = _loop_trigram_spec((7,), pdf, prior)
+    assert [tuple(r) for r in out.itertuples(index=False)] == ref_out
+    assert tuple(state) == ref_state and last == ref_last
