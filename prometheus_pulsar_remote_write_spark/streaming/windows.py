@@ -283,20 +283,14 @@ def ddsketch_tumbling_values(ev: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
-def latest_state_stream(ev: DataFrame) -> DataFrame:
-    """Streaming CDC latest-wins materialization: per-user current state
-    maintained with ``applyInPandasWithState`` (the streaming twin of the
-    batch events_latest_state compaction). State per key is ONE row --
-    the (ts, event_id, event_type, value) of the newest event seen -- so
-    total state is bounded by |users|, not traffic. Each micro-batch
-    emits the keys it updated (an upsert changelog a MERGE sink would
-    apply); ties replay the batch ordering (ts desc, event_id desc).
-    """
-    from typing import Iterator
-
-    import pandas as pd
+def _latest_state_fold_kwargs() -> dict:
+    """Fold spec shared by ``latest_state_stream`` and its TWS twin:
+    one (ts, event_id, event_type, value) row per user -- the newest
+    event seen. The batch sorts rows by (ts, event_id) already, so the
+    batch-side candidate is simply the LAST sorted row (no per-row
+    loop); the carried best wins ties exactly as the batch ordering
+    (ts desc, event_id desc) does."""
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -319,51 +313,86 @@ def latest_state_stream(ev: DataFrame) -> DataFrame:
         ]
     )
 
-    def _latest(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         from decimal import ROUND_HALF_UP, Decimal
 
         (user_id,) = key
-        best = state.get if state.exists else None
-        for pdf in pdfs:
-            for ts_us, event_id, etype, value in zip(
-                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["value"]
-            ):
-                cand = (int(ts_us), int(event_id), str(etype), float(value))
-                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-                    best = cand
-        state.update(best)
+        cand = (
+            int(pdf["ts_us"].iat[-1]),
+            int(pdf["event_id"].iat[-1]),
+            str(pdf["event_type"].iat[-1]),
+            float(pdf["value"].iat[-1]),
+        )
+        best = (
+            cand
+            if prior[0] is None or (cand[0], cand[1]) > (prior[0], prior[1])
+            else tuple(prior)
+        )
         # HALF_UP on the shortest decimal repr == Spark's F.round(col, 2)
         # (BigDecimal.valueOf(double)); Python's round() banker's-rounds
         # midpoints the other way
         rounded = float(
-            Decimal(repr(best[3])).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            Decimal(repr(best[3])).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
         )
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "last_seen_s": best[0] // 1_000_000,
-                    "last_event_type": best[2],
-                    "last_value": rounded,
-                }
-            ]
-        )
+        row = {
+            "user_id": user_id,
+            "last_seen_s": best[0] // 1_000_000,
+            "last_event_type": best[2],
+            "last_value": rounded,
+        }
+        return [row], best, best[0] // 1000
 
-    keyed = ev.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
-        "value",
+    return dict(
+        key_cols=["user_id"],
+        select_cols=lambda: [
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            "value",
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        output_mode="update",
     )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _latest,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+
+
+def latest_state_stream(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming CDC latest-wins materialization: per-user current state
+    maintained on the shared fold scaffold (the streaming twin of the
+    batch events_latest_state compaction). State per key is ONE row --
+    the (ts, event_id, event_type, value) of the newest event seen -- so
+    total state is bounded by |users|, not traffic. Each micro-batch
+    emits the keys it updated (an upsert changelog a MERGE sink would
+    apply); ties replay the batch ordering (ts desc, event_id desc).
+
+    ``idle_timeout_ms`` (round 9) bounds the store to recently-active
+    users: a key idle past the watermark horizon is evicted. For
+    latest-wins this eviction is LOSSLESS downstream -- the MERGE sink
+    already holds the evicted row, a returning user's event is newer
+    than everything evicted (older rows are beyond the watermark and
+    dropped as late anyway), so the re-derived state never regresses
+    the sink. Default None keeps every user's state resident."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=idle_timeout_ms, **_latest_state_fold_kwargs()
+    )
+
+
+def latest_state_stream_tws(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``latest_state_stream`` on the Spark-4
+    ``transformWithStateInPandas`` API (same fold, see
+    ``_keyed_fold_stream_tws``): the newest-event row is a typed
+    ValueState; the dormant-user TTL is a per-key event-time timer."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_latest_state_fold_kwargs()
     )
 
 
@@ -534,21 +563,14 @@ def interval_join_conversions_stream(
     )
 
 
-def ewma_stream(ev: DataFrame) -> DataFrame:
-    """Streaming twin of the batch events_ewma_smooth: per-user truncated
-    16-term EWMA (alpha = 1/4, integer weights 3^i * 4^(15-i)) maintained
-    with ``applyInPandasWithState``. State per key is a ring of at most
-    15 centi-quantized values -- constant-size state per user regardless
-    of traffic. Rows inside a micro-batch are sorted by (ts, event_id);
-    across micro-batches the file-replay source delivers in order (the
-    same monotone-arrival assumption the batch window's ORDER BY
-    realizes exactly).
-    """
-    from typing import Iterator
-
-    import pandas as pd
+def _ewma_fold_kwargs() -> dict:
+    """Fold spec shared by ``ewma_stream`` and its TWS twin: a ring of
+    at most 15 centi-quantized values per user. The recurrence is
+    genuinely sequential (each emitted value reads the ring the
+    previous row just updated), so the fold keeps its per-row loop --
+    the same class as CUSUM/alert/Misra-Gries, unlike the vectorized
+    shift-folds."""
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     weights = [(3**i) * (4 ** (15 - i)) for i in range(16)]
 
@@ -565,16 +587,13 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
         [T.StructField("hist", T.ArrayType(T.LongType()), True)]
     )
 
-    def _ewma(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         import math
 
         (user_id,) = key
-        hist = list(state.get[0]) if state.exists else []  # oldest..newest
-        frames = [pdf for pdf in pdfs]
-        pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        hist = list(prior[0]) if prior[0] is not None else []  # oldest..newest
         out = []
+        last_ts = 0
         for ts_us, event_id, yc in zip(pdf["ts_us"], pdf["event_id"], pdf["yc"]):
             yc = int(yc)
             lags = [yc] + hist[::-1]  # lag i = lags[i]
@@ -592,21 +611,51 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
             hist.append(yc)
             if len(hist) > 15:
                 hist = hist[-15:]
-        state.update((hist,))
-        yield pd.DataFrame(out)
+            last_ts = int(ts_us)
+        return out, (hist,), last_ts // 1000
 
-    keyed = ev.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    return dict(
+        key_cols=["user_id"],
+        select_cols=lambda: [
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("yc"),
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
     )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _ewma,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+
+
+def ewma_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Streaming twin of the batch events_ewma_smooth: per-user truncated
+    16-term EWMA (alpha = 1/4, integer weights 3^i * 4^(15-i)) on the
+    shared fold scaffold. State per key is a ring of at most 15
+    centi-quantized values -- constant-size state per user regardless
+    of traffic. Rows inside a micro-batch are sorted by (ts, event_id);
+    across micro-batches the file-replay source delivers in order (the
+    same monotone-arrival assumption the batch window's ORDER BY
+    realizes exactly).
+
+    ``idle_timeout_ms`` (round 9) evicts a user idle past the watermark
+    horizon; on return the smoothing warms up from an empty ring --
+    exactly the restart semantics a session-scoped smoother wants.
+    Default None keeps exact batch parity."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=idle_timeout_ms, **_ewma_fold_kwargs()
+    )
+
+
+def ewma_stream_tws(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``ewma_stream`` on the Spark-4 ``transformWithStateInPandas`` API
+    (same fold, see ``_keyed_fold_stream_tws``): the ring is a typed
+    ValueState holding one array column."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_ewma_fold_kwargs()
     )
 
 
@@ -1162,9 +1211,11 @@ def _keyed_fold_stream(
     out_schema,
     state_schema,
     idle_timeout_ms: int | None,
+    output_mode: str = "append",
 ):
     """Shared plumbing for the per-key fold twins (transition, scrape
-    gap, trigram, funnel): sort-within-batch, state carry, and the
+    gap, trigram, funnel -- and the update-mode CDC/EWMA twins, which
+    differ only in ``output_mode``): sort-within-batch, state carry, and the
     optional idle-TTL contract live HERE so the operators stay in
     lockstep. ``fold(key, pdf, prior_state) -> (rows, new_state,
     last_ts_ms)`` is the only per-operator logic; ``rows`` may be a
@@ -1226,7 +1277,7 @@ def _keyed_fold_stream(
         _fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="append",
+        outputMode=output_mode,
         timeoutConf=(
             GroupStateTimeout.NoTimeout
             if idle_timeout_ms is None
@@ -1245,6 +1296,7 @@ def _keyed_fold_stream_tws(
     out_schema,
     state_schema,
     idle_timeout_ms: int | None,
+    output_mode: str = "append",
 ):
     """``_keyed_fold_stream`` on the Spark-4 ``transformWithStateInPandas``
     API: the SAME fold drives both scaffolds -- the carried tuple lives
@@ -1325,7 +1377,7 @@ def _keyed_fold_stream_tws(
     return keyed.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=_Fold(),
         outputStructType=out_schema,
-        outputMode="append",
+        outputMode=output_mode,
         timeMode="none" if idle_timeout_ms is None else "eventTime",
     )
 

@@ -2835,3 +2835,130 @@ def test_open_backlog_stream_matches_batch_curve(spark, tmp_path):
         for r in orders_open_backlog(spark, SF).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_latest_state_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the CDC latest-wins twin on
+    transformWithStateInPandas (same fold, update-mode changelog) must
+    converge to the batch events_latest_state compaction."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_latest_state,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.latest_state_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("latest_state_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM latest_state_tws").collect():
+        final[r["user_id"]] = (
+            r["last_seen_s"],
+            r["last_event_type"],
+            r["last_value"],
+        )
+    batch = {
+        r["user_id"]: (r["last_seen_s"], r["last_event_type"], r["last_value"])
+        for r in events_latest_state(spark, SF).collect()
+    }
+    assert final == batch
+
+
+def test_ewma_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the ring-state EWMA on
+    transformWithStateInPandas (ValueState holding one array column)
+    must reproduce the batch 16-term truncated EWMA exactly."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_ewma_smooth,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.ewma_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("ewma_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    streamed = {
+        r["event_id"]: (r["user_id"], r["ts_s"], r["yc"], r["ewma_centi"])
+        for r in spark.sql("SELECT * FROM ewma_tws").collect()
+    }
+    batch = {
+        r["event_id"]: (r["user_id"], r["ts_s"], r["yc"], r["ewma_centi"])
+        for r in events_ewma_smooth(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_latest_state_stream_idle_timeout_is_lossless_downstream(spark, tmp_path):
+    """CDC TTL (round 9): a dormant user's latest-wins state evicts past
+    the watermark horizon, and the RE-DERIVED state from their return
+    event is still correct (newer than anything evicted) -- the one
+    stateful twin whose eviction loses nothing downstream."""
+    from datetime import datetime, timedelta
+
+    schema = (
+        "user_id long, event_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    batches = [
+        [(1, 1, "view", 1.0, base)],
+        [(2, 2, "view", 2.0, base + 2 * hour)],
+        [(2, 3, "click", 3.0, base + 4 * hour)],
+        # watermark-advancing batch with no user-1 data: user 1 evicts
+        [(2, 4, "view", 4.0, base + 6 * hour)],
+        # user 1 returns after eviction: state re-derives correctly
+        [(1, 5, "purchase", 5.0, base + 7 * hour)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.latest_state_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_latest")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1  # user 1's dormant state was evicted
+    final = {}
+    for r in spark.sql("SELECT * FROM ttl_latest").collect():
+        final[r["user_id"]] = (r["last_event_type"], r["last_value"])
+    # the MERGE-sink view (last update per key) is exactly the batch
+    # latest-wins state despite the eviction
+    assert final == {1: ("purchase", 5.0), 2: ("view", 4.0)}
