@@ -396,27 +396,12 @@ def latest_state_stream_tws(
     )
 
 
-def scd2_stream(ev: DataFrame) -> DataFrame:
-    """Streaming twin of the batch events_scd2_intervals: per-user SCD2
-    validity intervals maintained incrementally with
-    ``applyInPandasWithState``. State per key is ONE open interval
-    (seq, state, from_ms, last_ms, n) -- when a row's event_type differs
-    from the open state, the open interval CLOSES (emitted with valid_to
-    = the new row's start) and a new one opens; otherwise the open
-    interval extends. Update-mode upsert changelog: the latest row per
-    (user_id, interval_seq) is that interval's current truth, exactly
-    what a MERGE into the history table applies.
-
-    Ordering contract matches ewma_stream: rows inside a micro-batch
-    sort by (ts, event_id); across micro-batches the file-replay source
-    delivers in order. State is O(1) per user regardless of history
-    length -- closed intervals live in the sink table, not in state.
-    """
-    from typing import Iterator
-
-    import pandas as pd
+def _scd2_fold_kwargs() -> dict:
+    """Fold spec shared by ``scd2_stream`` and its TWS twin: one OPEN
+    interval (seq, state, from_ms, last_ms, n) per user. Sequential FSM
+    (a row either extends or closes the interval the previous row may
+    have just opened), so the loop stays."""
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -439,12 +424,9 @@ def scd2_stream(ev: DataFrame) -> DataFrame:
         ]
     )
 
-    def _scd2(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         (user_id,) = key
-        open_iv = list(state.get) if state.exists else None
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        open_iv = None if prior[0] is None else list(prior)
         out = []
         for ts_ms, event_id, etype in zip(
             pdf["ts_ms"], pdf["event_id"], pdf["event_type"]
@@ -468,7 +450,6 @@ def scd2_stream(ev: DataFrame) -> DataFrame:
             else:
                 open_iv[3] = ts_ms
                 open_iv[4] += 1
-        state.update(tuple(open_iv))
         out.append(  # current truth of the (still) open interval
             {
                 "user_id": user_id,
@@ -480,21 +461,50 @@ def scd2_stream(ev: DataFrame) -> DataFrame:
                 "n_events": open_iv[4],
             }
         )
-        yield pd.DataFrame(out)
+        return out, tuple(open_iv), open_iv[3]
 
-    keyed = ev.select(
-        "user_id",
-        F.expr("unix_micros(ts) div 1000").alias("ts_ms"),  # integer floor
-        "event_id",
-        "event_type",
+    return dict(
+        key_cols=["user_id"],
+        select_cols=lambda: [
+            "user_id",
+            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),  # integer floor
+            "event_id",
+            "event_type",
+        ],
+        sort_cols=["ts_ms", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        output_mode="update",
     )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _scd2,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+
+
+def scd2_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of the batch events_scd2_intervals: per-user SCD2
+    validity intervals maintained incrementally on the shared fold
+    scaffold. State per key is ONE open interval
+    (seq, state, from_ms, last_ms, n) -- when a row's event_type differs
+    from the open state, the open interval CLOSES (emitted with valid_to
+    = the new row's start) and a new one opens; otherwise the open
+    interval extends. Update-mode upsert changelog: the latest row per
+    (user_id, interval_seq) is that interval's current truth, exactly
+    what a MERGE into the history table applies.
+
+    Ordering contract matches ewma_stream: rows inside a micro-batch
+    sort by (ts, event_id); across micro-batches the file-replay source
+    delivers in order. State is O(1) per user regardless of history
+    length -- closed intervals live in the sink table, not in state.
+    No idle-TTL knob: evicting would silently drop the OPEN interval,
+    which unlike the latest-wins row is not yet fully in the sink.
+    """
+    return _keyed_fold_stream(ev, idle_timeout_ms=None, **_scd2_fold_kwargs())
+
+
+def scd2_stream_tws(ev: DataFrame) -> DataFrame:
+    """``scd2_stream`` on the Spark-4 ``transformWithStateInPandas`` API
+    (same FSM fold, see ``_keyed_fold_stream_tws``): the open interval
+    is one typed ValueState tuple."""
+    return _keyed_fold_stream_tws(ev, idle_timeout_ms=None, **_scd2_fold_kwargs())
 
 
 def dedup_within_watermark(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -675,33 +685,11 @@ def enrich_with_static_dim(ev: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
-def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 600000) -> DataFrame:
-    """Streaming twin of the batch consume_alert_firing: Prometheus
-    ``value > threshold FOR duration`` alerting maintained incrementally
-    with ``applyInPandasWithState`` (prometheus rules/alerting.go
-    pending -> firing transition, evaluated per series as samples
-    arrive instead of per nightly batch).
-
-    State per (tenant, series) key is O(1): the count of already-closed
-    FIRING runs (the firing_seq base) plus the single OPEN
-    above-threshold run (pending_since, last_above, n_samples). A below
-    sample closes the open run -- emitted as final iff it spanned the
-    FOR duration; an open run that already spans FOR emits its current
-    truth each micro-batch (update-mode upsert on (tenant_id, name,
-    firing_seq)), which is the pending->firing edge a notifier keys on:
-    the row's first appearance IS the transition.
-
-    Ordering contract matches ewma_stream/scd2_stream: rows inside a
-    micro-batch sort by (ts, event_id); across micro-batches the
-    file-replay source delivers in time order. After the stream drains,
-    the latest update per key equals the batch gaps-and-islands result
-    exactly (test_streaming_alert_matches_batch, including a stop/
-    restart from checkpoint mid-stream)."""
-    from typing import Iterator
-
-    import pandas as pd
+def _alert_fold_kwargs(threshold_centi: int, for_ms: int) -> dict:
+    """Fold spec shared by ``alert_stream`` and its TWS twin: per
+    (tenant, series) the count of closed FIRING runs plus the single
+    open above-threshold run. Sequential FSM -- the loop stays."""
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -723,15 +711,13 @@ def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 6000
         ]
     )
 
-    def _alert(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         tenant_id, name = key
         closed, pending, last, n = (
-            state.get if state.exists else (0, -1, -1, 0)
+            (0, -1, -1, 0) if prior[0] is None else prior
         )
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
         out = []
+        last_ts = 0
 
         def _row(resolved):
             return {
@@ -746,6 +732,7 @@ def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 6000
 
         for ts_ms, above in zip(pdf["ts_ms"], pdf["above"]):
             ts_ms = int(ts_ms)
+            last_ts = ts_ms
             if above:
                 if pending < 0:
                     pending, last, n = ts_ms, ts_ms, 1
@@ -759,24 +746,61 @@ def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 6000
         if pending >= 0 and last - pending >= for_ms:
             # open run already firing: current truth, upserted per batch
             out.append(_row(last))
-        state.update((closed, pending, last, n))
-        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+        return out, (closed, pending, last, n), last_ts
 
-    keyed = ev.select(
-        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
-        F.col("event_type").alias("name"),
-        F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
-        "event_id",
-        (F.round(F.col("value") * 100).cast("bigint") > threshold_centi).alias(
-            "above"
-        ),
+    return dict(
+        key_cols=["tenant_id", "name"],
+        select_cols=lambda: [
+            (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+            F.col("event_type").alias("name"),
+            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            "event_id",
+            (
+                F.round(F.col("value") * 100).cast("bigint") > threshold_centi
+            ).alias("above"),
+        ],
+        sort_cols=["ts_ms", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        output_mode="update",
     )
-    return keyed.groupBy("tenant_id", "name").applyInPandasWithState(
-        _alert,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+
+
+def alert_stream(ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 600000) -> DataFrame:
+    """Streaming twin of the batch consume_alert_firing: Prometheus
+    ``value > threshold FOR duration`` alerting maintained incrementally
+    on the shared fold scaffold (prometheus rules/alerting.go
+    pending -> firing transition, evaluated per series as samples
+    arrive instead of per nightly batch).
+
+    State per (tenant, series) key is O(1): the count of already-closed
+    FIRING runs (the firing_seq base) plus the single OPEN
+    above-threshold run (pending_since, last_above, n_samples). A below
+    sample closes the open run -- emitted as final iff it spanned the
+    FOR duration; an open run that already spans FOR emits its current
+    truth each micro-batch (update-mode upsert on (tenant_id, name,
+    firing_seq)), which is the pending->firing edge a notifier keys on:
+    the row's first appearance IS the transition.
+
+    Ordering contract matches ewma_stream/scd2_stream: rows inside a
+    micro-batch sort by (ts, event_id); across micro-batches the
+    file-replay source delivers in time order. After the stream drains,
+    the latest update per key equals the batch gaps-and-islands result
+    exactly (test_streaming_alert_matches_batch, including a stop/
+    restart from checkpoint mid-stream)."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=None, **_alert_fold_kwargs(threshold_centi, for_ms)
+    )
+
+
+def alert_stream_tws(
+    ev: DataFrame, threshold_centi: int = 10000, for_ms: int = 600000
+) -> DataFrame:
+    """``alert_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same FSM fold, see ``_keyed_fold_stream_tws``)."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=None, **_alert_fold_kwargs(threshold_centi, for_ms)
     )
 
 
@@ -856,21 +880,12 @@ def kmv_tumbling_users(ev: DataFrame, k: int = 64, watermark: str = "1 hour") ->
     )
 
 
-def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
-    """Streaming twin of the batch events_misra_gries_topk: the SAME
-    capacity-bounded MG summary maintained incrementally per event_type
-    with ``applyInPandasWithState``. Because the batch operator is
-    DEFINED over arrival order, the drained stream's final summary
-    equals the batch fold exactly (same order contract as
-    ewma_stream/scd2_stream) -- the rare case where a sketch's
-    stream/batch twins are bit-identical, not merely within bounds.
-    State is the <= capacity (key, count) pairs; update-mode emits the
-    current summary each micro-batch."""
-    from typing import Iterator
-
-    import pandas as pd
+def _misra_gries_fold_kwargs(capacity: int) -> dict:
+    """Fold spec shared by ``misra_gries_stream`` and its TWS twin: the
+    <= capacity (key, count) pairs plus the item total. Sequential by
+    definition (the summary a row updates is the one the previous row
+    left), so the loop stays."""
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -889,14 +904,13 @@ def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
         ]
     )
 
-    def _mg(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         (event_type,) = key
-        ks, cs, n = ([], [], 0) if not state.exists else (
-            list(state.get[0]), list(state.get[1]), state.get[2]
+        ks, cs, n = (
+            ([], [], 0)
+            if prior[0] is None
+            else (list(prior[0]), list(prior[1]), prior[2])
         )
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
         for item in pdf["item"]:
             n += 1
             if item in ks:
@@ -908,29 +922,56 @@ def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
                 cs = [c - 1 for c in cs]
                 keep = [(k_, c) for k_, c in zip(ks, cs) if c > 0]
                 ks, cs = [k_ for k_, _ in keep], [c for _, c in keep]
-        state.update((ks, cs, n))
-        yield pd.DataFrame(
+        out = [
             {
                 "event_type": event_type,
-                "seq": range(1, len(ks) + 1),
-                "item": ks,
-                "est_count": cs,
+                "seq": i + 1,
+                "item": k_,
+                "est_count": c,
                 "n_total": n,
             }
-        )
+            for i, (k_, c) in enumerate(zip(ks, cs))
+        ]
+        return out, (ks, cs, n), int(pdf["ts_ms"].iat[-1])
 
-    keyed = ev.select(
-        "event_type",
-        F.expr("unix_micros(ts::timestamp) div 1000").alias("ts_ms"),
-        "event_id",
-        F.col("user_id").cast("string").alias("item"),
+    return dict(
+        key_cols=["event_type"],
+        select_cols=lambda: [
+            "event_type",
+            F.expr("unix_micros(ts::timestamp) div 1000").alias("ts_ms"),
+            "event_id",
+            F.col("user_id").cast("string").alias("item"),
+        ],
+        sort_cols=["ts_ms", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        output_mode="update",
     )
-    return keyed.groupBy("event_type").applyInPandasWithState(
-        _mg,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+
+
+def misra_gries_stream(ev: DataFrame, capacity: int = 4) -> DataFrame:
+    """Streaming twin of the batch events_misra_gries_topk: the SAME
+    capacity-bounded MG summary maintained incrementally per event_type
+    on the shared fold scaffold. Because the batch operator is
+    DEFINED over arrival order, the drained stream's final summary
+    equals the batch fold exactly (same order contract as
+    ewma_stream/scd2_stream) -- the rare case where a sketch's
+    stream/batch twins are bit-identical, not merely within bounds.
+    State is the <= capacity (key, count) pairs; update-mode emits the
+    current summary each micro-batch."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=None, **_misra_gries_fold_kwargs(capacity)
+    )
+
+
+def misra_gries_stream_tws(ev: DataFrame, capacity: int = 4) -> DataFrame:
+    """``misra_gries_stream`` on the Spark-4
+    ``transformWithStateInPandas`` API (same fold, see
+    ``_keyed_fold_stream_tws``): the summary rides a ValueState holding
+    two array columns plus the total."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=None, **_misra_gries_fold_kwargs(capacity)
     )
 
 
@@ -1074,30 +1115,12 @@ def heatmap_stream(
     )
 
 
-def cusum_stream(
-    ev: DataFrame,
-    baseline: DataFrame,
-    k2_centi: int = 100,
-    h_centi: int = 4000,
-) -> DataFrame:
-    """Streaming twin of events_cusum_changepoints with a TRAINED
-    baseline: production CUSUM fixes its reference mean from history
-    before going online, so the per-series doubled mid-range
-    (``mu2_centi``) arrives as a static table (stream-static broadcast
-    join -- refresh by swapping the table) and detection runs
-    sequentially with FIVE integers of state per (user, event_type):
-    [s+, s-, n_alarms, max_s, n_samples]. The fold is bit-identical to
-    the batch ``aggregate()`` expression (doubled values, slack
-    ``k2_centi``, threshold ``h_centi``, alarm-and-reset, max over
-    pre-reset candidates); rows fold in (ts, event_id) order inside
-    each micro-batch, the same order the batch sort realizes. Update
-    mode emits each key's running summary, so at drain the final row
-    per key equals the batch fold over the same data and baseline."""
-    from typing import Iterator
-
-    import pandas as pd
+def _cusum_fold_kwargs(k2_centi: int, h_centi: int) -> dict:
+    """Fold spec shared by ``cusum_stream`` and its TWS twin: five
+    integers of state per (user, event_type). Sequential recurrence
+    (each sample reads the s+/s- the previous sample set), so the loop
+    stays; the trained mu2 rides each row from the broadcast join."""
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -1119,14 +1142,11 @@ def cusum_stream(
         ]
     )
 
-    def _cusum(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _fold(key, pdf, prior):
         user_id, event_type = key
         sp, sm, n_alarms, max_s, n = (
-            state.get if state.exists else (0, 0, 0, 0, 0)
+            (0, 0, 0, 0, 0) if prior[0] is None else prior
         )
-        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         mu2 = int(pdf["mu2_centi"].iloc[0])
         for xc in pdf["xc"]:
             x2 = 2 * int(xc)
@@ -1138,34 +1158,75 @@ def cusum_stream(
             n_alarms += 1 if alarm else 0
             max_s = max(max_s, cand_p, cand_m)
             n += 1
-        state.update((sp, sm, n_alarms, max_s, n))
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "event_type": event_type,
-                    "n_samples": n,
-                    "mu2_centi": mu2,
-                    "n_alarms": n_alarms,
-                    "max_cusum_centi": max_s,
-                }
-            ]
-        )
+        out = [
+            {
+                "user_id": user_id,
+                "event_type": event_type,
+                "n_samples": n,
+                "mu2_centi": mu2,
+                "n_alarms": n_alarms,
+                "max_cusum_centi": max_s,
+            }
+        ]
+        return out, (sp, sm, n_alarms, max_s, n), int(pdf["ts_us"].iat[-1]) // 1000
 
-    keyed = ev.join(F.broadcast(baseline), ["user_id", "event_type"]).select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("xc"),
-        F.col("mu2_centi").cast("long"),
+    return dict(
+        key_cols=["user_id", "event_type"],
+        select_cols=lambda: [
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("xc"),
+            F.col("mu2_centi").cast("long"),
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        output_mode="update",
     )
-    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
-        _cusum,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+
+
+def cusum_stream(
+    ev: DataFrame,
+    baseline: DataFrame,
+    k2_centi: int = 100,
+    h_centi: int = 4000,
+) -> DataFrame:
+    """Streaming twin of events_cusum_changepoints with a TRAINED
+    baseline: production CUSUM fixes its reference mean from history
+    before going online, so the per-series doubled mid-range
+    (``mu2_centi``) arrives as a static table (stream-static broadcast
+    join -- refresh by swapping the table) and detection runs
+    sequentially with FIVE integers of state per (user, event_type):
+    [s+, s-, n_alarms, max_s, n_samples] on the shared fold scaffold.
+    The fold is bit-identical to
+    the batch ``aggregate()`` expression (doubled values, slack
+    ``k2_centi``, threshold ``h_centi``, alarm-and-reset, max over
+    pre-reset candidates); rows fold in (ts, event_id) order inside
+    each micro-batch, the same order the batch sort realizes. Update
+    mode emits each key's running summary, so at drain the final row
+    per key equals the batch fold over the same data and baseline."""
+    joined = ev.join(F.broadcast(baseline), ["user_id", "event_type"])
+    return _keyed_fold_stream(
+        joined, idle_timeout_ms=None, **_cusum_fold_kwargs(k2_centi, h_centi)
+    )
+
+
+def cusum_stream_tws(
+    ev: DataFrame,
+    baseline: DataFrame,
+    k2_centi: int = 100,
+    h_centi: int = 4000,
+) -> DataFrame:
+    """``cusum_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same fold, see ``_keyed_fold_stream_tws``): the five-integer
+    detector state is one typed ValueState tuple; the trained baseline
+    still broadcasts into the stream before keying."""
+    joined = ev.join(F.broadcast(baseline), ["user_id", "event_type"])
+    return _keyed_fold_stream_tws(
+        joined, idle_timeout_ms=None, **_cusum_fold_kwargs(k2_centi, h_centi)
     )
 
 

@@ -2962,3 +2962,175 @@ def test_latest_state_stream_idle_timeout_is_lossless_downstream(spark, tmp_path
     # the MERGE-sink view (last update per key) is exactly the batch
     # latest-wins state despite the eviction
     assert final == {1: ("purchase", 5.0), 2: ("view", 4.0)}
+
+
+def test_scd2_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the SCD2 interval builder on
+    transformWithStateInPandas must converge to the batch
+    gaps-and-islands history."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_scd2_intervals,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.scd2_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("scd2_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM scd2_tws").collect():
+        final[(r["user_id"], r["interval_seq"])] = (
+            r["state"], r["valid_from_ms"], r["valid_to_ms"],
+            r["last_event_ms"], r["n_events"],
+        )
+    batch = {
+        (r["user_id"], r["interval_seq"]): (
+            r["state"], r["valid_from_ms"], r["valid_to_ms"],
+            r["last_event_ms"], r["n_events"],
+        )
+        for r in events_scd2_intervals(spark, SF).collect()
+    }
+    assert final == batch and final
+
+
+def test_alert_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the FOR-duration alert FSM on
+    transformWithStateInPandas must converge to the batch
+    consume_alert_firing result (latest update per key wins)."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.pipeline import (
+        consume_alert_firing,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    out_dir = str(tmp_path / "updates")
+
+    def sink(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.alert_stream_tws(ev)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    final = {}
+    for r in spark.read.parquet(out_dir).orderBy("batch_id").collect():
+        final[(r["tenant_id"], r["name"], r["firing_seq"])] = (
+            r["pending_since_ms"],
+            r["firing_at_ms"],
+            r["resolved_at_ms"],
+            r["n_samples"],
+        )
+    batch = {
+        (r["tenant_id"], r["name"], r["firing_seq"]): (
+            r["pending_since_ms"],
+            r["firing_at_ms"],
+            r["resolved_at_ms"],
+            r["n_samples"],
+        )
+        for r in consume_alert_firing(spark, SF).collect()
+    }
+    assert final == batch and final
+
+
+def test_misra_gries_stream_tws_matches_batch_fold(spark, tmp_path):
+    """TWS-parity (round 9): the MG summary on
+    transformWithStateInPandas (arrays in a ValueState) must equal the
+    batch arrival-order fold exactly at drain."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_misra_gries_topk,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.misra_gries_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("mg_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM mg_tws").collect():
+        final[(r["event_type"], r["seq"])] = (r["item"], r["est_count"], r["n_total"])
+    last_n = {}
+    for (et, _), (_, _, n) in final.items():
+        last_n[et] = max(last_n.get(et, 0), n)
+    streamed = {
+        (et, seq): (item, c)
+        for (et, seq), (item, c, n) in final.items()
+        if n == last_n[et]
+    }
+    batch = {
+        (r["event_type"], r["seq"]): (r["item"], r["est_count"])
+        for r in events_misra_gries_topk(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_cusum_stream_tws_matches_batch(spark, tmp_path):
+    """TWS-parity (round 9): the trained-baseline CUSUM detector on
+    transformWithStateInPandas must match the batch aggregate() fold
+    per series at drain."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_cusum_changepoints,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    batch_rows = events_cusum_changepoints(spark, SF).collect()
+    batch = {
+        (r["user_id"], r["event_type"]): (
+            r["n_samples"], r["n_alarms"], r["max_cusum_centi"]
+        )
+        for r in batch_rows
+    }
+    baseline = events_cusum_changepoints(spark, SF).select(
+        "user_id", "event_type", "mu2_centi"
+    )
+    ev = windows.read_events_stream(spark, SF)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.cusum_stream_tws(ev, baseline)
+            .writeStream.format("memory")
+            .queryName("cusum_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    streamed = {}
+    for r in spark.sql("SELECT * FROM cusum_tws").collect():
+        key = (r["user_id"], r["event_type"])
+        cur = streamed.get(key)
+        if cur is None or r["n_samples"] >= cur[0]:
+            streamed[key] = (r["n_samples"], r["n_alarms"], r["max_cusum_centi"])
+    assert streamed == batch and streamed
