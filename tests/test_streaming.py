@@ -3134,3 +3134,52 @@ def test_cusum_stream_tws_matches_batch(spark, tmp_path):
         if cur is None or r["n_samples"] >= cur[0]:
             streamed[key] = (r["n_samples"], r["n_alarms"], r["max_cusum_centi"])
     assert streamed == batch and streamed
+
+
+def test_open_backlog_stream_append_finalizes_closed_days(spark, tmp_path):
+    """The lateness-armed append mode emits each day ONCE when the
+    watermark passes it (bounded state for a production deployment),
+    and every finalized day's counts equal the batch per-day rollup.
+    Days at or past the final watermark are withheld -- the documented
+    append-mode semantics, so the comparison is over finalized days."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    day = timedelta(days=1)
+    batches = [
+        [(base, 1), (base + timedelta(hours=2), 1)],
+        [(base + day, -1), (base + day, 1)],
+        [(base + 2 * day, -1)],
+        [(base + 5 * day, 1)],  # advances the watermark past days 0-2
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "ts timestamp, d int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema("ts timestamp, d int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.open_backlog_stream(stream, lateness="0 seconds")
+        .writeStream.format("memory")
+        .queryName("backlog_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        str(r["day"]): (r["n_opened"], r["n_closed"], r["delta"])
+        for r in spark.sql("SELECT * FROM backlog_append").collect()
+    }
+    # each finalized day appears exactly once with its full cross-batch
+    # counts; the still-open last day is withheld by append semantics
+    assert got == {
+        "2024-03-01": (2, 0, 2),
+        "2024-03-02": (1, 1, 0),
+        "2024-03-03": (0, 1, -1),
+    }
