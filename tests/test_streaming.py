@@ -3183,3 +3183,67 @@ def test_open_backlog_stream_append_finalizes_closed_days(spark, tmp_path):
         "2024-03-02": (1, 1, 0),
         "2024-03-03": (0, 1, -1),
     }
+
+
+def test_funnel_stream_idle_timeout_restarts_per_incarnation(spark, tmp_path):
+    """Funnel TTL (round 9): an evicted user's funnel restarts from
+    stage 1 on return, so at-most-once-per-stage holds PER INCARNATION
+    -- the documented trade the docstring spells out. The never-idle
+    user keeps lifetime semantics."""
+    from datetime import datetime, timedelta
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    hour = timedelta(hours=1)
+    m = timedelta(minutes=1)
+    batches = [
+        # user 1 reaches view+click, then goes idle past the horizon
+        [(1, 1, "view", base), (1, 2, "click", base + m)],
+        [(2, 3, "view", base + 2 * hour)],
+        [(2, 4, "click", base + 4 * hour)],
+        # watermark-advancing batch with no user-1 data: eviction fires
+        [(2, 5, "view", base + 6 * hour)],
+        # user 1 returns: a purchase alone must NOT emit (the pre-gap
+        # click is gone); a fresh view restarts the funnel at stage 1
+        [(1, 6, "purchase", base + 7 * hour), (1, 7, "view", base + 7 * hour + m)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windows.funnel_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_funnel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1  # user 1's partial funnel was evicted
+    got = sorted(
+        (r["user_id"], r["stage"], r["event_type"])
+        for r in spark.sql("SELECT * FROM ttl_funnel").collect()
+    )
+    # user 1: pre-gap view+click, then a RESTARTED stage-1 view (the
+    # post-gap purchase emits nothing -- no click in this incarnation);
+    # user 2: view+click, never idle past the horizon
+    assert got == [
+        (1, 1, "view"),
+        (1, 1, "view"),
+        (1, 2, "click"),
+        (2, 1, "view"),
+        (2, 2, "click"),
+    ]
