@@ -65,62 +65,89 @@ def _make_batch_fn(batch_size: int, max_delay_ms: int):
     def batch_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (tenant_id,) = key
+        out_cols = [f.name for f in BATCH_OUTPUT_SCHEMA.fields]
         if state.exists:
             ts_buf, val_buf, lbl_buf, next_seq, deadline = state.get
-            ts_buf, val_buf, lbl_buf = list(ts_buf), list(val_buf), list(lbl_buf)
         else:
             ts_buf, val_buf, lbl_buf, next_seq, deadline = [], [], [], 0, None
 
-        out_rows: list[dict[str, Any]] = []
-
-        def flush(reason: str) -> None:
-            nonlocal ts_buf, val_buf, lbl_buf, next_seq, deadline
-            take = batch_size if reason == "size" else len(ts_buf)
-            for i in range(take):
-                out_rows.append(
+        if state.hasTimedOut:
+            # delay trigger (write.go:162-181): flush whatever is buffered
+            # as ONE under-size batch. update -- never remove -- so next_seq
+            # survives; removing state here would restart batch_seq at 0
+            # for the tenant.
+            if len(ts_buf):
+                out = pd.DataFrame(
                     {
                         "tenant_id": tenant_id,
-                        "batch_seq": next_seq,
-                        "flush_reason": reason,
-                        "timestamp": ts_buf[i],
-                        "value": val_buf[i],
-                        "labels_json": lbl_buf[i],
+                        "batch_seq": np.full(len(ts_buf), next_seq, np.int64),
+                        "flush_reason": "delay",
+                        "timestamp": np.asarray(ts_buf, np.int64),
+                        "value": np.asarray(val_buf, np.float64),
+                        "labels_json": np.asarray(lbl_buf, dtype=object),
                     }
                 )
-            ts_buf, val_buf, lbl_buf = ts_buf[take:], val_buf[take:], lbl_buf[take:]
-            next_seq += 1
+                next_seq += 1
+            else:
+                out = pd.DataFrame([], columns=out_cols)
+            state.update(([], [], [], next_seq, None))
+            yield out
+            return
+
+        # vectorized size path: the stored remainder (< batch_size rows)
+        # and the incoming columns concatenate ONCE; full batches peel off
+        # as array slices with batch_seq = next_seq + i // batch_size --
+        # no per-row Python on the ingest hot path (this operator sees
+        # every sample the produce pipeline ships)
+        frames = list(pdfs)
+        ts = np.concatenate(
+            [np.asarray(ts_buf, np.int64)]
+            + [f["timestamp"].to_numpy(np.int64) for f in frames]
+        )
+        val = np.concatenate(
+            [np.asarray(val_buf, np.float64)]
+            + [f["value"].to_numpy(np.float64) for f in frames]
+        )
+        lbl = np.concatenate(
+            [np.asarray(lbl_buf, dtype=object)]
+            + [f["labels_json"].to_numpy(dtype=object) for f in frames]
+        )
+        n_batches = len(ts) // batch_size
+        n_flush = n_batches * batch_size
+        if n_flush:
+            idx = np.arange(n_flush, dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "tenant_id": tenant_id,
+                    "batch_seq": next_seq + idx // batch_size,
+                    "flush_reason": "size",
+                    "timestamp": ts[:n_flush],
+                    "value": val[:n_flush],
+                    "labels_json": lbl[:n_flush],
+                }
+            )
+            next_seq += n_batches
             # flushed samples owned the deadline; any remainder starts a
             # fresh buffer lifetime below
             deadline = None
-
-        if state.hasTimedOut:
-            # delay trigger (write.go:162-181): flush whatever is buffered.
-            # update -- never remove -- so next_seq survives; removing state
-            # here would restart batch_seq at 0 for the tenant.
-            if ts_buf:
-                flush("delay")
-            state.update((ts_buf, val_buf, lbl_buf, next_seq, None))
         else:
-            for pdf in pdfs:
-                ts_buf.extend(int(x) for x in pdf["timestamp"])
-                val_buf.extend(float(x) for x in pdf["value"])
-                lbl_buf.extend(str(x) for x in pdf["labels_json"])
-                while len(ts_buf) >= batch_size:  # size trigger
-                    flush("size")
-            now = state.getCurrentProcessingTimeMs()
-            if ts_buf and deadline is None:
-                # deadline is fixed when the buffer transitions from empty
-                # (reference write.go:146-157); a steady trickle must NOT
-                # push it back, or the flush is postponed indefinitely
-                deadline = now + max_delay_ms
-            state.update((ts_buf, val_buf, lbl_buf, next_seq, deadline))
-            if ts_buf:
-                state.setTimeoutDuration(max(int(deadline - now), 1))
-
-        yield pd.DataFrame(
-            out_rows, columns=[f.name for f in BATCH_OUTPUT_SCHEMA.fields]
-        )
+            out = pd.DataFrame([], columns=out_cols)
+        ts_buf = ts[n_flush:].tolist()
+        val_buf = val[n_flush:].tolist()
+        lbl_buf = lbl[n_flush:].tolist()
+        now = state.getCurrentProcessingTimeMs()
+        if ts_buf and deadline is None:
+            # deadline is fixed when the buffer transitions from empty
+            # (reference write.go:146-157); a steady trickle must NOT
+            # push it back, or the flush is postponed indefinitely
+            deadline = now + max_delay_ms
+        state.update((ts_buf, val_buf, lbl_buf, next_seq, deadline))
+        if ts_buf:
+            state.setTimeoutDuration(max(int(deadline - now), 1))
+        yield out
 
     return batch_fn
 
@@ -214,29 +241,54 @@ def tws_batches(
             return rows, buf[take:]
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             (tenant_id,) = key
-            buf = [tuple(r) for r in self._buf.get()]
+            # the stored remainder is bounded (< batch_size rows); the
+            # incoming columns concatenate once and full batches peel off
+            # as array slices -- no per-row Python on the ingest hot path
+            stored = [tuple(r) for r in self._buf.get()]
             meta = self._meta.get()
             next_seq, deadline = (meta[0], meta[1]) if meta else (0, None)
             if deadline is not None and deadline < 0:
                 deadline = None
             entry_deadline = deadline
-            out = []
-            for pdf in rows:
-                buf.extend(
-                    zip(
-                        (int(x) for x in pdf["timestamp"]),
-                        (float(x) for x in pdf["value"]),
-                        (str(x) for x in pdf["labels_json"]),
-                    )
+            frames = list(rows)
+            ts = np.concatenate(
+                [np.asarray([t for t, _, _ in stored], np.int64)]
+                + [f["timestamp"].to_numpy(np.int64) for f in frames]
+            )
+            val = np.concatenate(
+                [np.asarray([v for _, v, _ in stored], np.float64)]
+                + [f["value"].to_numpy(np.float64) for f in frames]
+            )
+            lbl = np.concatenate(
+                [np.asarray([l for _, _, l in stored], dtype=object)]
+                + [f["labels_json"].to_numpy(dtype=object) for f in frames]
+            )
+            n_batches = len(ts) // batch_size
+            n_flush = n_batches * batch_size
+            if n_flush:
+                idx = np.arange(n_flush, dtype=np.int64)
+                out = pd.DataFrame(
+                    {
+                        "tenant_id": tenant_id,
+                        "batch_seq": next_seq + idx // batch_size,
+                        "flush_reason": "size",
+                        "timestamp": ts[:n_flush],
+                        "value": val[:n_flush],
+                        "labels_json": lbl[:n_flush],
+                    }
                 )
-                while len(buf) >= batch_size:  # size trigger
-                    flushed, buf = self._flush(tenant_id, buf, next_seq, "size")
-                    out.extend(flushed)
-                    next_seq += 1
-                    deadline = None
+                next_seq += n_batches
+                deadline = None
+            else:
+                out = pd.DataFrame([], columns=out_cols)
+            remainder = list(
+                zip(ts[n_flush:].tolist(), val[n_flush:].tolist(), lbl[n_flush:].tolist())
+            )
             now = timerValues.getCurrentProcessingTimeInMs()
-            if buf and deadline is None:
+            if remainder and deadline is None:
                 # deadline fixed when the buffer leaves empty (reference
                 # write.go:146-157) -- a trickle must not push it back
                 deadline = now + max_delay_ms
@@ -249,12 +301,12 @@ def tws_batches(
                 # TWS timers accumulate unless deleted)
                 self._handle.deleteTimer(entry_deadline)
             self._buf.clear()
-            if buf:
-                self._buf.put([list(t) for t in buf])
+            if remainder:
+                self._buf.put([list(t) for t in remainder])
             self._meta.update(
                 (next_seq, deadline if deadline is not None else -1)
             )
-            yield pd.DataFrame(out, columns=out_cols)
+            yield out
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             (tenant_id,) = key
