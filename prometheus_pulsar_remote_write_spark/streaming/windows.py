@@ -1290,7 +1290,12 @@ def _keyed_fold_stream(
     relation carries the watermarked column (EventTimeTimeout requires
     it; the default path stays byte-identical without it), and a key
     idle past last_ts + horizon is evicted -- the store holds the
-    recently-active key set instead of every key ever seen."""
+    recently-active key set instead of every key ever seen. The timer
+    re-arms from each batch's max event time, which equals "newest
+    event + horizon" under the per-key in-order delivery contract the
+    twins document (KeyShared; the tests' ts-ordered replays); a
+    contract-violating batch of only older rows would re-arm the timer
+    correspondingly earlier."""
     from typing import Iterator
 
     import pandas as pd
