@@ -975,6 +975,103 @@ def misra_gries_stream_tws(ev: DataFrame, capacity: int = 4) -> DataFrame:
     )
 
 
+def _retention_fold_kwargs() -> dict:
+    """Fold spec shared by ``retention_stream`` and its TWS twin: per
+    user, the first-seen week (the cohort) and the last week already
+    emitted -- O(1) state. Under the per-key in-order delivery contract
+    the twins document, a user's weeks arrive non-decreasing, so
+    "distinct weeks" is exactly "weeks greater than the last emitted
+    one" -- no seen-set, no growth with history length. Vectorized:
+    np.unique of the batch's precomputed week column, one comparison."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("cohort_week", T.LongType(), False),
+            T.StructField("activity_week", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cohort_week", T.LongType(), True),
+            T.StructField("last_week", T.LongType(), True),
+        ]
+    )
+
+    def _fold(key, pdf, prior):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        cohort, last_week = prior
+        weeks = np.unique(pdf["week"].to_numpy())  # sorted ascending
+        if cohort is None:
+            cohort = int(weeks[0])
+        fresh = weeks if last_week is None else weeks[weeks > last_week]
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "cohort_week": cohort,
+                "activity_week": fresh,
+            }
+        )
+        new_last = int(weeks[-1]) if last_week is None else max(
+            int(weeks[-1]), last_week
+        )
+        return out, (cohort, new_last), new_last * 1000
+
+    return dict(
+        key_cols=["user_id"],
+        select_cols=lambda: [
+            "user_id",
+            (
+                (F.floor(F.unix_timestamp("ts") / 604800) * 604800).cast(
+                    "bigint"
+                )
+            ).alias("week"),
+            "event_id",
+        ],
+        sort_cols=["week", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+    )
+
+
+def retention_stream(ev: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Online cohort-retention feed -- the streaming front end of
+    events_batch.events_retention_cohorts: per user the only state is
+    (first-seen week, last emitted week), and a row (user, cohort_week,
+    activity_week) is emitted the first time a user is active in a
+    week. Counting emitted rows per (cohort_week, activity_week)
+    reproduces the batch retention matrix exactly; the counting stays
+    out of this operator (chaining a second stateful aggregation after
+    a state store is the one shape Structured Streaming restricts),
+    the same operator/consumer split as transition_stream. The live-ops
+    use: the retention dashboard updates per micro-batch, and the
+    week-N-retained audience is the emitted-row set itself.
+
+    ``idle_timeout_ms`` bounds the store for year-scale deployments;
+    the trade is stronger here than for the shift folds and is why the
+    default is None: an evicted user who returns RE-COHORTS at the
+    return week (their pre-gap cohort is forgotten), the same pruning
+    decision offline cohort systems make when history ages out."""
+    return _keyed_fold_stream(
+        ev, idle_timeout_ms=idle_timeout_ms, **_retention_fold_kwargs()
+    )
+
+
+def retention_stream_tws(
+    ev: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """``retention_stream`` on the Spark-4 ``transformWithStateInPandas``
+    API (same fold, see ``_keyed_fold_stream_tws``)."""
+    return _keyed_fold_stream_tws(
+        ev, idle_timeout_ms=idle_timeout_ms, **_retention_fold_kwargs()
+    )
+
+
 def open_backlog_stream(
     deltas: DataFrame, lateness: str | None = None
 ) -> DataFrame:

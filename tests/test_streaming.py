@@ -3247,3 +3247,81 @@ def test_funnel_stream_idle_timeout_restarts_per_incarnation(spark, tmp_path):
         (2, 1, "view"),
         (2, 2, "click"),
     ]
+
+
+def test_retention_stream_matches_batch_matrix(spark, tmp_path):
+    """F7 streaming twin (round 9): the online cohort-retention feed
+    (first-seen week + last emitted week per user, O(1) state) must
+    aggregate to exactly the batch retention matrix across micro-batch
+    boundaries."""
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_retention_cohorts,
+    )
+
+    ev = windows.read_events_stream(spark, SF, max_files_per_trigger=1)
+    q = (
+        windows.retention_stream(ev)
+        .writeStream.format("memory")
+        .queryName("retention_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM retention_stream")
+    # each (user, activity_week) emits at most once across all batches
+    assert (
+        emitted.groupBy("user_id", "activity_week")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    streamed = {
+        (r["cohort_week"], r["activity_week"]): r["n_users"]
+        for r in emitted.groupBy("cohort_week", "activity_week")
+        .agg(F.count("*").alias("n_users"))
+        .collect()
+    }
+    batch = {
+        (r["cohort_week"], r["activity_week"]): r["n_users"]
+        for r in events_retention_cohorts(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_retention_stream_tws_matches_batch_matrix(spark, tmp_path):
+    """TWS-parity (round 9): the retention feed on
+    transformWithStateInPandas aggregates to the same matrix."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.events_batch import (
+        events_retention_cohorts,
+    )
+
+    _pytest.importorskip("google.protobuf")
+    ev = windows.read_events_stream(spark, SF)
+    with _rocksdb_provider(spark):
+        q = (
+            windows.retention_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("retention_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    streamed = {
+        (r["cohort_week"], r["activity_week"]): r["n_users"]
+        for r in spark.sql(
+            "SELECT cohort_week, activity_week, count(*) AS n_users"
+            " FROM retention_tws GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r["cohort_week"], r["activity_week"]): r["n_users"]
+        for r in events_retention_cohorts(spark, SF).collect()
+    }
+    assert streamed == batch and streamed
