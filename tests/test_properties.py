@@ -190,3 +190,155 @@ def test_trigram_fold_equals_loop_spec(events, prior):
     ref_out, ref_state, ref_last = _loop_trigram_spec((7,), pdf, prior)
     assert [tuple(r) for r in out.itertuples(index=False)] == ref_out
     assert tuple(state) == ref_state and last == ref_last
+
+
+# --- split-invariance: state carry stitches any micro-batch boundary --------
+# The stream==batch Spark tests replay ONE split; these sweep many. For
+# any history and ANY cut points, folding the chunks sequentially
+# (carrying state) must emit exactly the same rows as folding the whole
+# history at once -- the law that makes the twins correct under every
+# trigger/file-size configuration.
+
+
+def _fold_chunks(fold, key, pdf, n_state, cuts):
+    import pandas as pd
+
+    prior = (None,) * n_state
+    frames = []
+    bounds = [0] + sorted(cuts) + [len(pdf)]
+    for a, b in zip(bounds, bounds[1:]):
+        chunk = pdf.iloc[a:b]
+        if not len(chunk):
+            continue
+        out, prior, _ = fold(key, chunk, prior)
+        frames.append(
+            out if isinstance(out, pd.DataFrame) else pd.DataFrame(out)
+        )
+    return pd.concat(frames, ignore_index=True) if frames else None, prior
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 10**9), st.sampled_from(_TYPES)),
+        min_size=2,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_fold_twins_are_split_invariant(events, cuts):
+    import pandas as pd
+
+    from prometheus_pulsar_remote_write_spark.streaming.windows import (
+        _path_trigram_fold_kwargs,
+        _retention_fold_kwargs,
+        _transition_fold_kwargs,
+    )
+
+    pdf = _batch_frame(sorted(events)).sort_values("ts_us", kind="stable")
+    pdf = pdf.reset_index(drop=True)
+    cuts = [c for c in cuts if c < len(pdf)]
+    for kwargs, key, extra in (
+        (_transition_fold_kwargs(), (7,), None),
+        (_path_trigram_fold_kwargs(), (7,), None),
+        (_retention_fold_kwargs(), (7,), "week"),
+    ):
+        p = pdf.copy()
+        if extra == "week":
+            # the retention fold reads a precomputed week column (the
+            # select would derive it from ts JVM-side)
+            p["week"] = (p["ts_us"] // 1_000_000 // 604800) * 604800
+        n_state = len(kwargs["state_schema"].fields)
+        whole, state_whole = _fold_chunks(
+            kwargs["fold"], key, p, n_state, []
+        )
+        split, state_split = _fold_chunks(
+            kwargs["fold"], key, p, n_state, cuts
+        )
+        pd.testing.assert_frame_equal(
+            whole.reset_index(drop=True),
+            split.reset_index(drop=True),
+            check_dtype=False,
+        )
+        assert tuple(state_whole) == tuple(state_split)
+
+
+@given(
+    ts_list=st.lists(st.integers(0, 10**12), min_size=2, max_size=40),
+    cuts=st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_scrape_gap_fold_is_split_invariant(ts_list, cuts):
+    import pandas as pd
+
+    from prometheus_pulsar_remote_write_spark.streaming.windows import (
+        _scrape_gap_fold_kwargs,
+    )
+
+    pdf = pd.DataFrame({"ts_ms": sorted(ts_list)})
+    cuts = [c for c in cuts if c < len(pdf)]
+    kwargs = _scrape_gap_fold_kwargs()
+    whole, sw = _fold_chunks(kwargs["fold"], ("3", "up"), pdf, 1, [])
+    split, ss = _fold_chunks(kwargs["fold"], ("3", "up"), pdf, 1, cuts)
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True),
+        split.reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert tuple(sw) == tuple(ss)
+
+
+@given(
+    n=st.integers(2, 300),
+    cuts=st.lists(st.integers(1, 299), max_size=5),
+    batch_size=st.sampled_from([7, 50, 100]),
+)
+@settings(max_examples=100, deadline=None)
+def test_batcher_is_split_invariant(n, cuts, batch_size):
+    """Feeding the same samples split across any sequence of calls must
+    flush identical (batch_seq, row) assignments as one feed -- the
+    size-trigger's cross-call buffer stitching."""
+    import numpy as np
+    import pandas as pd
+
+    import sys
+
+    from prometheus_pulsar_remote_write_spark.streaming.batcher import (
+        _make_batch_fn,
+    )
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from scripts.bench_fold import _FakeBatchState
+
+    pdf = pd.DataFrame(
+        {
+            "timestamp": np.arange(n, dtype=np.int64),
+            "value": np.arange(n, dtype=np.float64) / 7.0,
+            "labels_json": np.asarray(["{}"] * n, dtype=object),
+        }
+    )
+    cuts = [c for c in cuts if c < n]
+
+    def run(bounds):
+        fn = _make_batch_fn(batch_size, 5000)
+        st_ = _FakeBatchState()
+        outs = []
+        for a, b in zip(bounds, bounds[1:]):
+            if b > a:
+                outs.append(
+                    pd.concat(
+                        list(fn(("t",), iter([pdf.iloc[a:b]]), st_)),
+                        ignore_index=True,
+                    )
+                )
+        return pd.concat(outs, ignore_index=True), st_.get
+
+    whole, state_whole = run([0, n])
+    split, state_split = run([0] + sorted(cuts) + [n])
+    pd.testing.assert_frame_equal(whole, split, check_dtype=False)
+    # remaining buffers and sequence counter agree
+    assert list(state_whole[0]) == list(state_split[0])
+    assert state_whole[3] == state_split[3]
