@@ -342,3 +342,70 @@ def test_batcher_is_split_invariant(n, cuts, batch_size):
     # remaining buffers and sequence counter agree
     assert list(state_whole[0]) == list(state_split[0])
     assert state_whole[3] == state_split[3]
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 10**9),
+            st.sampled_from(_TYPES),
+            st.integers(-500, 500),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(1, 39), max_size=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_update_mode_folds_are_split_invariant(events, cuts):
+    """The update-mode folds' FINAL state must be split-invariant (their
+    emissions are per-batch running summaries, so the law is on the
+    carried state plus, for scd2/alert, the CLOSED-row prefix)."""
+    import pandas as pd
+
+    from prometheus_pulsar_remote_write_spark.streaming.windows import (
+        _alert_fold_kwargs,
+        _cusum_fold_kwargs,
+        _ewma_fold_kwargs,
+        _latest_state_fold_kwargs,
+        _misra_gries_fold_kwargs,
+        _scd2_fold_kwargs,
+    )
+
+    events = sorted(events)
+    base = 1_700_000_000_000_000
+    pdf = pd.DataFrame(
+        {
+            "ts_us": [base + d for d, _, _ in events],
+            "ts_ms": [(base + d) // 1000 for d, _, _ in events],
+            "event_id": range(len(events)),
+            "event_type": [t for _, t, _ in events],
+            "value": [v / 10.0 for _, _, v in events],
+            "yc": [v * 10 for _, _, v in events],
+            "xc": [v * 10 for _, _, v in events],
+            "mu2_centi": 40,
+            "above": [v > 250 for _, _, v in events],
+            "item": [t for _, t, _ in events],
+        }
+    )
+    cuts = [c for c in cuts if c < len(pdf)]
+    cases = [
+        (_latest_state_fold_kwargs(), (7,)),
+        (_ewma_fold_kwargs(), (7,)),
+        (_scd2_fold_kwargs(), (7,)),
+        (_alert_fold_kwargs(1000, 600000), ("3", "up")),
+        (_misra_gries_fold_kwargs(4), ("view",)),
+        (_cusum_fold_kwargs(100, 4000), (7, "view")),
+    ]
+    for kwargs, key in cases:
+        n_state = len(kwargs["state_schema"].fields)
+        whole, state_whole = _fold_chunks(kwargs["fold"], key, pdf, n_state, [])
+        split, state_split = _fold_chunks(kwargs["fold"], key, pdf, n_state, cuts)
+        assert tuple(state_whole) == tuple(state_split), kwargs["fold"]
+        # ewma emits per-row (append-like): full emission equality holds
+        if "ewma_centi" in [f.name for f in kwargs["out_schema"].fields]:
+            pd.testing.assert_frame_equal(
+                whole.reset_index(drop=True),
+                split.reset_index(drop=True),
+                check_dtype=False,
+            )
