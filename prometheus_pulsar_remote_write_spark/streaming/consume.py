@@ -300,6 +300,7 @@ def run_consume_pipeline(
     trigger_once: bool = True,
     trigger_interval_ms: int = 1000,
     source: DataFrame | None = None,
+    dedup_within: str | None = None,
 ):
     """Wire the consume stream: parse -> split poison -> sink. Returns the query.
 
@@ -311,13 +312,43 @@ def run_consume_pipeline(
     ``source`` overrides the default file-backed payload stream with a
     bus client's consumer stream (streaming/bus.py MessageBusClient
     .source -- the A3 broker seam); it must produce (key, payload,
-    tenant_id) string columns."""
+    tenant_id) string columns.
+
+    ``dedup_within`` upgrades delivery from the reference's at-least-once
+    (a Nacked/redelivered message is written downstream AGAIN,
+    pkg/pulsar/pulsar.go:204-213 -- the reference has no replay dedup)
+    to effectively-once: a watermark horizon string (e.g. ``"10
+    minutes"``) enables ``dropDuplicatesWithinWatermark`` on the sample
+    identity (tenant_id, labels_json, timestamp), so a replayed message
+    whose samples already passed through within the horizon is dropped
+    before batching/POST. Scale shape: the dedup state is one store row
+    per DISTINCT in-flight sample key, partitioned by the dedup key
+    hash, evicted as soon as the event-time watermark passes key_ts +
+    horizon -- state is bounded by (ingest rate x horizon), not by
+    history, and redeliveries only ever land within the broker's replay
+    window, so a horizon >= the Nack redelivery delay suffices. Poison
+    rows (null timestamp) bypass the stage -- they carry no event time
+    and every one of them must reach the DLQ, so deduping them on the
+    (null, null) key would silently drop distinct bad payloads."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         poison_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
     )
     if source is None:
         source = read_payload_stream(spark, in_dir)
     parsed = parse_samples(source, fmt)
+    if dedup_within is not None:
+        good = (
+            parsed.filter(F.col("timestamp").isNotNull())
+            .withColumn("event_ts", F.timestamp_millis(F.col("timestamp")))
+            .withWatermark("event_ts", dedup_within)
+            .dropDuplicatesWithinWatermark(
+                ["tenant_id", "labels_json", "timestamp"]
+            )
+            .drop("event_ts")
+        )
+        parsed = good.unionByName(
+            parsed.filter(F.col("timestamp").isNull())
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         good = batch_df.filter(F.col("timestamp").isNotNull()).drop("payload")

@@ -982,7 +982,11 @@ def _retention_fold_kwargs() -> dict:
     the twins document, a user's weeks arrive non-decreasing, so
     "distinct weeks" is exactly "weeks greater than the last emitted
     one" -- no seen-set, no growth with history length. Vectorized:
-    np.unique of the batch's precomputed week column, one comparison."""
+    np.unique of the batch's precomputed week column, one comparison.
+    The idle-TTL timer arms from the batch's REAL max event timestamp
+    (``ts_ms``), not the week floor -- arming from the floor would let
+    a short horizon (< 1 week) evict a user mid-week and double-count
+    their activity_week on return (round-9 advice)."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -1019,7 +1023,7 @@ def _retention_fold_kwargs() -> dict:
         new_last = int(weeks[-1]) if last_week is None else max(
             int(weeks[-1]), last_week
         )
-        return out, (cohort, new_last), new_last * 1000
+        return out, (cohort, new_last), int(pdf["ts_ms"].max())
 
     return dict(
         key_cols=["user_id"],
@@ -1030,6 +1034,7 @@ def _retention_fold_kwargs() -> dict:
                     "bigint"
                 )
             ).alias("week"),
+            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
             "event_id",
         ],
         sort_cols=["week", "event_id"],
@@ -1483,10 +1488,24 @@ def _keyed_fold_stream_tws(
     out_cols = [f.name for f in out_schema.fields]
     n_state = len(state_schema.fields)
 
+    from pyspark.sql import types as T
+
+    timer_schema = T.StructType(
+        [T.StructField("armed_expiry_ms", T.LongType(), True)]
+    )
+
     class _Fold(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._state = handle.getValueState("fold_state", state_schema)
+            if idle_timeout_ms is not None:
+                # there is at most one live timer per key; tracking its
+                # armed expiry in a ValueState makes re-arming a point
+                # delete instead of a per-key listTimers() range scan
+                # against RocksDB on every arrival (round-9 advice)
+                self._timer_meta = handle.getValueState(
+                    "timer_meta", timer_schema
+                )
 
         def handleInputRows(
             self, key, rows: Iterator[pd.DataFrame], timerValues
@@ -1500,10 +1519,14 @@ def _keyed_fold_stream_tws(
             out, new_state, last_ts_ms = fold(key, pdf, prior)
             self._state.update(tuple(new_state))
             if idle_timeout_ms is not None:
-                # one live timer per key: re-arm at the new horizon
-                for old in self._handle.listTimers():
-                    self._handle.deleteTimer(old)
-                self._handle.registerTimer(int(last_ts_ms) + idle_timeout_ms)
+                new_expiry = int(last_ts_ms) + idle_timeout_ms
+                armed = self._timer_meta.get()
+                old_expiry = armed[0] if armed is not None else None
+                if old_expiry != new_expiry:
+                    if old_expiry is not None:
+                        self._handle.deleteTimer(old_expiry)
+                    self._handle.registerTimer(new_expiry)
+                    self._timer_meta.update((new_expiry,))
             if isinstance(out, pd.DataFrame):
                 yield out.loc[:, out_cols]
             else:
@@ -1512,9 +1535,11 @@ def _keyed_fold_stream_tws(
         def handleExpiredTimer(
             self, key, timerValues, expiredTimerInfo
         ) -> Iterator[pd.DataFrame]:
-            # idle past the horizon: clear the carried state so the
-            # store tracks only recently-active keys
+            # idle past the horizon: clear the carried state (and the
+            # timer bookkeeping) so the store tracks only active keys
             self._state.clear()
+            if idle_timeout_ms is not None:
+                self._timer_meta.clear()
             yield pd.DataFrame([], columns=out_cols)
 
         def close(self) -> None:

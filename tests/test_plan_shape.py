@@ -246,7 +246,7 @@ def test_round5_zero_shuffle_claims(spark):
         consume_label_replace_join,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     for fn in (emb_rp_projection, consume_label_replace_join):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{fn.__name__} grew a shuffle:\n{plan[:500]}"

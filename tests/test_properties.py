@@ -11,6 +11,7 @@ import struct
 import wave
 import zlib
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -22,6 +23,13 @@ from prometheus_pulsar_remote_write_spark.operators.multimodal import (
 from prometheus_pulsar_remote_write_spark.sources.http_listener import (
     tenant_is_safe,
 )
+
+# The loop-spec reference folds must stay dtype-stable under future
+# pandas: concat of empty/all-NA frames is deprecated, so the helpers
+# below filter zero-row frames before concat, pin chunk dtypes from the
+# fold's declared out_schema, and this marker turns any regression into
+# a hard failure instead of a silent dtype change.
+pytestmark = pytest.mark.filterwarnings("error::FutureWarning")
 
 
 @settings(max_examples=200, deadline=None)
@@ -200,9 +208,30 @@ def test_trigram_fold_equals_loop_spec(events, prior):
 # trigger/file-size configuration.
 
 
-def _fold_chunks(fold, key, pdf, n_state, cuts):
+def _schema_dtypes(out_schema):
+    """Explicit pandas dtypes for a fold's declared Spark out_schema --
+    nullable Int64/boolean/float64 so an all-NA chunk (e.g. scd2's open
+    interval with valid_to_ms=None) carries the SAME dtype as a chunk
+    with values, keeping concat out of pandas' deprecated empty/all-NA
+    dtype-exclusion path (the product scaffolds never concat across
+    batches; Arrow casts each yield to out_schema directly)."""
+    from pyspark.sql import types as T
+
+    dtypes = {}
+    for f in out_schema.fields:
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            dtypes[f.name] = "Int64"
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            dtypes[f.name] = "float64"
+        elif isinstance(f.dataType, T.BooleanType):
+            dtypes[f.name] = "boolean"
+    return dtypes
+
+
+def _fold_chunks(fold, key, pdf, n_state, cuts, out_schema=None):
     import pandas as pd
 
+    dtypes = _schema_dtypes(out_schema) if out_schema is not None else {}
     prior = (None,) * n_state
     frames = []
     bounds = [0] + sorted(cuts) + [len(pdf)]
@@ -211,10 +240,17 @@ def _fold_chunks(fold, key, pdf, n_state, cuts):
         if not len(chunk):
             continue
         out, prior, _ = fold(key, chunk, prior)
+        f = out if isinstance(out, pd.DataFrame) else pd.DataFrame(out)
         frames.append(
-            out if isinstance(out, pd.DataFrame) else pd.DataFrame(out)
+            f.astype({k: v for k, v in dtypes.items() if k in f.columns})
         )
-    return pd.concat(frames, ignore_index=True) if frames else None, prior
+    # zero-row frames carry no values but would trip pandas' deprecated
+    # empty/all-NA concat dtype inference -- drop them before concat,
+    # keeping one as the column template when every chunk came up empty
+    nonempty = [f for f in frames if len(f)]
+    if nonempty:
+        return pd.concat(nonempty, ignore_index=True), prior
+    return (frames[0].iloc[:0] if frames else None), prior
 
 
 @given(
@@ -245,15 +281,16 @@ def test_fold_twins_are_split_invariant(events, cuts):
     ):
         p = pdf.copy()
         if extra == "week":
-            # the retention fold reads a precomputed week column (the
-            # select would derive it from ts JVM-side)
+            # the retention fold reads precomputed week + ts_ms columns
+            # (the select would derive them from ts JVM-side)
             p["week"] = (p["ts_us"] // 1_000_000 // 604800) * 604800
+            p["ts_ms"] = p["ts_us"] // 1000
         n_state = len(kwargs["state_schema"].fields)
         whole, state_whole = _fold_chunks(
-            kwargs["fold"], key, p, n_state, []
+            kwargs["fold"], key, p, n_state, [], kwargs["out_schema"]
         )
         split, state_split = _fold_chunks(
-            kwargs["fold"], key, p, n_state, cuts
+            kwargs["fold"], key, p, n_state, cuts, kwargs["out_schema"]
         )
         pd.testing.assert_frame_equal(
             whole.reset_index(drop=True),
@@ -278,8 +315,12 @@ def test_scrape_gap_fold_is_split_invariant(ts_list, cuts):
     pdf = pd.DataFrame({"ts_ms": sorted(ts_list)})
     cuts = [c for c in cuts if c < len(pdf)]
     kwargs = _scrape_gap_fold_kwargs()
-    whole, sw = _fold_chunks(kwargs["fold"], ("3", "up"), pdf, 1, [])
-    split, ss = _fold_chunks(kwargs["fold"], ("3", "up"), pdf, 1, cuts)
+    whole, sw = _fold_chunks(
+        kwargs["fold"], ("3", "up"), pdf, 1, [], kwargs["out_schema"]
+    )
+    split, ss = _fold_chunks(
+        kwargs["fold"], ("3", "up"), pdf, 1, cuts, kwargs["out_schema"]
+    )
     pd.testing.assert_frame_equal(
         whole.reset_index(drop=True),
         split.reset_index(drop=True),
@@ -328,13 +369,14 @@ def test_batcher_is_split_invariant(n, cuts, batch_size):
         outs = []
         for a, b in zip(bounds, bounds[1:]):
             if b > a:
-                outs.append(
-                    pd.concat(
-                        list(fn(("t",), iter([pdf.iloc[a:b]]), st_)),
-                        ignore_index=True,
-                    )
+                outs.extend(
+                    f
+                    for f in fn(("t",), iter([pdf.iloc[a:b]]), st_)
+                    if len(f)
                 )
-        return pd.concat(outs, ignore_index=True), st_.get
+        if outs:
+            return pd.concat(outs, ignore_index=True), st_.get
+        return pd.DataFrame(), st_.get
 
     whole, state_whole = run([0, n])
     split, state_split = run([0] + sorted(cuts) + [n])
@@ -399,8 +441,12 @@ def test_update_mode_folds_are_split_invariant(events, cuts):
     ]
     for kwargs, key in cases:
         n_state = len(kwargs["state_schema"].fields)
-        whole, state_whole = _fold_chunks(kwargs["fold"], key, pdf, n_state, [])
-        split, state_split = _fold_chunks(kwargs["fold"], key, pdf, n_state, cuts)
+        whole, state_whole = _fold_chunks(
+            kwargs["fold"], key, pdf, n_state, [], kwargs["out_schema"]
+        )
+        split, state_split = _fold_chunks(
+            kwargs["fold"], key, pdf, n_state, cuts, kwargs["out_schema"]
+        )
         assert tuple(state_whole) == tuple(state_split), kwargs["fold"]
         # ewma emits per-row (append-like): full emission equality holds
         if "ewma_centi" in [f.name for f in kwargs["out_schema"].fields]:

@@ -138,7 +138,7 @@ def test_winnow_batch_matches_expression_tier(spark):
     )
     from prometheus_pulsar_remote_write_spark.schema import load_tables
 
-    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])[
+    docs = load_tables(spark, SF_SMOKE, ["documents"])[
         "documents"
     ].limit(50)
     expr = {
@@ -181,7 +181,7 @@ def test_kmeans_assignment_matches_numpy(spark):
         emb_kmeans_assign,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = SF_SMOKE
     got = {
         r.vec_id: (r.cluster1, r.cluster2)
         for r in emb_kmeans_assign(spark, sf_dir).collect()
