@@ -116,10 +116,15 @@ def main() -> None:
     # query ran uniformly ~3x slower while the driver's correctness job
     # shared the cores) -- take one extra run so the minimum reflects the
     # plan, not the neighbor.
+    # self-run scaling studies (SCALE.md sf0.1-vs-sf1 slopes) subset the
+    # list and redirect the detail file via env; the driver path -- no
+    # env set -- is byte-identical to before
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = subset.split(",") if subset else HEADLINE
     timings: dict[str, float] = {}
     spreads: dict[str, list] = {}
     bytes_moved: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = catalog.QUERIES[name]
         # a JVM GC between queries keeps one query's garbage (noop write
         # buffers, broadcast blocks) from surfacing as a GC pause inside
@@ -179,7 +184,7 @@ def main() -> None:
     # instrument -- go to a side file (durable, committable) and stderr.
     detail = {"spread": spreads, "bytes": bytes_moved, "sf": sf}
     try:
-        detail_path = os.path.join(
+        detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
         )
         with open(detail_path, "w") as fh:

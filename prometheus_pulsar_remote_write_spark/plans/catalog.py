@@ -39,11 +39,13 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED = [
-    # round 9: no batch-plan rewrites touch catalog entries (the round's
-    # code changes are streaming-twin vectorization + TWS parity, which
-    # are pytest-verified, and bench harness output) -- so every window
-    # slot goes to the stalest tail: the 27 entries whose latest green
-    # driver record is still r4, then the r5 cohort.
+    # round 10: no batch-plan changes touch catalog entries (the round's
+    # code changes are the consume dedup stage, TTL/timer fixes, and the
+    # CI fixture generator, all pytest-verified) -- so every window slot
+    # goes to the stalest tail: the 24-entry r5 cohort (the produce_*
+    # wire family, emb quantization family, events stateful family,
+    # multimodal pair) leads, then 26 of the r6 cohort. This retires the
+    # last pre-r6 evidence (round-9 verdict task 1).
 ]
 
 

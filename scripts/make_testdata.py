@@ -9,8 +9,9 @@ exists), with the same scale rules and value models observed there:
 
   rows(sf): customer 150k*sf, supplier 10k*sf, part 200k*sf,
             orders 1.5M*sf, lineitem 6M*sf, events 1M*sf
-            (user_id < 15k*sf); region 5, nation 25,
-            documents 500, embeddings 500 fixed.
+            (user_id < 15k*sf); region 5, nation 25 fixed;
+            documents max(500, 50k*sf), embeddings max(500, 20k*sf)
+            (the driver floors both at 500 for sf <= 0.01).
 
 VALUES ARE NOT BYTE-IDENTICAL to the driver's (its RNG stream is not
 public); every test that needs exact values reads whatever fixture set
@@ -190,7 +191,7 @@ def gen_events(sf: float, seed: int) -> pa.Table:
 
 def gen_documents(sf: float, seed: int) -> pa.Table:
     r = _rng(seed, sf, "documents")
-    n = 500  # fixed across sf, like the driver's corpus
+    n = max(500, round(50_000 * sf))  # driver floor: 500 at sf<=0.01
     vocab = np.array(DOC_VOCAB)
     texts = [
         " ".join(vocab[r.integers(0, len(vocab), r.integers(10, 100))])
@@ -209,7 +210,7 @@ def gen_documents(sf: float, seed: int) -> pa.Table:
 
 def gen_embeddings(sf: float, seed: int) -> pa.Table:
     r = _rng(seed, sf, "embeddings")
-    n, dim = 500, 64
+    n, dim = max(500, round(20_000 * sf)), 64  # driver floor: 500
     vecs = r.standard_normal((n, dim)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     return pa.table(

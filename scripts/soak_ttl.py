@@ -111,6 +111,9 @@ def main() -> None:
     make_stream = (
         windows.transition_stream_tws if api == "tws" else windows.transition_stream
     )
+    import time
+
+    t0 = time.time()
     q = (
         make_stream(stream, idle_timeout_ms=int(idle_hours * 3_600_000))
         .writeStream.format("memory")
@@ -121,8 +124,10 @@ def main() -> None:
         .start()
     )
     q.awaitTermination(3600)
+    elapsed = time.time() - t0
 
     curve = []  # (batch_idx, state_rows, removed, updated)
+    peak_state_bytes = 0
     for p in q.recentProgress:
         for op in p.get("stateOperators", []):
             curve.append(
@@ -132,6 +137,9 @@ def main() -> None:
                     op.get("numRowsRemoved", 0),
                     op.get("numRowsUpdated", 0),
                 )
+            )
+            peak_state_bytes = max(
+                peak_state_bytes, op.get("memoryUsedBytes", 0)
             )
     curve.sort()
     emitted = spark.sql("SELECT count(*) AS c FROM soak_ttl").collect()[0]["c"]
@@ -153,6 +161,14 @@ def main() -> None:
         f" {sum(steady) / len(steady):.0f}; {total_removed} evictions"
         f" across {batches_evicting}/{len(curve)} batches;"
         f" {emitted} transitions emitted"
+    )
+    # the TWS-vs-legacy overhead record (round-9 verdict task 6): same
+    # fold, same 120-batch drive -- only the state API + provider differ
+    print(
+        f"throughput: {n} rows in {elapsed:.1f}s ="
+        f" {n / elapsed:,.0f} rows/s end-to-end ({len(curve)} batches,"
+        f" {elapsed / max(1, len(curve)):.2f}s/batch);"
+        f" peak state store {peak_state_bytes:,} bytes"
     )
     spark.stop()
 
