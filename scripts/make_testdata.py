@@ -193,10 +193,22 @@ def gen_documents(sf: float, seed: int) -> pa.Table:
     r = _rng(seed, sf, "documents")
     n = max(500, round(50_000 * sf))  # driver floor: 500 at sf<=0.01
     vocab = np.array(DOC_VOCAB)
-    texts = [
-        " ".join(vocab[r.integers(0, len(vocab), r.integers(10, 100))])
-        for _ in range(n)
-    ]
+    texts = []
+    for i in range(n):
+        if i > 0 and r.random() < 0.05:
+            # planted near-duplicate (the driver corpus carries ~5%
+            # near-copies at 3-shingle Jaccard ~0.9-0.99 -- the
+            # MinHash/SimHash/PPJoin family needs real positives)
+            words = texts[int(r.integers(0, i))].split()
+            words = [
+                str(vocab[r.integers(0, len(vocab))]) if r.random() < 0.02 else w
+                for w in words
+            ]
+            texts.append(" ".join(words))
+        else:
+            texts.append(
+                " ".join(vocab[r.integers(0, len(vocab), r.integers(10, 100))])
+            )
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -212,6 +224,16 @@ def gen_embeddings(sf: float, seed: int) -> pa.Table:
     r = _rng(seed, sf, "embeddings")
     n, dim = max(500, round(20_000 * sf)), 64  # driver floor: 500
     vecs = r.standard_normal((n, dim)).astype(np.float32)
+    # planted near-twins (sigma=0.01 perturbations): ~5% of vectors,
+    # plus one twin for each of the five query heads (vec_id 0..4) the
+    # similarity tests probe -- near-dup vector structure makes ANN
+    # recall floors a property of the operator, not of instance luck
+    twin_of = {n - 5 + i: i for i in range(5)} if n >= 10 else {}
+    for i in range(1, n - 5):
+        if r.random() < 0.05:
+            twin_of[i] = int(r.integers(0, i))
+    for i, j in twin_of.items():
+        vecs[i] = vecs[j] + 0.01 * r.standard_normal(dim).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     return pa.table(
         {
