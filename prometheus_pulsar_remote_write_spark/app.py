@@ -158,6 +158,11 @@ class AppConfig:
     batch_size: int = 100
     batch_max_delay_ms: int = 5000
     send_timeout_s: float = 30.0
+    # --consume.dedup-within (engine extension, no reference analog: the
+    # reference is at-least-once with no replay dedup, pulsar.go:204-213).
+    # A duration ('10m') turns on dropDuplicatesWithinWatermark over the
+    # sample identity; 0/unset keeps reference semantics. SURVEY §4.
+    dedup_within_ms: int = 0
     dlq_dir: str | None = None
     poison_dir: str | None = None
     post_fn: object = None  # injectable HTTP POST (tests / custom clients)
@@ -281,6 +286,8 @@ def parse_args(argv: list) -> AppConfig:
             cfg.batch_size = int(value)
         elif name == "send-timeout":
             cfg.send_timeout_s = _duration_ms(value) / 1000.0
+        elif name == "consume.dedup-within":
+            cfg.dedup_within_ms = int(_duration_ms(value))
         elif name == "continuous":
             cfg.trigger_once = value.lower() not in ("1", "true", "yes")
         elif name in flag_map:
@@ -358,5 +365,10 @@ def run(spark: SparkSession, cfg: AppConfig):
         trigger_once=cfg.trigger_once,
         trigger_interval_ms=cfg.batch_max_delay_ms,
         source=cfg.bus().source(spark),
+        dedup_within=(
+            f"{cfg.dedup_within_ms} milliseconds"
+            if cfg.dedup_within_ms > 0
+            else None
+        ),
     )
     return query, sink

@@ -3617,3 +3617,56 @@ def test_consume_dedup_within_watermark_makes_delivery_effectively_once(
     run(in_dir2, post_dir2, ckpt2, dedup=False)
     dup_samples = posted_samples(post_dir2)
     assert len(dup_samples) == 2 * n_good  # at-least-once: all doubled
+
+
+def test_app_consume_dedup_within_flag(spark, tmp_path):
+    """--consume.dedup-within (round 10, engine extension -- the
+    reference has no replay dedup): the Go-duration flag parses into
+    AppConfig.dedup_within_ms and run() actually wires the stage -- the
+    consume query's state operators include the watermark dedup
+    (effectively-once semantics proven end-to-end by
+    test_consume_dedup_within_watermark_makes_delivery_effectively_once;
+    this pins the CLI surface and the plumbing)."""
+    from prometheus_pulsar_remote_write_spark.app import parse_args, run
+    from prometheus_pulsar_remote_write_spark.functions.serializers import (
+        marshal_json,
+    )
+
+    assert (
+        parse_args(
+            [
+                "consume",
+                "--pulsar.topic=/b",
+                "--remote-write.url=http://d",
+                "--consume.dedup-within=10m",
+            ]
+        ).dedup_within_ms
+        == 600_000
+    )
+
+    bus = str(tmp_path / "bus")
+    os.makedirs(bus, exist_ok=True)
+    msgs = [
+        (marshal_json(1000 + i, float(i), {"__name__": "up"}, "t-a"), "t-a")
+        for i in range(3)
+    ]
+    _write_messages(bus, msgs)
+    cfg = parse_args(
+        [
+            "consume",
+            f"--pulsar.topic={bus}",
+            "--remote-write.url=http://downstream/api/v1/push",
+            "--consume.dedup-within=10m",
+            f"--work-dir={tmp_path / 'work'}",
+        ]
+    )
+    cfg.post_fn = lambda u, b, h: 200
+    q, sink = run(spark, cfg)
+    q.awaitTermination(120)
+    ops = [
+        op.get("operatorName", "")
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    ]
+    assert any("dedupe" in o.lower() for o in ops), ops
+    assert sum(sink.sent.values()) == 3
