@@ -39,13 +39,19 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED = [
-    # round 10: no batch-plan changes touch catalog entries (the round's
-    # code changes are the consume dedup stage, TTL/timer fixes, and the
-    # CI fixture generator, all pytest-verified) -- so every window slot
-    # goes to the stalest tail: the 24-entry r5 cohort (the produce_*
-    # wire family, emb quantization family, events stateful family,
-    # multimodal pair) leads, then 26 of the r6 cohort. This retires the
-    # last pre-r6 evidence (round-9 verdict task 1).
+    # round 10: q9's profit sum moved to exact 1e-4-dollar integer units
+    # (the double-sum hash-matched the driver corpus by summation-order
+    # luck and lost the last cent on a statistically identical generated
+    # fixture -- found by running the strict oracle on the CI fixture
+    # set); its result schema changed (sum_profit -> sum_profit_e4), so
+    # it re-records first. Every other window slot goes to the stalest
+    # tail: the 24-entry r5 cohort (produce_* wire family, emb
+    # quantization family, events stateful family, multimodal pair)
+    # leads, then 25 of the r6 cohort -- retiring the last pre-r6
+    # evidence (round-9 verdict task 1). The round's other changes
+    # (consume dedup stage, TTL/timer fixes, CI fixture generator) touch
+    # no batch-plan entries and are pytest-verified.
+    "q9_product_type_profit",
 ]
 
 

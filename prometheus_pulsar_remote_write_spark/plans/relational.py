@@ -1114,13 +1114,25 @@ def q9_product_type_profit(spark, sf_dir):
     """Q9 shape: profit by (nation, year) over a part-name-filtered 5-table
     join. No partsupp => supply cost proxied by 60% of the part's retail
     price; the join/agg topology (LIKE-filtered part dim, supplier->nation,
-    order-year grouping) is Q9's."""
+    order-year grouping) is Q9's.
+
+    The per-row profit quantizes to EXACT 1e-4-dollar integers before the
+    sum (prices are 2dp, discounts 2dp, retail 1dp, quantity integral --
+    the products are integers by construction), so the aggregate is a
+    bigint sum whose value is independent of summation order. Round 10:
+    the previous double-sum + round(2) hash-matched on the driver corpus
+    by ORDER LUCK and lost the last cent on a statistically identical
+    fixture instance -- the exact float-indeterminism class the repo's
+    integer-quantization convention exists to prevent."""
     part, supp, nation, orders, li = _t(
         spark, sf_dir, "part", "supplier", "nation", "orders", "lineitem"
     )
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    profit_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.lit(600)
+        * F.round(F.col("p_retailprice") * 10).cast("long")
+        * F.col("l_quantity").cast("long")
     )
     return (
         li.join(
@@ -1131,14 +1143,16 @@ def q9_product_type_profit(spark, sf_dir):
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.sum(profit_e4).alias("sum_profit_e4"))
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - 600 * CAST(round(p_retailprice * 10) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_profit_e4
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
