@@ -38,20 +38,15 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: hand-maintaining a 50-name list. Everything outside the window stays
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
-_CHANGED = [
-    # round 10: q9's profit sum moved to exact 1e-4-dollar integer units
-    # (the double-sum hash-matched the driver corpus by summation-order
-    # luck and lost the last cent on a statistically identical generated
-    # fixture -- found by running the strict oracle on the CI fixture
-    # set); its result schema changed (sum_profit -> sum_profit_e4), so
-    # it re-records first. Every other window slot goes to the stalest
-    # tail: the 24-entry r5 cohort (produce_* wire family, emb
-    # quantization family, events stateful family, multimodal pair)
-    # leads, then 25 of the r6 cohort -- retiring the last pre-r6
-    # evidence (round-9 verdict task 1). The round's other changes
-    # (consume dedup stage, TTL/timer fixes, CI fixture generator) touch
-    # no batch-plan entries and are pytest-verified.
-    "q9_product_type_profit",
+_CHANGED: list = [
+    # round 11: no batch-plan entry changed (the round's code changes --
+    # TWS timer-orphan migration, dedup late-drop observability, the
+    # strict-gate CI step, fixture-generator head-twin fix -- touch no
+    # catalog query or oracle), so ALL 50 window slots go to the stalest
+    # tail: the full 24-entry r6 cohort (TPC-H headliners q1/q3/q5/q10,
+    # the events window family, multimodal pair) plus 26 of the r7
+    # cohort. After this round no entry's latest green driver record is
+    # older than r7 (round-10 verdict task 1).
 ]
 
 

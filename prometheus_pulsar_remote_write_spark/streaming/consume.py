@@ -326,10 +326,36 @@ def run_consume_pipeline(
     hash, evicted as soon as the event-time watermark passes key_ts +
     horizon -- state is bounded by (ingest rate x horizon), not by
     history, and redeliveries only ever land within the broker's replay
-    window, so a horizon >= the Nack redelivery delay suffices. Poison
-    rows (null timestamp) bypass the stage -- they carry no event time
-    and every one of them must reach the DLQ, so deduping them on the
-    (null, null) key would silently drop distinct bad payloads."""
+    window. Poison rows (null timestamp) bypass the stage -- they carry
+    no event time and every one of them must reach the DLQ, so deduping
+    them on the (null, null) key would silently drop distinct bad
+    payloads.
+
+    Dedup semantics the caller must size for:
+
+    - **Watermark-late FIRST-TIME samples are dropped, not DLQ'd.** The
+      watermark is GLOBAL across tenants: any sample whose event time
+      trails the stream's max event time by more than the horizon is
+      discarded by the watermark filter even if it was never delivered
+      before (e.g. one tenant backfilling old timestamps while another
+      tenant's fresh data advances the watermark). The horizon must
+      therefore exceed the worst-case CROSS-TENANT event-time skew, not
+      just the broker's Nack redelivery delay. The loss is observable:
+      the dedup operator reports ``numRowsDroppedByWatermark`` in every
+      ``StreamingQueryProgress`` (see :func:`dedup_state_metrics`);
+      alert on it > 0. Streams that must never drop backfill should run
+      with ``dedup_within=None`` (the reference's at-least-once
+      semantics, pkg/pulsar/pulsar.go:204-213).
+    - **The key excludes the sample value**: two deliveries with the
+      same (tenant, series, timestamp) but DIFFERENT values collapse to
+      whichever arrived first -- consistent with Prometheus rejecting
+      duplicate samples for the same series+timestamp on ingest.
+    - **labels_json must be byte-stable across redeliveries**: the key
+      matches on the serialized string, and upstream flatten emits
+      label-sorted canonical JSON (operators/flatten.py B3), so exact
+      broker replays always match; a producer that re-serializes labels
+      in a different order would escape dedup (and land as an ordinary
+      at-least-once duplicate, never lose data)."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         poison_dir, f"_checkpoint-{uuid.uuid4().hex[:8]}"
     )
@@ -351,12 +377,21 @@ def run_consume_pipeline(
         )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        good = batch_df.filter(F.col("timestamp").isNotNull()).drop("payload")
-        poison = batch_df.filter(F.col("timestamp").isNull()).select("payload")
-        n_poison = poison.count()
-        if n_poison:  # B9: log+ack+skip => park in DLQ, keep going
-            poison.write.mode("append").json(poison_dir)
-        sink(good, epoch_id)
+        # cache the micro-batch: the poison count and the sink's actions
+        # would otherwise each re-execute the whole upstream plan --
+        # re-scanning/re-parsing the source (and re-running the stateful
+        # dedup subtree, double-committing its store and doubling its
+        # progress counters) once per action
+        batch_df.persist()
+        try:
+            good = batch_df.filter(F.col("timestamp").isNotNull()).drop("payload")
+            poison = batch_df.filter(F.col("timestamp").isNull()).select("payload")
+            n_poison = poison.count()
+            if n_poison:  # B9: log+ack+skip => park in DLQ, keep going
+                poison.write.mode("append").json(poison_dir)
+            sink(good, epoch_id)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         parsed.writeStream.foreachBatch(process)
@@ -368,6 +403,27 @@ def run_consume_pipeline(
     else:
         writer = writer.trigger(processingTime=f"{trigger_interval_ms} milliseconds")
     return writer.start()
+
+
+def dedup_state_metrics(query) -> dict:
+    """The ``dedup_within`` stage's state counters from the query's most
+    recent progress event: ``numRowsTotal`` (live state rows -- bounded
+    by rate x horizon, NOT history), ``numRowsRemoved`` (watermark
+    evictions this batch), ``numRowsDroppedByWatermark`` (input rows
+    discarded for trailing the global watermark -- replays past the
+    horizon AND first-time late arrivals; alert on sustained > 0 if any
+    tenant backfills). Returns {} until the first stateful batch
+    completes or when dedup is off. This is the observability hook the
+    silent watermark-late drop documented on
+    :func:`run_consume_pipeline` demands -- ship it to the A6 metrics
+    endpoint or scrape it from the Spark UI's streaming tab."""
+    progress = query.lastProgress
+    if not progress:
+        return {}
+    for op in progress.get("stateOperators") or []:
+        if "dedupe" in (op.get("operatorName") or ""):
+            return dict(op)
+    return {}
 
 
 # ---------------------------------------------------------------------------

@@ -1522,6 +1522,16 @@ def _keyed_fold_stream_tws(
                 new_expiry = int(last_ts_ms) + idle_timeout_ms
                 armed = self._timer_meta.get()
                 old_expiry = armed[0] if armed is not None else None
+                if old_expiry is None and st is not None:
+                    # legacy-checkpoint migration: fold state exists but
+                    # timer_meta doesn't, so this checkpoint was written
+                    # by the pre-timer_meta code that registered timers
+                    # without tracking them. One listTimers() sweep (only
+                    # here, once per migrated key) deletes the orphans;
+                    # otherwise the orphan would fire later and evict a
+                    # recently-active key's state prematurely.
+                    for orphan in list(self._handle.listTimers()):
+                        self._handle.deleteTimer(orphan)
                 if old_expiry != new_expiry:
                     if old_expiry is not None:
                         self._handle.deleteTimer(old_expiry)
@@ -1536,10 +1546,25 @@ def _keyed_fold_stream_tws(
             self, key, timerValues, expiredTimerInfo
         ) -> Iterator[pd.DataFrame]:
             # idle past the horizon: clear the carried state (and the
-            # timer bookkeeping) so the store tracks only active keys
-            self._state.clear()
+            # timer bookkeeping) so the store tracks only active keys.
+            # Guard: only the timer timer_meta says is armed may evict.
+            # An expiry MISMATCH is an orphan from a pre-timer_meta
+            # checkpoint whose key re-armed since (the handleInputRows
+            # migration sweep covers keys that arrive, but an
+            # already-queued firing can still race it); clearing on it
+            # would evict a recently-active key prematurely, so it is
+            # ignored -- firing IS the orphan's deletion. armed=None is
+            # the other legacy shape: a key that never arrived
+            # post-upgrade, for which the old timer's firing is the
+            # legitimate idle-eviction signal, so it falls through.
             if idle_timeout_ms is not None:
+                armed = self._timer_meta.get()
+                expiry = expiredTimerInfo.getExpiryTimeInMs()
+                if armed is not None and armed[0] != expiry:
+                    yield pd.DataFrame([], columns=out_cols)
+                    return
                 self._timer_meta.clear()
+            self._state.clear()
             yield pd.DataFrame([], columns=out_cols)
 
         def close(self) -> None:

@@ -227,11 +227,17 @@ def gen_embeddings(sf: float, seed: int) -> pa.Table:
     # planted near-twins (sigma=0.01 perturbations): ~5% of vectors,
     # plus one twin for each of the five query heads (vec_id 0..4) the
     # similarity tests probe -- near-dup vector structure makes ANN
-    # recall floors a property of the operator, not of instance luck
-    twin_of = {n - 5 + i: i for i in range(5)} if n >= 10 else {}
-    for i in range(1, n - 5):
+    # recall floors a property of the operator, not of instance luck.
+    # Random twins start at i=5 and are applied BEFORE the head twins:
+    # if a head vector 0..4 were itself re-perturbed after its twin at
+    # n-5+i was copied, the guaranteed head-twin property the ANN recall
+    # tests rely on would silently break.
+    twin_of = {}
+    for i in range(5, n - 5):
         if r.random() < 0.05:
             twin_of[i] = int(r.integers(0, i))
+    if n >= 10:
+        twin_of.update({n - 5 + i: i for i in range(5)})
     for i, j in twin_of.items():
         vecs[i] = vecs[j] + 0.01 * r.standard_normal(dim).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)

@@ -31,9 +31,17 @@ def _resolve_testdata_root() -> str:
     clone -- SPARK_GRAFT_TESTDATA overrides the default) it generates a
     seeded schema-identical fixture set once into <repo>/.testdata via
     scripts/make_testdata.py, so `pytest tests/` is self-contained."""
-    root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    override = os.environ.get("SPARK_GRAFT_TESTDATA")
+    root = override or "/root/testdata"
     if os.path.isdir(os.path.join(root, "sf0.001")):
         return root
+    if override:
+        # an explicit override that is unusable is a typo, not a request
+        # to silently run the whole suite against generated fixtures
+        raise RuntimeError(
+            f"SPARK_GRAFT_TESTDATA={override!r} has no sf0.001/ subdir; "
+            "unset it to generate fixtures into <repo>/.testdata"
+        )
     root = os.path.join(_REPO_ROOT, ".testdata")
     sys.path.insert(0, os.path.join(_REPO_ROOT, "scripts"))
     try:
@@ -42,8 +50,21 @@ def _resolve_testdata_root() -> str:
         sys.path.pop(0)
     for sf in (0.001, 0.01):
         sf_dir = os.path.join(root, f"sf{sf:g}")
-        if not os.path.isdir(sf_dir):
-            generate(sf_dir, sf, seed=42)
+        if os.path.isdir(sf_dir):
+            continue
+        # generate into a private temp dir, then atomically rename: a
+        # concurrent pytest-xdist worker either wins the rename or sees
+        # the winner's complete directory -- never half-written parquet
+        tmp_dir = f"{sf_dir}.tmp-{os.getpid()}"
+        generate(tmp_dir, sf, seed=42)
+        try:
+            os.rename(tmp_dir, sf_dir)
+        except OSError:
+            if not os.path.isdir(sf_dir):  # rename failed for a real reason
+                raise
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return root
 
 

@@ -3327,6 +3327,63 @@ def test_retention_stream_tws_matches_batch_matrix(spark, tmp_path):
     assert streamed == batch and streamed
 
 
+def _evolution_fold_kwargs(with_count: bool) -> dict:
+    """The v1/v2 fold pair both evolution tests share: v1 carries
+    (last_type,); v2 adds one NULLABLE column (last_type, n_events) --
+    the canonical additive state-schema evolution."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("prev_type", T.StringType(), False),
+            T.StructField("next_type", T.StringType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+        ]
+    )
+    fields = [T.StructField("last_type", T.StringType(), True)]
+    if with_count:  # the v2 evolution: one added nullable column
+        fields.append(T.StructField("n_events", T.LongType(), True))
+    state_schema = T.StructType(fields)
+
+    def _fold(key, pdf, prior):
+        import pandas as pd
+
+        (user_id,) = key
+        last_type = prior[0]
+        n = prior[1] if with_count and prior[1] is not None else 0
+        emitted = []
+        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+            if last_type is not None:
+                emitted.append((user_id, last_type, str(etype), int(ts_us)))
+            last_type = str(etype)
+            n += 1
+        state = (last_type, n) if with_count else (last_type,)
+        return (
+            pd.DataFrame(
+                emitted,
+                columns=["user_id", "prev_type", "next_type", "ts_us"],
+            ),
+            state,
+            int(pdf["ts_us"].iloc[-1]) // 1000,
+        )
+
+    return dict(
+        key_cols=["user_id"],
+        select_cols=lambda: [
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        ],
+        sort_cols=["ts_us", "event_id"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        idle_timeout_ms=None,
+    )
+
+
 def test_tws_state_schema_evolution_across_restart(spark, tmp_path):
     """The stated reason the TWS tier exists (windows.py cites
     state-schema EVOLUTION for long-lived jobs) proved live: a
@@ -3336,14 +3393,13 @@ def test_tws_state_schema_evolution_across_restart(spark, tmp_path):
     the batch twin over the whole history, so no key's carried state
     was lost or reset at the boundary. Requires the Avro state encoding
     (spark.sql.streaming.stateStore.encodingFormat=avro) on RocksDB;
-    the default unsaferow encoding refuses the restart with
-    STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE (probed out-of-suite; the
-    negative leg would double this test's stream runs). Existing keys'
-    new field reads back as None, which the v2 fold maps to 0."""
+    the default unsaferow encoding's refusal is pinned by the NEGATIVE
+    leg, test_tws_state_schema_evolution_requires_avro_encoding.
+    Existing keys' new field reads back as None, which the v2 fold
+    maps to 0."""
     import pytest as _pytest
 
     _pytest.importorskip("google.protobuf")
-    from pyspark.sql import types as T
 
     from prometheus_pulsar_remote_write_spark.plans.events_batch import (
         events_markov_transitions,
@@ -3356,56 +3412,7 @@ def test_tws_state_schema_evolution_across_restart(spark, tmp_path):
     src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
     first.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch1.parquet")
 
-    def fold_kwargs(with_count: bool) -> dict:
-        out_schema = T.StructType(
-            [
-                T.StructField("user_id", T.LongType(), False),
-                T.StructField("prev_type", T.StringType(), False),
-                T.StructField("next_type", T.StringType(), False),
-                T.StructField("ts_us", T.LongType(), False),
-            ]
-        )
-        fields = [T.StructField("last_type", T.StringType(), True)]
-        if with_count:  # the v2 evolution: one added nullable column
-            fields.append(T.StructField("n_events", T.LongType(), True))
-        state_schema = T.StructType(fields)
-
-        def _fold(key, pdf, prior):
-            import pandas as pd
-
-            (user_id,) = key
-            last_type = prior[0]
-            n = prior[1] if with_count and prior[1] is not None else 0
-            emitted = []
-            for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-                if last_type is not None:
-                    emitted.append((user_id, last_type, str(etype), int(ts_us)))
-                last_type = str(etype)
-                n += 1
-            state = (last_type, n) if with_count else (last_type,)
-            return (
-                pd.DataFrame(
-                    emitted,
-                    columns=["user_id", "prev_type", "next_type", "ts_us"],
-                ),
-                state,
-                int(pdf["ts_us"].iloc[-1]) // 1000,
-            )
-
-        return dict(
-            key_cols=["user_id"],
-            select_cols=lambda: [
-                "user_id",
-                F.unix_micros("ts").alias("ts_us"),
-                "event_id",
-                "event_type",
-            ],
-            sort_cols=["ts_us", "event_id"],
-            fold=_fold,
-            out_schema=out_schema,
-            state_schema=state_schema,
-            idle_timeout_ms=None,
-        )
+    fold_kwargs = _evolution_fold_kwargs
 
     def run_once(with_count: bool) -> None:
         stream = (
@@ -3456,6 +3463,206 @@ def test_tws_state_schema_evolution_across_restart(spark, tmp_path):
         for r in events_markov_transitions(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_tws_state_schema_evolution_requires_avro_encoding(spark, tmp_path):
+    """NEGATIVE leg of the evolution story (round-10 verdict task 3):
+    under the DEFAULT unsaferow state encoding, the same v1 -> v2
+    restart the Avro test proves live is REFUSED with
+    STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE. This pins the operational
+    claim long-lived jobs depend on: encodingFormat=avro must be set
+    from the FIRST checkpoint -- an unsaferow checkpoint can never
+    evolve its state schema later. Both legs exercise the same fold
+    pair (_evolution_fold_kwargs) so the only variable is the
+    encoding. Tiny two-batch synthetic source: the refusal happens at
+    state-store schema validation, not in the data path."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from datetime import datetime
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    spark.createDataFrame(
+        [(1, 1, "view", datetime(2024, 1, 4)), (2, 2, "buy", datetime(2024, 1, 4))],
+        schema,
+    ).coalesce(1).write.parquet(f"{src}/batch1.parquet")
+
+    def run_once(with_count: bool) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = (
+            windows._keyed_fold_stream_tws(
+                stream, **_evolution_fold_kwargs(with_count)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # the session default is unsaferow; assert rather than assume, since
+    # a leaked avro conf from another test would silently void this leg
+    enc = spark.conf.get("spark.sql.streaming.stateStore.encodingFormat", "unsaferow")
+    assert enc.lower() != "avro"
+    with _rocksdb_provider(spark):
+        run_once(with_count=False)  # v1 writes the unsaferow checkpoint
+        spark.createDataFrame(
+            [(1, 3, "buy", datetime(2024, 1, 5))], schema
+        ).coalesce(1).write.parquet(f"{src}/batch2.parquet")
+        with _pytest.raises(Exception, match="STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"):
+            run_once(with_count=True)  # v2 on the SAME ckpt must refuse
+
+
+def test_tws_legacy_checkpoint_orphan_timer_does_not_evict(spark, tmp_path):
+    """Round-10 advice regression (windows.py timer_meta migration): a
+    checkpoint written by the PRE-timer_meta code has a live registered
+    timer but no timer_meta row. On restart, the old code would arm a
+    second timer without deleting the orphan, and the orphan's firing
+    unconditionally cleared the key's state -- premature eviction that
+    resets the carried fold mid-stream. The fixed code (a) sweeps
+    listTimers() on the first post-upgrade arrival of a key whose state
+    exists but timer_meta doesn't, and (b) handleExpiredTimer ignores
+    firings whose expiry mismatches timer_meta. Scenario: a legacy twin
+    processor (same fold_state name/schema, timer w/o timer_meta --
+    exactly the pre-change wire shape) checkpoints u1 with count=1 and
+    a timer at t+10s; the real scaffold then processes three more
+    batches whose watermark passes that orphan's expiry. A premature
+    eviction would reset the running count; the fix keeps it
+    monotonic: emitted counts are exactly 1,2,3,4."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    horizon_ms = 10_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType(), True)])
+
+    def _fold(key, pdf, prior):
+        import pandas as pd
+
+        n = (prior[0] or 0) + len(pdf)
+        return (
+            pd.DataFrame([(key[0], n)], columns=["user_id", "n"]),
+            (n,),
+            int(pdf["ts_ms"].iloc[-1]),
+        )
+
+    fold_kwargs = dict(
+        key_cols=["user_id"],
+        select_cols=lambda: ["user_id", F.unix_millis("ts").alias("ts_ms")],
+        sort_cols=["ts_ms"],
+        fold=_fold,
+        out_schema=out_schema,
+        state_schema=state_schema,
+        idle_timeout_ms=horizon_ms,
+    )
+
+    class _LegacyFold(StatefulProcessor):
+        # the pre-timer_meta scaffold: same fold_state name+schema, same
+        # event-time timer -- but NO timer_meta bookkeeping state
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("fold_state", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            st = self._state.get()
+            pdf = pd.concat(list(rows)).sort_values("ts_ms")
+            out, new_state, last_ts = _fold(key, pdf, st if st else (None,))
+            self._state.update(tuple(new_state))
+            self._handle.registerTimer(int(last_ts) + horizon_ms)
+            yield out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            self._state.clear()
+            yield pd.DataFrame([], columns=["user_id", "n"])
+
+        def close(self) -> None:
+            pass
+
+    schema = "user_id long, ts timestamp"
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def write_batch(name, rows):
+        from datetime import datetime, timezone
+
+        spark.createDataFrame(
+            [(u, datetime.fromtimestamp(ms / 1e3, tz=timezone.utc)) for u, ms in rows],
+            schema,
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+
+    def stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        return s.withWatermark("ts", f"{horizon_ms} milliseconds").select(
+            "user_id", F.unix_millis("ts").alias("ts_ms"), "ts"
+        )
+
+    def drain(q):
+        q.awaitTermination(180)
+
+    write_batch("f1", [(1, 10_000)])
+    with _rocksdb_provider(spark):
+        # leg 1: the legacy processor writes the orphan-shaped checkpoint
+        q = (
+            stream()
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_LegacyFold(),
+                outputStructType=out_schema,
+                outputMode="append",
+                timeMode="eventTime",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        # leg 2: the REAL scaffold restarts on the same checkpoint; f2-f4
+        # advance the watermark far past the orphan's 20s expiry
+        write_batch("f2", [(1, 100_000)])
+        write_batch("f3", [(1, 200_000)])
+        write_batch("f4", [(1, 300_000)])
+        ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        q = (
+            windows._keyed_fold_stream_tws(ev, **fold_kwargs)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    ns = sorted(r["n"] for r in spark.read.parquet(out).collect())
+    assert ns == [1, 2, 3, 4]  # a premature eviction would reset the count
 
 
 def test_retention_stream_ttl_arms_from_real_event_time(spark, tmp_path):
@@ -3617,6 +3824,157 @@ def test_consume_dedup_within_watermark_makes_delivery_effectively_once(
     run(in_dir2, post_dir2, ckpt2, dedup=False)
     dup_samples = posted_samples(post_dir2)
     assert len(dup_samples) == 2 * n_good  # at-least-once: all doubled
+
+
+def test_consume_dedup_state_eviction_at_streaming_cadence(spark, tmp_path):
+    """Round-10 verdict task 5: the dedup stage's state must be bounded
+    by rate x horizon, not history -- pinned against Spark upgrades by
+    the operator's own progress counters over >=3 processing-time
+    micro-batches. Three data batches 40 min apart under a 10-minute
+    horizon, plus a replay and a first-time late arrival:
+
+      b1: 3 samples @ t0                  -> 3 state rows
+      b2: 2 samples @ t0+40m + b1 replay  -> replay adds NO state rows
+      b3: 2 samples @ t0+80m + 1 NEVER-seen sample @ t0 (late)
+
+    Asserted from the dedupe operator's progress counters: b2's own
+    batch ends with exactly 5 state rows (3 + 2 fresh -- the replay
+    added NONE); the watermark's no-data cleanup batches then evict
+    expired keys (numRowsRemoved sums to 5) until the live state is
+    just b3's 2 keys -- bounded by the horizon, NOT the 8-key history;
+    numRowsDroppedByWatermark >= 1 for the late first-timer -- the
+    documented loss (run_consume_pipeline docstring) made observable.
+    Downstream sees exactly 7 samples: replay deduped, late one dropped."""
+    import time as _time
+
+    from prometheus_pulsar_remote_write_spark.streaming.consume import (
+        dedup_state_metrics,
+    )
+
+    t0 = 1_700_000_000_000  # ms
+    mins = 60_000
+
+    def payloads(ts_ms, n, tag):
+        return [
+            (
+                marshal_json(
+                    ts_ms, float(i), {"__name__": "up", "instance": f"{tag}{i}"}, "t-a"
+                ),
+                "t-a",
+            )
+            for i in range(n)
+        ]
+
+    b1 = payloads(t0, 3, "a")
+    b2 = payloads(t0 + 40 * mins, 2, "b") + b1  # fresh + the Nack replay
+    b3 = payloads(t0 + 80 * mins, 2, "c") + payloads(t0, 1, "late-first")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def write_batch(name, msgs):
+        # temp-write + atomic rename: the file source must never list a
+        # half-written file mid-trigger
+        tmp = str(tmp_path / f"{name}.tmp")
+        with open(tmp, "w") as fh:
+            for payload, tenant in msgs:
+                fh.write(
+                    json.dumps({"key": "k", "payload": payload, "tenant_id": tenant})
+                    + "\n"
+                )
+        os.rename(tmp, os.path.join(in_dir, f"{name}.jsonl"))
+
+    post_dir = str(tmp_path / "posts")
+
+    def post_fn(url, body, headers):
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(post_dir, exist_ok=True)
+        with open(_os.path.join(post_dir, _uuid.uuid4().hex), "wb") as fh:
+            fh.write(body)
+        return 200
+
+    sink = RemoteWriteSink(
+        url="http://sink",
+        dlq_dir=str(tmp_path / "dlq"),
+        post_fn=post_fn,
+        batch_size=100,
+    )
+    q = run_consume_pipeline(
+        spark,
+        in_dir,
+        sink,
+        str(tmp_path / "poison"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=False,  # real processing-time cadence
+        trigger_interval_ms=500,
+        dedup_within="10 minutes",
+    )
+
+    def by_batch():
+        seen = {}
+        for p in q.recentProgress:
+            seen[p["batchId"]] = p
+        return seen
+
+    def wait_for(pred, what, timeout=90.0):
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"query failed: {q.exception()}")
+            if pred():
+                return
+            _time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    def op_metric(field):
+        total = 0
+        for p in by_batch().values():
+            for op in p.get("stateOperators") or []:
+                if "dedupe" in (op.get("operatorName") or ""):
+                    total += op.get(field) or 0
+        return total
+
+    def any_batch_with_total(n):
+        # per-batch snapshot from the progress HISTORY: the watermark's
+        # no-data cleanup batch may shrink live state between our polls
+        return any(
+            (op.get("numRowsTotal") or 0) == n
+            for p in by_batch().values()
+            for op in p.get("stateOperators") or []
+            if "dedupe" in (op.get("operatorName") or "")
+        )
+
+    try:
+        write_batch("b1", b1)
+        wait_for(lambda: any_batch_with_total(3), "b1's 3 state rows")
+        write_batch("b2", b2)
+        # the replay must add NO state rows: b2's batch ends at 3+2 == 5
+        wait_for(
+            lambda: any_batch_with_total(5),
+            "b2's batch ending with exactly 5 state rows (replay added none)",
+        )
+        write_batch("b3", b3)
+        # b3 advances the watermark to t0+70m: b1's keys (expire t0+10m)
+        # and b2's (expire t0+50m) are evicted by the cleanup batches;
+        # live state converges to b3's 2 keys -- horizon-bounded
+        wait_for(
+            lambda: op_metric("numRowsRemoved") == 5
+            and (dedup_state_metrics(q).get("numRowsTotal") or 0) == 2,
+            "5 expired keys evicted and live state bounded at 2",
+        )
+        assert op_metric("numRowsDroppedByWatermark") >= 1  # the late first-timer
+    finally:
+        q.stop()
+
+    # downstream: 3 + 2 + 2 fresh samples; replay deduped, late one lost
+    posted = 0
+    for name in os.listdir(post_dir):
+        with open(os.path.join(post_dir, name), "rb") as fh:
+            req = prompb.decode_write_request(snappy_codec.decompress(fh.read()))
+        posted += sum(len(ts["samples"]) for ts in req["timeseries"])
+    assert posted == 7
 
 
 def test_app_consume_dedup_within_flag(spark, tmp_path):
