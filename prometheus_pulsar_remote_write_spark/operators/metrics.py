@@ -67,14 +67,24 @@ class MetricsListener:
 
     def _on_progress(self, event) -> None:
         p = event.progress
-        self.progress.append(
-            {
-                "batch_id": p.batchId,
-                "num_input_rows": p.numInputRows,
-                "duration_ms": (p.durationMs or {}).get("triggerExecution"),
-                "observed": {k: v.asDict() for k, v in (p.observedMetrics or {}).items()},
-            }
-        )
+        rec = {
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+            "observed": {k: v.asDict() for k, v in (p.observedMetrics or {}).items()},
+        }
+        for op in p.stateOperators or []:
+            # the dedup_within stage's loss/size counters (consume.py):
+            # dropped_late is the ONLY trace a watermark-late sample
+            # leaves -- it is neither POSTed nor DLQ'd, so it must be
+            # scrapeable (round-10 advice)
+            if "dedupe" in (op.operatorName or ""):
+                rec["dedup"] = {
+                    "state_rows": op.numRowsTotal,
+                    "evicted": op.numRowsRemoved,
+                    "dropped_late": op.numRowsDroppedByWatermark,
+                }
+        self.progress.append(rec)
 
     def as_listener(self):
         from pyspark.sql.streaming import StreamingQueryListener
@@ -97,11 +107,21 @@ class MetricsListener:
         return _L()
 
     def totals(self) -> dict:
-        out = {"num_input_rows": 0, "n_samples": 0}
+        out = {
+            "num_input_rows": 0,
+            "n_samples": 0,
+            "dedup_dropped_late": 0,
+            "dedup_evicted": 0,
+            "dedup_state_rows": 0,
+        }
         for p in self.progress:
             out["num_input_rows"] += p["num_input_rows"] or 0
             for metrics in p["observed"].values():
                 out["n_samples"] += metrics.get("n_samples") or 0
+            if "dedup" in p:  # counters sum; the state size is a gauge
+                out["dedup_dropped_late"] += p["dedup"]["dropped_late"] or 0
+                out["dedup_evicted"] += p["dedup"]["evicted"] or 0
+                out["dedup_state_rows"] = p["dedup"]["state_rows"] or 0
         return out
 
     def exposition(self) -> str:
@@ -119,6 +139,17 @@ class MetricsListener:
             "# HELP stream_batches_total Micro-batches processed.\n"
             "# TYPE stream_batches_total counter\n"
             f"stream_batches_total {len(self.progress)}\n"
+            "# HELP stream_dedup_dropped_late_total Samples dropped for trailing the"
+            " global watermark beyond the dedup horizon (neither POSTed nor DLQ'd;"
+            " alert on sustained growth if any tenant backfills).\n"
+            "# TYPE stream_dedup_dropped_late_total counter\n"
+            f"stream_dedup_dropped_late_total {t['dedup_dropped_late']}\n"
+            "# HELP stream_dedup_evicted_total Dedup state rows evicted by watermark advance.\n"
+            "# TYPE stream_dedup_evicted_total counter\n"
+            f"stream_dedup_evicted_total {t['dedup_evicted']}\n"
+            "# HELP stream_dedup_state_rows Live dedup state rows (bounded by rate x horizon).\n"
+            "# TYPE stream_dedup_state_rows gauge\n"
+            f"stream_dedup_state_rows {t['dedup_state_rows']}\n"
         )
 
 

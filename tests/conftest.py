@@ -31,17 +31,21 @@ def _resolve_testdata_root() -> str:
     clone -- SPARK_GRAFT_TESTDATA overrides the default) it generates a
     seeded schema-identical fixture set once into <repo>/.testdata via
     scripts/make_testdata.py, so `pytest tests/` is self-contained."""
-    override = os.environ.get("SPARK_GRAFT_TESTDATA")
-    root = override or "/root/testdata"
-    if os.path.isdir(os.path.join(root, "sf0.001")):
-        return root
-    if override:
-        # an explicit override that is unusable is a typo, not a request
-        # to silently run the whole suite against generated fixtures
-        raise RuntimeError(
-            f"SPARK_GRAFT_TESTDATA={override!r} has no sf0.001/ subdir; "
-            "unset it to generate fixtures into <repo>/.testdata"
-        )
+    # SPARK_GRAFT_GENERATE=1 forces the generated-fixture path (the CI
+    # configuration) even where the driver parquet exists -- the
+    # explicit switch, since a typo'd SPARK_GRAFT_TESTDATA must raise
+    # rather than silently fall back to a different corpus
+    if os.environ.get("SPARK_GRAFT_GENERATE", "") in ("", "0"):
+        override = os.environ.get("SPARK_GRAFT_TESTDATA")
+        root = override or "/root/testdata"
+        if os.path.isdir(os.path.join(root, "sf0.001")):
+            return root
+        if override:
+            raise RuntimeError(
+                f"SPARK_GRAFT_TESTDATA={override!r} has no sf0.001/ subdir; "
+                "unset it (or set SPARK_GRAFT_GENERATE=1) to generate "
+                "fixtures into <repo>/.testdata"
+            )
     root = os.path.join(_REPO_ROOT, ".testdata")
     sys.path.insert(0, os.path.join(_REPO_ROOT, "scripts"))
     try:

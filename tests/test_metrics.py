@@ -209,3 +209,33 @@ def test_metrics_listener_exposition_lints_clean():
     text = listener.exposition()
     assert "stream_input_rows_total 7" in text
     assert lint_exposition(text) == []
+
+
+def test_metrics_listener_dedup_counters_and_lint():
+    """The dedup_within stage's loss counters ride the listener to the
+    A6 exposition (round-10 advice: the watermark-late drop must be
+    observable): dropped_late/evicted SUM across batches, state_rows is
+    the latest gauge; families lint clean. The extraction from a real
+    dedupe operator's progress is exercised by
+    test_consume_dedup_state_eviction_at_streaming_cadence."""
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        lint_exposition,
+    )
+
+    listener = MetricsListener()
+    listener.progress.append(
+        {"batch_id": 0, "num_input_rows": 3, "duration_ms": 3, "observed": {},
+         "dedup": {"state_rows": 5, "evicted": 0, "dropped_late": 0}}
+    )
+    listener.progress.append(
+        {"batch_id": 1, "num_input_rows": 3, "duration_ms": 3, "observed": {},
+         "dedup": {"state_rows": 2, "evicted": 5, "dropped_late": 1}}
+    )
+    t = listener.totals()
+    assert t["dedup_dropped_late"] == 1
+    assert t["dedup_evicted"] == 5
+    assert t["dedup_state_rows"] == 2  # gauge: latest, not summed
+    text = listener.exposition()
+    assert "stream_dedup_dropped_late_total 1" in text
+    assert "stream_dedup_state_rows 2" in text
+    assert lint_exposition(text) == []

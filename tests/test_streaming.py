@@ -3847,6 +3847,9 @@ def test_consume_dedup_state_eviction_at_streaming_cadence(spark, tmp_path):
     Downstream sees exactly 7 samples: replay deduped, late one dropped."""
     import time as _time
 
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        MetricsListener,
+    )
     from prometheus_pulsar_remote_write_spark.streaming.consume import (
         dedup_state_metrics,
     )
@@ -3901,6 +3904,9 @@ def test_consume_dedup_state_eviction_at_streaming_cadence(spark, tmp_path):
         post_fn=post_fn,
         batch_size=100,
     )
+    listener = MetricsListener()  # the A6 bridge sees the same counters
+    listener_handle = listener.as_listener()
+    spark.streams.addListener(listener_handle)
     q = run_consume_pipeline(
         spark,
         in_dir,
@@ -3965,8 +3971,19 @@ def test_consume_dedup_state_eviction_at_streaming_cadence(spark, tmp_path):
             "5 expired keys evicted and live state bounded at 2",
         )
         assert op_metric("numRowsDroppedByWatermark") >= 1  # the late first-timer
+        # the same loss reaches the A6 exposition via MetricsListener
+        # (listener events are delivered asynchronously)
+        deadline = _time.monotonic() + 30
+        while (
+            _time.monotonic() < deadline
+            and listener.totals()["dedup_dropped_late"] < 1
+        ):
+            _time.sleep(0.3)
+        assert listener.totals()["dedup_dropped_late"] >= 1
+        assert "stream_dedup_dropped_late_total" in listener.exposition()
     finally:
         q.stop()
+        spark.streams.removeListener(listener_handle)
 
     # downstream: 3 + 2 + 2 fresh samples; replay deduped, late one lost
     posted = 0

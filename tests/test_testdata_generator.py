@@ -93,6 +93,26 @@ def test_generator_semantic_preconditions(gen_dir):
     assert np.allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
 
 
+def test_generator_head_twins_survive_random_twin_pass(gen_dir):
+    """Round-10 advice regression: gen_embeddings plants one near-twin
+    at vec n-5+i for each ANN query head i in 0..4. The random-twin
+    pass used to be able to re-perturb a head vector AFTER its twin was
+    copied, silently breaking the guaranteed recall anchor (~5% chance
+    per head per seed). The property must hold at EVERY seed, so check
+    several -- unit-norm twins at sigma=0.01 sit at cosine ~0.9999."""
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "scripts"))
+    from make_testdata import gen_embeddings
+
+    sys.path.pop(0)
+    for seed in (42, 7, 13, 99, 1234):
+        t = gen_embeddings(0.01, seed)
+        v = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        n = len(v)
+        for i in range(5):
+            cos = float(v[n - 5 + i] @ v[i])
+            assert cos > 0.999, f"seed {seed}: head twin {i} broken (cos={cos})"
+
+
 def test_generator_is_deterministic(gen_dir, tmp_path):
     """seed=42 twice -> byte-identical values (the CI fixture is stable
     across runs/processes; the per-table crc32 stream seeding)."""
