@@ -168,7 +168,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
@@ -177,10 +181,24 @@ def lsh_candidate_pairs(
     expression. One shuffle (the bucket groupBy) and exactly one
     evaluation of the signature relation -- a bucket self-join would
     evaluate the signature scan once per join side. Per-bucket state is
-    the id list, bounded by bucket size: small by the LSH premise, and a
-    pathological boilerplate bucket is exactly the near-dup mass the
-    pipeline exists to surface (salt the bucket key with a signature
-    prefix if one bucket ever dominates).
+    the id list, bounded by bucket size: small by the LSH premise.
+
+    ``max_bucket_size`` is the hot-bucket guard for corpora where one
+    boilerplate/template mass floods a bucket. All-pairs expansion is
+    quadratic IN THE BUCKET: the sf0.1->sf1->sf10 ladder (SCALE.md §9)
+    measured the hottest bucket growing linearly with the corpus (79 ->
+    844 docs) while median stayed 2, so total candidate pairs grew 86x
+    for 10x docs -- the one superlinear signature in the repo. Buckets
+    over the cap switch to STAR expansion: every member pairs with the
+    bucket's minimum id only (O(size) pairs, same single shuffle). For
+    a dup-family mass this preserves what dedup needs -- every member
+    remains reachable from one canonical anchor, and dup_families'
+    transitive closure reconnects the family -- at the cost of missing
+    member<->member edges that only mattered if the bucket was a hash
+    COLLISION of unrelated docs (vanishingly unlikely at real shingle
+    cardinality, and those pairs fail Jaccard verification anyway).
+    Default None keeps the exact all-pairs semantics (and byte-identical
+    plans) for every existing catalog query and its DuckDB oracle.
     """
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
@@ -207,16 +225,24 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> named_struct('id_a', x, 'id_b', y))))"
-                )
-            ).alias("p")
+    all_pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> named_struct('id_a', x, 'id_b', y))))"
+    )
+    if max_bucket_size is None:
+        expanded = all_pairs
+    else:
+        # ids is sorted ascending, so ids[0] is the canonical (min) id
+        star_pairs = F.expr(
+            "transform(slice(ids, 2, size(ids) - 1),"
+            " y -> named_struct('id_a', ids[0], 'id_b', y))"
         )
+        expanded = F.when(
+            F.size("ids") <= F.lit(int(max_bucket_size)), all_pairs
+        ).otherwise(star_pairs)
+    return (
+        buckets.select(F.explode(expanded).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )

@@ -79,6 +79,45 @@ def test_persisted_ivf_index_matches_inline_and_prunes(spark, tmp_path):
     assert len(found) >= 1
 
 
+def test_lsh_hot_bucket_cap_star_expansion(spark):
+    """The max_bucket_size guard: over-cap buckets pair every member to
+    the bucket's MIN id only (O(size) star), under-cap buckets keep the
+    exact all-pairs expansion, and the default (None) is unchanged.
+    Motivated by the sf10 ladder measurement (SCALE.md §9): the hottest
+    bucket grows linearly with the corpus, so its all-pairs expansion is
+    the repo's one superlinear-bytes signature at scale."""
+    rows = []
+    for i in range(10):  # hot bucket: 10 docs, identical signatures
+        rows.append((i, *([100] * 8)))
+    for i in range(20, 23):  # small bucket: 3 docs
+        rows.append((i, *([200] * 8)))
+    rows.append((30, *range(300, 308)))  # singletons: never pair
+    rows.append((31, *range(400, 408)))
+    cols = ["doc_id"] + [f"mh{j}" for j in range(8)]
+    sigs = spark.createDataFrame(rows, cols)
+
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=5).collect()
+    }
+    # the small (<= cap) bucket expands identically on both paths
+    small = {(a, b) for a in range(20, 23) for b in range(a + 1, 23)}
+    assert small <= uncapped and small <= capped
+    # hot bucket: all-pairs uncapped, star-to-min-id capped
+    assert {p for p in uncapped if p[1] < 20} == {
+        (a, b) for a in range(10) for b in range(a + 1, 10)
+    }
+    assert {p for p in capped if p[1] < 20} == {(0, i) for i in range(1, 10)}
+    # singletons pair with nothing; a cap >= bucket size is a no-op
+    assert all(30 not in p and 31 not in p for p in uncapped | capped)
+    relaxed = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=10).collect()
+    }
+    assert relaxed == uncapped
+
+
 def test_signlsh_neardup_recall_on_planted_dups(spark):
     """Sign-LSH must recover nearly all genuinely-near pairs (cos >= 0.98).
 
