@@ -131,6 +131,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """F2 embedding near-dup: sign-LSH band buckets prune the O(n^2) pair
     space; exact cosine filters the candidates.
@@ -140,6 +141,17 @@ def embedding_neardup_pairs(
     the corpus shuffles once on the bucket key instead of self-joining.
     Hyperplanes are md5-derived constants, so the DuckDB oracle computes
     byte-identical buckets.
+
+    ``max_bucket_size`` is the hot-bucket guard, the sign-LSH twin of
+    dedup.lsh_candidate_pairs' (SCALE.md §9). The hazard is sharper here
+    than for text: the within-bucket scorer builds a size x size cosine
+    matrix, so a boilerplate embedding mass of B copies costs O(B^2)
+    MEMORY inside one pandas group (1M-copy bucket = 8 TB matrix = dead
+    executor), not just candidate-pair bytes. Over-cap buckets score
+    every member against the bucket's minimum-id anchor only -- O(B*dim)
+    compute and O(B) output -- keeping each member reachable from one
+    canonical for the downstream drop set / family closure. Default None
+    keeps exact all-pairs semantics for every catalog entry + oracle.
     """
     import numpy as np
 
@@ -179,6 +191,19 @@ def embedding_neardup_pairs(
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
+        if max_bucket_size is not None and len(pdf) > max_bucket_size:
+            # star guard: score vs the min-id anchor only -- O(B) memory
+            # instead of the B x B similarity matrix
+            a = int(np.argmin(ids))
+            sims = np.round(mat @ mat[a] / (norms * norms[a]), round_to)
+            keep = (sims >= threshold) & (ids != ids[a])
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(ids[keep], ids[a]),
+                    "id_b": np.maximum(ids[keep], ids[a]),
+                    "cosine": sims[keep],
+                }
+            )
         sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_to)
         ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]})

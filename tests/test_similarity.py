@@ -118,6 +118,43 @@ def test_lsh_hot_bucket_cap_star_expansion(spark):
     assert relaxed == uncapped
 
 
+def test_embedding_neardup_hot_bucket_cap(spark):
+    """The sign-LSH twin of the text hot-bucket guard: an over-cap bucket
+    scores members against the min-id anchor only (O(B) memory, no B x B
+    cosine matrix), under-cap buckets keep exact all-pairs, default None
+    is unchanged."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    hot = rng.normal(size=64)  # 8 exact copies -> one bucket in every band
+    small = rng.normal(size=64)  # 3 exact copies -> an under-cap bucket
+    rows = [(i, [float(x) for x in hot]) for i in range(8)]
+    rows += [(i, [float(x) for x in small]) for i in range(20, 23)]
+    rows.append((30, [float(x) for x in rng.normal(size=64)]))  # loner
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(emb, threshold=0.9, **kw).collect()
+        }
+
+    uncapped = pairs()
+    capped = pairs(max_bucket_size=4)
+    assert {p for p in uncapped if p[1] < 20} == {
+        (a, b) for a in range(8) for b in range(a + 1, 8)
+    }
+    assert {p for p in capped if p[1] < 20} == {(0, i) for i in range(1, 8)}
+    small_pairs = {(a, b) for a in range(20, 23) for b in range(a + 1, 23)}
+    assert small_pairs <= uncapped and small_pairs <= capped
+    assert all(30 not in p for p in uncapped | capped)
+    assert pairs(max_bucket_size=8) == uncapped  # cap >= bucket: no-op
+
+
 def test_signlsh_neardup_recall_on_planted_dups(spark):
     """Sign-LSH must recover nearly all genuinely-near pairs (cos >= 0.98).
 
