@@ -49,28 +49,63 @@ def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
 
 
+#: Exact fixed-point quality formulas (engine-portable determinism).
+#: The score is a mean of three rationals with a common exact form:
+#:   (d/t + (t-s)/t + L/200) / 3  ==  (200*(d+t-s) + L*t) / (600*t)
+#: where t=n_tokens, d=n_distinct, s=n_stopwords, L=min(len, 200).
+#: round(x, 4) of a DOUBLE is engine-dependent exactly at half
+#: boundaries (Spark rounds the shortest-decimal BigDecimal of the
+#: double, DuckDB the binary value): the round-11 sf0.1 strict gate
+#: caught one doc landing on 0.83125 and hashing 0.8312 vs 0.8313 --
+#: the q9 failure class again, found by varying SCALE instead of seed.
+#: Both engines now round HALF-UP on the exact integer rational
+#: (floor((2*10^4*num + den) / (2*den))), so the e4 integers -- and the
+#: doubles e4/10000.0 derived from them -- are bit-identical everywhere.
+_TTR_E4 = "(20000 * {d} + {t}) div (2 * {t})"
+_QUALITY_E4 = (
+    "(20000 * (200 * ({d} + {t} - {s}) + least(length({text}), 200) * {t})"
+    " + 600 * {t}) div (1200 * {t})"
+)
+
+
+def _quality_e4_exprs(text_col: str) -> dict:
+    subs = dict(t="__t", d="__d", s="__s", text=text_col)
+    # 10000.0D: the bare literal 10000.0 is DECIMAL in Spark SQL, which
+    # would make the output a DECIMAL column instead of DOUBLE
+    return {
+        "type_token_ratio": F.expr(f"({_TTR_E4.format(**subs)}) / 10000.0D"),
+        "quality_score": F.expr(f"({_QUALITY_E4.format(**subs)}) / 10000.0D"),
+    }
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features + a composite score in [0, 1].
 
     Score: mean of (type-token ratio, non-stopword ratio, length prior)
     -- a deterministic stand-in for a trained quality model; the Spark-side
-    and oracle-side formulas are identical.
+    and oracle-side formulas are identical, computed in exact integer
+    e4 fixed point (see _QUALITY_E4) so no float rounding boundary can
+    split the engines.
     """
     text = F.col(text_col)
-    n_tok = token_count(text)
-    n_distinct = distinct_token_count(text)
-    n_stop = stopword_count(text)
-    ttr = n_distinct.cast("double") / n_tok
-    nonstop = 1.0 - n_stop.cast("double") / n_tok
-    len_prior = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
-    return df.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
-        n_stop.alias("n_stopwords"),
-        punct_count(text).alias("n_punct"),
-        F.round(ttr, 4).alias("type_token_ratio"),
-        F.round((ttr + nonstop + len_prior) / 3.0, 4).alias("quality_score"),
+    exprs = _quality_e4_exprs(text_col)
+    return (
+        df.withColumns(
+            {
+                "__t": token_count(text).cast("long"),
+                "__d": distinct_token_count(text).cast("long"),
+                "__s": stopword_count(text).cast("long"),
+            }
+        )
+        .select(
+            "doc_id",
+            F.col("__t").cast("int").alias("n_tokens"),
+            F.col("__d").cast("int").alias("n_distinct"),
+            F.col("__s").cast("int").alias("n_stopwords"),
+            punct_count(text).alias("n_punct"),
+            exprs["type_token_ratio"].alias("type_token_ratio"),
+            exprs["quality_score"].alias("quality_score"),
+        )
     )
 
 
@@ -81,17 +116,21 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     narrow projection instead of a doc_id self-join back to the corpus.
     """
     text = F.col(text_col)
-    n_tok = token_count(text)
-    n_distinct = distinct_token_count(text)
-    n_stop = stopword_count(text)
-    ttr = n_distinct.cast("double") / n_tok
-    nonstop = 1.0 - n_stop.cast("double") / n_tok
-    len_prior = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
-    return df.withColumns(
-        {
-            "n_tokens": n_tok,
-            "quality_score": F.round((ttr + nonstop + len_prior) / 3.0, 4),
-        }
+    return (
+        df.withColumns(
+            {
+                "__t": token_count(text).cast("long"),
+                "__d": distinct_token_count(text).cast("long"),
+                "__s": stopword_count(text).cast("long"),
+            }
+        )
+        .withColumns(
+            {
+                "n_tokens": F.col("__t").cast("int"),
+                "quality_score": _quality_e4_exprs(text_col)["quality_score"],
+            }
+        )
+        .drop("__t", "__d", "__s")
     )
 
 

@@ -39,14 +39,20 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED: list = [
-    # round 11: no batch-plan entry changed (the round's code changes --
-    # TWS timer-orphan migration, dedup late-drop observability, the
-    # strict-gate CI step, fixture-generator head-twin fix -- touch no
-    # catalog query or oracle), so ALL 50 window slots go to the stalest
-    # tail: the full 24-entry r6 cohort (TPC-H headliners q1/q3/q5/q10,
-    # the events window family, multimodal pair) plus 26 of the r7
-    # cohort. After this round no entry's latest green driver record is
-    # older than r7 (round-10 verdict task 1).
+    # round 11: running the strict gate at a NEW SCALE (driver sf0.1 --
+    # a fifth instance varying data volume instead of seed) caught two
+    # real defects the four sf0.01 corpora could not: (a) quality_score
+    # landing on a 0.83125 half boundary where Spark and DuckDB round
+    # DOUBLEs differently -- now exact e4 integer fixed point on both
+    # engines (operators/text.py::_QUALITY_E4), changing these three
+    # entries' formulas; (b) events_benford_audit crashing BOTH engines'
+    # ANSI ''::INT cast on any value rounding to 0 -- now NULLIF on both
+    # sides. These four lead the window; the remaining 46 slots still
+    # cover the full 24-entry r6 cohort plus 22 of the r7 tail.
+    "docs_token_stats",
+    "docs_curation_pipeline",
+    "docs_family_canonical",
+    "events_benford_audit",
 ]
 
 

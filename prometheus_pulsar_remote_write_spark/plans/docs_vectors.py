@@ -183,19 +183,29 @@ def docs_token_stats(spark, sf_dir):
 
 _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
+# type_token_ratio / quality_score in exact e4 fixed point (the integer
+# rational + half-up floor-div the Spark side computes, operators/
+# text.py::_QUALITY_E4): round(DOUBLE, 4) splits the engines exactly at
+# half boundaries (caught by the round-11 sf0.1 strict gate at 0.83125).
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
-       len(tk)                                   AS n_tokens,
-       len(list_distinct(tk))                    AS n_distinct,
-       len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t)))
+       n_tokens, n_distinct, n_stopwords, n_punct,
+       ((20000 * n_distinct + n_tokens) // (2 * n_tokens)) / 10000.0
+                                                 AS type_token_ratio,
+       ((20000 * (200 * (n_distinct + n_tokens - n_stopwords)
+                  + least(length(text), 200) * n_tokens)
+         + 600 * n_tokens) // (1200 * n_tokens)) / 10000.0
+                                                 AS quality_score
+FROM (
+  SELECT doc_id, text,
+         len(tk)                                 AS n_tokens,
+         len(list_distinct(tk))                  AS n_distinct,
+         len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t)))
                                                  AS n_stopwords,
-       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                                                 AS n_punct,
-       round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS type_token_ratio,
-       round((len(list_distinct(tk))::DOUBLE / len(tk)
-              + 1.0 - len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / len(tk)
-              + least(length(text)::DOUBLE / 200.0, 1.0)) / 3.0, 4) AS quality_score
-FROM ({_TOKS_SQL})
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                                                 AS n_punct
+  FROM ({_TOKS_SQL})
+)
 """
 
 

@@ -2029,13 +2029,21 @@ def events_benford_audit(spark, sf_dir):
     Scale shape: the first digit is a scan-side string expression; one
     hash agg + a 9-row broadcast of the expected table."""
     ev = _events(spark, sf_dir)
-    digit = F.substring(
-        F.regexp_replace(
-            F.abs(F.round(F.col("value") * 100).cast("bigint")).cast("string"),
-            "^0+", "",
+    # nullif: a value rounding to exactly 0 strips to the empty string,
+    # and under Spark 4's default ANSI mode ''::INT RAISES instead of
+    # yielding NULL -- a latent crash on any corpus with a sub-0.005
+    # value, caught by the round-11 sf0.1 strict gate (the oracle twin
+    # had the identical bug in DuckDB)
+    digit = F.nullif(
+        F.substring(
+            F.regexp_replace(
+                F.abs(F.round(F.col("value") * 100).cast("bigint")).cast("string"),
+                "^0+", "",
+            ),
+            1,
+            1,
         ),
-        1,
-        1,
+        F.lit(""),
     ).cast("int")
     d = ev.select("event_type", digit.alias("digit")).filter(
         F.col("digit").isNotNull() & (F.col("digit") > 0)
@@ -2063,8 +2071,12 @@ def events_benford_audit(spark, sf_dir):
 
 BENFORD_SQL = """
 WITH d AS (
+  -- NULLIF: a value rounding to exactly 0 strips to the empty string,
+  -- which Spark's non-ANSI cast maps to NULL (then filtered) but a bare
+  -- DuckDB ''::INT raises -- caught by the round-11 sf0.1 strict gate
+  -- (the sf0.01 corpora carry no sub-0.005 value)
   SELECT event_type,
-         substr(regexp_replace(abs(round(value * 100)::BIGINT)::VARCHAR, '^0+', ''), 1, 1)::INT AS digit
+         NULLIF(substr(regexp_replace(abs(round(value * 100)::BIGINT)::VARCHAR, '^0+', ''), 1, 1), '')::INT AS digit
   FROM events
 ), filtered AS (SELECT * FROM d WHERE digit IS NOT NULL AND digit > 0),
 counts AS (

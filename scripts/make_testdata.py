@@ -177,13 +177,22 @@ def gen_events(sf: float, seed: int) -> pa.Table:
     t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype("int64")
     span = 30 * _DAY_US
     ts = np.sort(t0 + r.integers(0, span, n))  # ts ascends with event_id
+    value = np.maximum(0.01, np.round(r.exponential(50.0, n), 2))
+    # plant the zero-rounding edge the driver corpus carries at sf0.1:
+    # a value < 0.005 strips its Benford first digit to the empty
+    # string, which crashed BOTH engines' ANSI ''::INT cast until the
+    # round-11 NULLIF fix -- keep the edge in every generated corpus so
+    # the CI strict gate exercises it at sf0.01 forever (0.004 stays
+    # positive: exact 0 would poke the log-domain sketches instead)
+    if n >= 1:
+        value[0] = 0.004
     return pa.table(
         {
             "event_id": pa.array(np.arange(n, dtype=np.int64)),
             "ts": _ts_us(ts),
             "user_id": pa.array(r.integers(0, n_users, n).astype(np.int64)),
             "event_type": np.array(EVENT_TYPES)[r.integers(0, len(EVENT_TYPES), n)],
-            "value": np.maximum(0.01, np.round(r.exponential(50.0, n), 2)),
+            "value": value,
             "props": [f'{{"k": {k}}}' for k in r.integers(0, 100, n)],
         }
     )
