@@ -197,6 +197,10 @@ def lsh_candidate_pairs(
     member<->member edges that only mattered if the bucket was a hash
     COLLISION of unrelated docs (vanishingly unlikely at real shingle
     cardinality, and those pairs fail Jaccard verification anyway).
+    Caveat measured on the embedding twin (similarity.py): if buckets
+    run hot because the signature is UNDER-SELECTIVE for the corpus
+    (not because a dup mass exists), capping loses recall -- raise
+    bands/rows_per_band first and keep the cap as the runaway backstop.
     Default None keeps the exact all-pairs semantics (and byte-identical
     plans) for every existing catalog query and its DuckDB oracle.
     """

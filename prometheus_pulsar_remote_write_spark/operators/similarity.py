@@ -145,13 +145,27 @@ def embedding_neardup_pairs(
     ``max_bucket_size`` is the hot-bucket guard, the sign-LSH twin of
     dedup.lsh_candidate_pairs' (SCALE.md §9). The hazard is sharper here
     than for text: the within-bucket scorer builds a size x size cosine
-    matrix, so a boilerplate embedding mass of B copies costs O(B^2)
-    MEMORY inside one pandas group (1M-copy bucket = 8 TB matrix = dead
-    executor), not just candidate-pair bytes. Over-cap buckets score
-    every member against the bucket's minimum-id anchor only -- O(B*dim)
-    compute and O(B) output -- keeping each member reachable from one
-    canonical for the downstream drop set / family closure. Default None
-    keeps exact all-pairs semantics for every catalog entry + oracle.
+    matrix, so a hot bucket of B rows costs O(B^2) MEMORY inside one
+    pandas group (1M-row bucket = 8 TB matrix = dead executor), not just
+    candidate-pair bytes. Over-cap buckets score every member against
+    the bucket's minimum-id anchor only -- O(B*dim) compute, O(B) output.
+
+    SIZE ``bands * bits_per_band`` TO THE CORPUS FIRST; the cap is the
+    OOM backstop, not the scale strategy. Hot buckets have two causes
+    with opposite correct responses (both measured at 200k vectors,
+    SCALE.md §9): (a) UNDER-SELECTIVE signatures -- 2x4 bits is 16
+    buckets/band, so bucket size grows linearly with n and the matmul
+    quadratically (superlinear wall exponent 1.41 on the ladder); the
+    fix is more bits/bands (4x8: 4x faster AND slightly better recall),
+    and capping instead DESTROYS recall (11,209 -> 26 pairs) because
+    true pairs are scattered through collision buckets the anchor
+    can't reach. (b) genuine DUP MASSES (the text-LSH case): star-to-
+    anchor keeps every member reachable from one canonical and recall
+    holds. With selectivity sized right the cap never fires (4x8 +
+    cap=2000 returns the identical 11,212 pairs) -- leave it set as
+    insurance against the one template mass the histogram didn't show.
+    Default None keeps exact all-pairs semantics for every catalog
+    entry + oracle.
     """
     import numpy as np
 
