@@ -47,12 +47,19 @@ _CHANGED: list = [
     # engines (operators/text.py::_QUALITY_E4), changing these three
     # entries' formulas; (b) events_benford_audit crashing BOTH engines'
     # ANSI ''::INT cast on any value rounding to 0 -- now NULLIF on both
-    # sides. These four lead the window; the remaining 46 slots still
-    # cover the full 24-entry r6 cohort plus 22 of the r7 tail.
+    # sides. A GENERATED sf0.1 corpus (the new manual CI job's recipe)
+    # then caught recon_err_r landing on a 1e-7 half boundary in the PQ
+    # pair -- round(DOUBLE, n) itself is the engine-dependent op, so
+    # both engines now quantize with floor(x*1e6 + 0.5), pure IEEE
+    # double arithmetic. These six lead the window; the remaining 44
+    # slots still cover the full 24-entry r6 cohort plus 20 of the r7
+    # tail.
     "docs_token_stats",
     "docs_curation_pipeline",
     "docs_family_canonical",
     "events_benford_audit",
+    "emb_pq_assign",
+    "emb_residual_pq_assign",
 ]
 
 

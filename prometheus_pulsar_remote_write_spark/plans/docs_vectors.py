@@ -3291,20 +3291,30 @@ def emb_pq_assign(spark, sf_dir):
                 lambda x: x.getField("code").cast("string"),
             ),
         ).alias("codes"),
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("s").alias("s"), F.col("dist_r").alias("d"))
-                        )
+        # floor(x*1e6 + 0.5), NOT round(x, 6): the summed double is
+        # bit-identical on both engines, but round() is not -- Spark
+        # rounds the shortest-decimal BigDecimal, DuckDB the binary
+        # value, and a generated-sf0.1 vector landed recon_err exactly
+        # on the 1e-7 half boundary (round-11 scale-varied gate find).
+        # floor/* /+ are pure double ops, engine-identical by IEEE 754.
+        (
+            F.floor(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("s").alias("s"), F.col("dist_r").alias("d"))
+                            )
+                        ),
+                        lambda x: x.getField("d"),
                     ),
-                    lambda x: x.getField("d"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
         ).alias("recon_err_r"),
     )
     lab = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select(
@@ -3344,8 +3354,8 @@ subs AS (
 ), agg AS (
   SELECT vec_id,
          string_agg(code::VARCHAR, ',' ORDER BY s) AS codes,
-         round(list_reduce(list_prepend(0.0, list(dist_r ORDER BY s)),
-               (a, b) -> a + b), 6) AS recon_err_r
+         floor(list_reduce(list_prepend(0.0, list(dist_r ORDER BY s)),
+               (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0 AS recon_err_r
   FROM best GROUP BY vec_id
 )
 SELECT a.vec_id, e.label, md5(a.codes) AS codes_digest,
@@ -3407,20 +3417,30 @@ def emb_residual_pq_assign(spark, sf_dir):
                 lambda x: x.getField("code").cast("string"),
             ),
         ).alias("codes"),
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("s").alias("s"), F.col("dist_r").alias("d"))
-                        )
+        # floor(x*1e6 + 0.5), NOT round(x, 6): the summed double is
+        # bit-identical on both engines, but round() is not -- Spark
+        # rounds the shortest-decimal BigDecimal, DuckDB the binary
+        # value, and a generated-sf0.1 vector landed recon_err exactly
+        # on the 1e-7 half boundary (round-11 scale-varied gate find).
+        # floor/* /+ are pure double ops, engine-identical by IEEE 754.
+        (
+            F.floor(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("s").alias("s"), F.col("dist_r").alias("d"))
+                            )
+                        ),
+                        lambda x: x.getField("d"),
                     ),
-                    lambda x: x.getField("d"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
         ).alias("recon_err_r"),
     )
     return per_vec.join(assigned.select("vec_id", "cell"), "vec_id").select(
@@ -3472,8 +3492,8 @@ subs AS (
 ), agg AS (
   SELECT vec_id,
          string_agg(code::VARCHAR, ',' ORDER BY s) AS codes,
-         round(list_reduce(list_prepend(0.0, list(dist_r ORDER BY s)),
-               (a, b) -> a + b), 6) AS recon_err_r
+         floor(list_reduce(list_prepend(0.0, list(dist_r ORDER BY s)),
+               (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0 AS recon_err_r
   FROM best GROUP BY vec_id
 )
 SELECT g.vec_id, a.cell, md5(g.codes) AS codes_digest,
