@@ -122,6 +122,55 @@ def signlsh_bits(vec: Column, signs: list[list[int]]) -> list[Column]:
     ]
 
 
+def signlsh_buckets_batch(
+    vec_col: str, signs: list[list[int]], bands: int, bits_per_band: int
+) -> Column:
+    """Arrow-tier twin of ``signlsh_bits``: all band buckets in ONE
+    vectorized pass, returned as an ``array<string>`` (index = band_id).
+
+    Bit-exact with the expression tier BY CONSTRUCTION: the fold
+    ``aggregate(zip_with(v, plane, (x, s) -> double(x) * s), 0.0, +)`` is
+    a strict left-to-right IEEE-754 double accumulation, and
+    ``np.cumsum`` (``np.add.accumulate``) performs the identical
+    sequential adds on the identical elementwise products -- no pairwise
+    or SIMD re-association, so the SIGN of the dot product (all the
+    bucket needs) cannot diverge even at a 1e-16 boundary. Parity is
+    pytest-pinned (test_similarity).
+
+    Why it exists: each expression-tier bit is an interpreted
+    higher-order aggregate, so 32 bits (the measured-safe 4x8 sizing)
+    cost ~4.3s at sf0.1 vs 0.9s for 8 bits -- the signature stage went
+    expression-bound. One Arrow batch computes a (rows x n_bits x dim)
+    product block in ~ms and scales linearly with input partitions
+    (narrow, no shuffle).
+    """
+    import numpy as np
+
+    planes = np.array(signs, dtype=np.float64)  # (n_bits, dim)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        out = []
+        # chunk so the (chunk x n_bits x dim) block stays ~16 MB
+        chunk = max(1, 2_000_000 // (planes.shape[0] * planes.shape[1]))
+        for lo in range(0, len(vecs), chunk):
+            block = vecs.iloc[lo : lo + chunk]
+            V = np.array(list(block), dtype=np.float64)  # (B, dim)
+            prods = V[:, None, :] * planes[None, :, :]  # exact doubles
+            dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
+            bits = np.where(dots >= 0, "1", "0")  # (B, n_bits)
+            for row in bits:
+                out.append(
+                    [
+                        "".join(row[b * bits_per_band : (b + 1) * bits_per_band])
+                        for b in range(bands)
+                    ]
+                )
+        return pd.Series(out)
+
+    return _buckets(F.col(vec_col))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.42,
@@ -132,6 +181,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     round_to: int = 6,
     max_bucket_size: int | None = None,
+    signature_tier: str = "arrow",
 ) -> DataFrame:
     """F2 embedding near-dup: sign-LSH band buckets prune the O(n^2) pair
     space; exact cosine filters the candidates.
@@ -170,23 +220,39 @@ def embedding_neardup_pairs(
     import numpy as np
 
     signs = _hyperplane_signs(dim, bands * bits_per_band)
-    bits = signlsh_bits(F.col(vec_col), signs)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]).alias(
-                    "bucket"
+    if signature_tier == "arrow":
+        # one vectorized Arrow pass for ALL sign bits (see
+        # signlsh_buckets_batch -- bit-exact with the expression tier)
+        banded = (
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col),
+                signlsh_buckets_batch(vec_col, signs, bands, bits_per_band).alias(
+                    "__buckets"
                 ),
             )
-            for b in range(bands)
-        ]
-    )
-    banded = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(band_entries).alias("band"),
-    ).select(id_col, vec_col, "band.band_id", "band.bucket")
+            .select(
+                id_col, vec_col, F.posexplode("__buckets").alias("band_id", "bucket")
+            )
+        )
+    else:
+        bits = signlsh_bits(F.col(vec_col), signs)
+        band_entries = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]).alias(
+                        "bucket"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(band_entries).alias("band"),
+        ).select(id_col, vec_col, "band.band_id", "band.bucket")
 
     out_schema = T.StructType(
         [

@@ -61,15 +61,23 @@ def punct_count(text: Column) -> Column:
 #: Both engines now round HALF-UP on the exact integer rational
 #: (floor((2*10^4*num + den) / (2*den))), so the e4 integers -- and the
 #: doubles e4/10000.0 derived from them -- are bit-identical everywhere.
-_TTR_E4 = "(20000 * {d} + {t}) div (2 * {t})"
+#: Denominators are NULLIF-guarded: a zero-token (empty/whitespace-only)
+#: doc yields NULL on BOTH engines instead of Spark's ANSI
+#: DIVIDE_BY_ZERO crash vs DuckDB's silent NULL -- the same crash-vs-NULL
+#: asymmetry class the Benford NULLIF fix closed (one malformed doc away
+#: from splitting the gate).
+_TTR_E4 = "(20000 * {d} + {t}) div (2 * nullif({t}, 0))"
 _QUALITY_E4 = (
     "(20000 * (200 * ({d} + {t} - {s}) + least(length({text}), 200) * {t})"
-    " + 600 * {t}) div (1200 * {t})"
+    " + 600 * {t}) div (1200 * nullif({t}, 0))"
 )
 
 
 def _quality_e4_exprs(text_col: str) -> dict:
-    subs = dict(t="__t", d="__d", s="__s", text=text_col)
+    # the text column is backtick-quoted into the SQL expr so names that
+    # need quoting survive; __t/__d/__s are RESERVED intermediate names
+    # (quality_features/with_quality_features overwrite then drop them)
+    subs = dict(t="__t", d="__d", s="__s", text=f"`{text_col}`")
     # 10000.0D: the bare literal 10000.0 is DECIMAL in Spark SQL, which
     # would make the output a DECIMAL column instead of DOUBLE
     return {

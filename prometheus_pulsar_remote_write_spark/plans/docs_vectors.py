@@ -190,11 +190,11 @@ _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        n_tokens, n_distinct, n_stopwords, n_punct,
-       ((20000 * n_distinct + n_tokens) // (2 * n_tokens)) / 10000.0
+       ((20000 * n_distinct + n_tokens) // (2 * NULLIF(n_tokens, 0))) / 10000.0
                                                  AS type_token_ratio,
        ((20000 * (200 * (n_distinct + n_tokens - n_stopwords)
                   + least(length(text), 200) * n_tokens)
-         + 600 * n_tokens) // (1200 * n_tokens)) / 10000.0
+         + 600 * n_tokens) // (1200 * NULLIF(n_tokens, 0))) / 10000.0
                                                  AS quality_score
 FROM (
   SELECT doc_id, text,
@@ -269,7 +269,7 @@ def docs_minhash_signatures(spark, sf_dir):
 MINHASH_SQL = f"SELECT * FROM ({_SIGS_SQL})"
 
 
-def docs_neardup_pairs(spark, sf_dir):
+def _neardup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
     """Banded MinHash LSH candidates filtered by exact shingle Jaccard.
     Single evaluation of the signature scan and a single corpus shingle
     pass -- see ngram_jaccard_pairs' plan-shape note.
@@ -288,21 +288,65 @@ def docs_neardup_pairs(spark, sf_dir):
     sigs = minhash_signatures_agg(docs, num_hashes=N_MINHASH).filter(
         F.col("mh0").isNotNull()
     )
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=max_bucket_size
+    )
     scored = ngram_jaccard_pairs(docs, pairs)
     return scored.filter(F.col("jaccard") >= 0.7)
 
 
-NEARDUP_SQL = f"""
-WITH sigs AS ({_SIGS_SQL}),
-bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR AS bucket FROM sigs" for b in range(4))}
-),
+def docs_neardup_pairs(spark, sf_dir):
+    """The exact all-pairs LSH entry (bucket-complete pair listing); the
+    production drop-set path applies the hot-bucket star guard instead
+    (``neardup_drop_set``)."""
+    return _neardup_pairs(spark, sf_dir)
+
+
+def _neardup_sql(max_bucket_size: int | None = None) -> str:
+    """DuckDB twin of ``_neardup_pairs``: all-pairs when
+    ``max_bucket_size`` is None, else the exact star-guard mirror of
+    dedup.lsh_candidate_pairs (over-cap buckets pair members with the
+    bucket's min-id anchor only), so the gate stays bit-exact at scales
+    where the guard fires."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh{2*b}::VARCHAR || '|' || "
+        f"mh{2*b+1}::VARCHAR AS bucket FROM sigs"
+        for b in range(4)
+    )
+    if max_bucket_size is None:
+        cand = """
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
     ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),"""
+    else:
+        cap = int(max_bucket_size)
+        cand = f"""
+sizes AS (
+  SELECT band_id, bucket, count(*) AS n, min(doc_id) AS anchor
+  FROM bands GROUP BY band_id, bucket
 ),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    JOIN sizes s ON l.band_id = s.band_id AND l.bucket = s.bucket
+    WHERE s.n <= {cap}
+    UNION ALL
+    SELECT s.anchor AS id_a, m.doc_id AS id_b
+    FROM bands m
+    JOIN sizes s ON m.band_id = s.band_id AND m.bucket = s.bucket
+    WHERE s.n > {cap} AND m.doc_id > s.anchor
+  )
+),"""
+    return f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS (
+  {bands}
+),
+{cand}
 sh AS ({_SHINGLES_SQL})
 SELECT id_a, id_b,
        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
@@ -311,6 +355,24 @@ FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
       / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
 """
+
+
+NEARDUP_SQL = _neardup_sql()
+
+#: Hot-bucket star cap for the PRODUCTION drop-set path. The
+#: sf0.1->sf1->sf10 ladder (SCALE.md §9) measured the hottest LSH bucket
+#: growing linearly with the corpus (79 -> 844 docs) while the median
+#: stayed 2, so all-pairs expansion grew candidate bytes 57x per data
+#: decade (78.6 MB -> 4,529 MB) -- the dead-job signature at 100 TB.
+#: cap=64 is measured at sf10: 4.4x fewer candidates, 3x less shuffle,
+#: 99.95% drop-set recall (a dup MASS stays reachable from its min-id
+#: anchor; only member<->member edges inside one template family are
+#: skipped, and the transitive family closure reconnects those). The
+#: pair-listing entry (docs_neardup_pairs) keeps exact all-pairs
+#: semantics; the capped twin SQL keeps the gate bit-exact either way.
+NEARDUP_MAX_BUCKET = 64
+
+NEARDUP_CAPPED_SQL = _neardup_sql(NEARDUP_MAX_BUCKET)
 
 
 #: session-scoped materialization of the near-dup drop set, keyed by
@@ -329,7 +391,14 @@ _NEARDUP_DROP_MEMO: dict = {}
 def neardup_drop_set(spark, sf_dir):
     """Distinct higher-id members of >=0.7-Jaccard MinHash-LSH pairs,
     localCheckpoint-materialized once per (session, corpus). Tiny (a few
-    percent of doc ids), so every consumer broadcasts it."""
+    percent of doc ids), so every consumer broadcasts it.
+
+    This is the PRODUCTION path (curation funnel, near-dup dedup), so the
+    hot-bucket star guard is ON (``NEARDUP_MAX_BUCKET``): without it the
+    one linearly-growing template bucket made candidate bytes superlinear
+    (57x per data decade on the sf1->sf10 ladder). Its DuckDB twin is
+    ``NEARDUP_CAPPED_SQL`` -- the guard is mirrored, so consumers'
+    oracles stay bit-exact even at scales where the cap fires."""
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
@@ -347,7 +416,7 @@ def neardup_drop_set(spark, sf_dir):
     df = _NEARDUP_DROP_MEMO.get(key)
     if df is None:
         df = (
-            docs_neardup_pairs(spark, sf_dir)
+            _neardup_pairs(spark, sf_dir, max_bucket_size=NEARDUP_MAX_BUCKET)
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
             .localCheckpoint(eager=True)
@@ -372,7 +441,7 @@ def docs_neardup_dedup(spark, sf_dir):
 DEDUP_NEARDUP_SQL = f"""
 SELECT doc_id, source, lang, n_chars
 FROM documents
-WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_SQL}))
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_CAPPED_SQL}))
 """
 
 
@@ -563,6 +632,22 @@ SELECT query_id, match_id, cosine, rank FROM (
 """
 
 
+#: emb_neardup_lsh signature sizing. 4 bands x 8 bits (256 buckets/band)
+#: is the MEASURED-safe default from the sf0.1->sf1->sf10 ladder
+#: (SCALE.md §9): the old 2x4 (16 buckets/band) made bucket size grow
+#: linearly with n and the within-bucket BxB cosine matmul quadratically
+#: -- wall exponent 1.41, 155s at 200k vectors -- while 4x8 is 4x faster
+#: (37.8s) with equal-or-better recall (11,212 vs 11,209 pairs at the
+#: same threshold). The star cap is the OOM backstop only (never fires
+#: when selectivity is sized right: 4x8 + cap returns the identical
+#: pair set at 200k vectors) and is mirrored into the DuckDB oracle, so
+#: the gate stays bit-exact by construction even at a scale where it
+#: DOES fire.
+EMB_LSH_BANDS = 4
+EMB_LSH_BITS = 8
+EMB_LSH_MAX_BUCKET = 2000
+
+
 def emb_neardup_lsh(spark, sf_dir):
     """F2 (embeddings): sign-LSH banded candidates -> exact cosine >= 0.42.
 
@@ -571,7 +656,13 @@ def emb_neardup_lsh(spark, sf_dir):
     LSH path on genuinely-near vectors is pytest-asserted
     (tests/test_similarity.py)."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return embedding_neardup_pairs(emb, threshold=0.42, bands=2, bits_per_band=4)
+    return embedding_neardup_pairs(
+        emb,
+        threshold=0.42,
+        bands=EMB_LSH_BANDS,
+        bits_per_band=EMB_LSH_BITS,
+        max_bucket_size=EMB_LSH_MAX_BUCKET,
+    )
 
 
 def emb_neardup_exact(spark, sf_dir):
@@ -584,7 +675,12 @@ def _signs_sql_literal(plane: list[int]) -> str:
     return "[" + ",".join(str(s) for s in plane) + "]"
 
 
-def _emb_neardup_lsh_sql(threshold: float = 0.42, bands: int = 2, bits_per_band: int = 4) -> str:
+def _emb_neardup_lsh_sql(
+    threshold: float = 0.42,
+    bands: int = EMB_LSH_BANDS,
+    bits_per_band: int = EMB_LSH_BITS,
+    max_bucket_size: int | None = EMB_LSH_MAX_BUCKET,
+) -> str:
     signs = _hyperplane_signs(64, bands * bits_per_band)
     bit_exprs = [
         f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
@@ -597,14 +693,42 @@ def _emb_neardup_lsh_sql(threshold: float = 0.42, bands: int = 2, bits_per_band:
         + " AS bucket FROM e"
         for b in range(bands)
     )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-banded AS ({band_rows}),
+    if max_bucket_size is None:
+        cand = """
 cand AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
   FROM banded l JOIN banded r
     ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
-)
+)"""
+    else:
+        # star-guard mirror of similarity.embedding_neardup_pairs: buckets
+        # over the cap pair every member with the bucket's min-id anchor
+        # only, so the oracle stays bit-exact at scales where the Spark
+        # side's OOM backstop fires
+        cand = f"""
+sizes AS (
+  SELECT band_id, bucket, count(*) AS n, min(vec_id) AS anchor
+  FROM banded GROUP BY band_id, bucket
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b, va, vb FROM (
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    JOIN sizes s ON l.band_id = s.band_id AND l.bucket = s.bucket
+    WHERE s.n <= {int(max_bucket_size)}
+    UNION ALL
+    SELECT s.anchor AS id_a, m.vec_id AS id_b, av.v AS va, m.v AS vb
+    FROM banded m
+    JOIN sizes s ON m.band_id = s.band_id AND m.bucket = s.bucket
+    JOIN e av ON av.vec_id = s.anchor
+    WHERE s.n > {int(max_bucket_size)} AND m.vec_id > s.anchor
+  )
+)"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({band_rows}),
+{cand}
 SELECT id_a, id_b,
        round(list_dot_product(va, vb)
              / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
@@ -1275,7 +1399,7 @@ deduped AS (
 )
 SELECT doc_id, lang, source, n_tokens, quality_score
 FROM deduped
-WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_SQL}))
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ({NEARDUP_CAPPED_SQL}))
 """
 
 

@@ -731,3 +731,118 @@ def test_persisted_inverted_index_matches_inline_bm25_and_prunes(spark, tmp_path
     read_buckets = {int(b) for b in m.group(1).split(",")}
     assert read_buckets == probed
     assert len(read_buckets) < 16, "no pruning: every bucket was probed"
+
+
+def test_emb_lsh_star_guard_sql_mirror_bit_exact(spark):
+    """When the sign-LSH star cap FIRES, the DuckDB oracle generated by
+    _emb_neardup_lsh_sql(max_bucket_size=...) must still match the Spark
+    operator bit-exactly — the guard is mirrored, not approximated, so
+    the gate holds at scales where the OOM backstop actually engages.
+    Under-selective 2x2 signatures + cap=20 over 500 vectors force every
+    bucket far over the cap (the catalog default 4x8 + cap=2000 never
+    fires at this size)."""
+    import duckdb
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _emb_neardup_lsh_sql,
+    )
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, bands=2, bits_per_band=2, max_bucket_size=20
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            _emb_neardup_lsh_sql(0.3, bands=2, bits_per_band=2, max_bucket_size=20)
+        ).fetchall()
+    )
+    con.close()
+    assert got and got == want
+    # sanity: the capped pair set is star-shaped in over-cap buckets, so
+    # it must be a strict subset of the uncapped all-pairs expansion
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, bands=2, bits_per_band=2
+        ).collect()
+    }
+    assert {(a, b) for a, b, _ in got} < uncapped
+
+
+def test_text_lsh_star_guard_sql_mirror_bit_exact(spark):
+    """The text drop-set path's hot-bucket guard must be MIRRORED in its
+    DuckDB twin, not approximated: with a cap small enough to fire on the
+    smoke corpus, _neardup_pairs(max_bucket_size=cap) and
+    _neardup_sql(cap) must produce identical verified pair sets — and the
+    capped drop set must preserve near-total recall of the all-pairs drop
+    set (the 99.95%-at-sf10 property, exact at this size)."""
+    import duckdb
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _neardup_pairs,
+        _neardup_sql,
+    )
+
+    cap = 2  # fires on every >=3-member bucket of the smoke corpus
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in _neardup_pairs(spark, SF_SMOKE, max_bucket_size=cap).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_neardup_sql(cap)).fetchall())
+    con.close()
+    assert got and got == want
+
+    # drop-set recall: star expansion may skip member<->member edges but
+    # every dropped doc must stay reachable from its bucket anchor
+    capped_drop = {b for _, b, _ in got}
+    full_drop = {r.id_b for r in _neardup_pairs(spark, SF_SMOKE).collect()}
+    assert capped_drop <= full_drop
+    recall = len(capped_drop) / max(len(full_drop), 1)
+    assert recall >= 0.95, f"capped drop-set recall too low: {recall:.3f}"
+
+
+def test_signlsh_arrow_tier_parity_with_expression_tier(spark):
+    """The Arrow signature tier (np.cumsum sequential fold) must produce
+    byte-identical buckets — and therefore identical pair sets — to the
+    interpreted expression tier, on both float32 and float64 vectors."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(300)]
+    for typ in ("float", "double"):
+        emb = spark.createDataFrame(
+            rows, f"vec_id long, embedding array<{typ}>"
+        )
+        kw = dict(threshold=0.1, bands=3, bits_per_band=3)
+        arrow = sorted(
+            tuple(r)
+            for r in embedding_neardup_pairs(
+                emb, signature_tier="arrow", **kw
+            ).collect()
+        )
+        expr = sorted(
+            tuple(r)
+            for r in embedding_neardup_pairs(
+                emb, signature_tier="expr", **kw
+            ).collect()
+        )
+        assert arrow == expr and arrow
