@@ -39,27 +39,35 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED: list = [
-    # round 11: running the strict gate at a NEW SCALE (driver sf0.1 --
-    # a fifth instance varying data volume instead of seed) caught two
-    # real defects the four sf0.01 corpora could not: (a) quality_score
-    # landing on a 0.83125 half boundary where Spark and DuckDB round
-    # DOUBLEs differently -- now exact e4 integer fixed point on both
-    # engines (operators/text.py::_QUALITY_E4), changing these three
-    # entries' formulas; (b) events_benford_audit crashing BOTH engines'
-    # ANSI ''::INT cast on any value rounding to 0 -- now NULLIF on both
-    # sides. A GENERATED sf0.1 corpus (the new manual CI job's recipe)
-    # then caught recon_err_r landing on a 1e-7 half boundary in the PQ
-    # pair -- round(DOUBLE, n) itself is the engine-dependent op, so
-    # both engines now quantize with floor(x*1e6 + 0.5), pure IEEE
-    # double arithmetic. These six lead the window; the remaining 44
-    # slots still cover the full 24-entry r6 cohort plus 20 of the r7
-    # tail.
-    "docs_token_stats",
+    # round 12: (a) the two measured-unsafe LSH defaults shipped their
+    # scale-safe parameterizations -- emb_neardup_lsh at 4 bands x 8 bits
+    # (sign-LSH, Arrow signature tier, star cap mirrored in SQL) and the
+    # text drop-set path (curation funnel + near-dup dedup) with the
+    # hot-bucket star cap on and mirrored in its capped SQL twin; (b) the
+    # entire round(avg)/round(ratio) residual lottery class (SCALE.md §9
+    # risk map) converted to exact integer rationals or pure-IEEE
+    # floor(x*1e6+0.5) quantization on BOTH engines -- 16 entries' output
+    # formulas changed, so they lead the window; the stalest-tail sort
+    # fills the remaining slots.
+    "emb_neardup_lsh",
+    "docs_neardup_dedup",
     "docs_curation_pipeline",
-    "docs_family_canonical",
-    "events_benford_audit",
-    "emb_pq_assign",
-    "emb_residual_pq_assign",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "agg_stats_by_status",
+    "variant_functions_showcase",
+    "docs_lang_profile",
+    "docs_bpe_token_stats",
+    "docs_lexical_diversity",
+    "docs_repetition_filter",
+    "emb_label_centroids",
+    "events_markov_transitions",
+    "events_anomaly_zscore",
+    "consume_avg_over_time",
+    "consume_vector_matching",
+    "consume_holt_winters",
+    "consume_quantile_over_time",
 ]
 
 

@@ -210,18 +210,38 @@ FROM (
 
 
 def docs_lang_profile(spark, sf_dir):
+    # both averages are over integers, so they are exact e4 rationals
+    # (round(avg) lottery-class cure, SCALE.md §9)
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(F.size(tokens_col(F.col("text")))), 4).alias("avg_tokens"),
-        F.countDistinct("source").alias("n_sources"),
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("__sc"),
+            F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias("__st"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("((20000 * __sc + n_docs) div (2 * n_docs)) / 10000.0D").alias(
+                "avg_chars"
+            ),
+            F.expr("((20000 * __st + n_docs) div (2 * n_docs)) / 10000.0D").alias(
+                "avg_tokens"
+            ),
+            "n_sources",
+        )
     )
 
 
 LANG_PROFILE_SQL = f"""
-SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-       round(avg(len(tk)), 4) AS avg_tokens, count(DISTINCT source) AS n_sources
+SELECT lang, count(*) AS n_docs,
+       ((20000 * sum(n_chars)::BIGINT + count(*)) // (2 * count(*))) / 10000.0
+           AS avg_chars,
+       ((20000 * sum(len(tk))::BIGINT + count(*)) // (2 * count(*))) / 10000.0
+           AS avg_tokens,
+       count(DISTINCT source) AS n_sources
 FROM ({_TOKS_SQL}) GROUP BY lang
 """
 
@@ -767,9 +787,14 @@ def docs_bpe_token_stats(spark, sf_dir):
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
         F.size(F.filter(bpe, lambda t: t.rlike("^[0-9]+$"))).alias("n_number_tokens"),
-        F.round(
-            F.size(bpe).cast("double") / F.size(tokens_col(F.col("text"))), 4
-        ).alias("bpe_per_word"),
+    ).withColumn(
+        # exact e4 rational of two ints (round(avg) lottery-class cure,
+        # SCALE.md §9); NULLIF keeps a token-free doc NULL, not a crash
+        "bpe_per_word",
+        F.expr(
+            "((20000L * n_bpe_tokens + n_ws_tokens)"
+            " div (2 * nullif(n_ws_tokens, 0))) / 10000.0D"
+        ),
     )
 
 
@@ -779,8 +804,8 @@ SELECT doc_id,
        len(tk)                                                    AS n_ws_tokens,
        len(list_filter(regexp_extract_all(text, '{BPE_TOKEN_RE}'),
                        t -> regexp_full_match(t, '[0-9]+')))      AS n_number_tokens,
-       round(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::DOUBLE / len(tk), 4)
-                                                                  AS bpe_per_word
+       ((20000 * len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::BIGINT + len(tk))
+        // (2 * NULLIF(len(tk), 0))) / 10000.0                    AS bpe_per_word
 FROM ({_TOKS_SQL})
 """
 
@@ -1728,8 +1753,11 @@ def docs_lexical_diversity(spark, sf_dir):
     return tok.groupBy("source").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("token").alias("n_types"),
-        F.round(
-            F.countDistinct("token").cast("double") / F.count("*").cast("double"), 6
+        # exact e6 rational of two counts (round(avg) lottery-class cure,
+        # SCALE.md §9)
+        F.expr(
+            "((2000000 * count(DISTINCT token) + count(*))"
+            " div (2 * count(*))) / 1000000.0D"
         ).alias("ttr"),
     )
 
@@ -1740,7 +1768,8 @@ WITH tok AS (
   FROM documents
 )
 SELECT source, count(*) AS n_tokens, count(DISTINCT token) AS n_types,
-       round(count(DISTINCT token)::DOUBLE / count(*)::DOUBLE, 6) AS ttr
+       ((2000000 * count(DISTINCT token)::BIGINT + count(*))
+        // (2 * count(*))) / 1000000.0 AS ttr
 FROM tok GROUP BY source
 """
 
@@ -2124,16 +2153,16 @@ def docs_repetition_filter(spark, sf_dir):
         "transform(sequence(1, size(tk) - 1),"
         " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
     )
-    return t.select(
+    return t.withColumn("__bg", bigrams).select(
         "doc_id",
         "source",
-        F.size(bigrams).alias("n_bigrams"),
-        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(bigrams)).cast("double")
-            / F.size(bigrams).cast("double"),
-            6,
+        F.size("__bg").alias("n_bigrams"),
+        F.size(F.array_distinct("__bg")).alias("n_distinct_bigrams"),
+        # exact e6 rational: 1 - d/n == (n-d)/n over two ints (round(avg)
+        # lottery-class cure, SCALE.md §9); n >= 1 by the len(tk) filter
+        F.expr(
+            "((2000000L * (size(__bg) - size(array_distinct(__bg))) + size(__bg))"
+            " div (2 * size(__bg))) / 1000000.0D"
         ).alias("repetition_ratio"),
     )
 
@@ -2149,8 +2178,8 @@ WITH t AS (
 )
 SELECT doc_id, source, len(bigrams) AS n_bigrams,
        len(list_distinct(bigrams)) AS n_distinct_bigrams,
-       round(1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)::DOUBLE, 6)
-         AS repetition_ratio
+       ((2000000 * (len(bigrams) - len(list_distinct(bigrams)))::BIGINT + len(bigrams))
+        // (2 * len(bigrams))) / 1000000.0 AS repetition_ratio
 FROM b
 """
 
@@ -2178,9 +2207,11 @@ def emb_label_centroids(spark, sf_dir):
     )
     return cells.groupBy("label", "pos").agg(
         F.count("*").alias("n_vectors"),
-        # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB round can emit -0.0 on
-        # tiny negative means; Spark's BigDecimal round cannot)
-        (F.round(ordered_sum / F.count("*"), 6) + F.lit(0.0)).alias("centroid"),
+        # floor(x*1e6 + 0.5), NOT round(x, 6): the ordered-fold mean is a
+        # bit-identical double on both engines; round() is the engine-
+        # dependent op (SCALE.md §9 lottery class). floor never emits
+        # -0.0, retiring the old +0.0 workaround.
+        (F.floor(ordered_sum / F.count("*") * 1e6 + 0.5) / 1e6).alias("centroid"),
     )
 
 
@@ -2190,8 +2221,9 @@ WITH cells AS (
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 )
 SELECT label, pos, count(*) AS n_vectors,
-       round(list_reduce(list_prepend(0.0, list(val::DOUBLE ORDER BY vec_id)),
-                         (acc, v) -> acc + v) / count(*), 6) + 0.0 AS centroid
+       floor(list_reduce(list_prepend(0.0, list(val::DOUBLE ORDER BY vec_id)),
+                         (acc, v) -> acc + v) / count(*) * 1e6 + 0.5) / 1e6
+         AS centroid
 FROM cells GROUP BY label, pos
 """
 

@@ -511,8 +511,11 @@ def events_anomaly_zscore(spark, sf_dir):
         .select(
             "user_id",
             "n",
-            F.round("mean", 6).alias("mean_val"),
-            F.round("std", 6).alias("std_val"),
+            # floor(x*1e6 + 0.5), NOT round(x, 6): the ordered-fold moments
+            # are bit-identical doubles on both engines; round() itself is
+            # the engine-dependent op (SCALE.md §9 lottery class)
+            (F.floor(F.col("mean") * 1e6 + 0.5) / 1e6).alias("mean_val"),
+            (F.floor(F.col("std") * 1e6 + 0.5) / 1e6).alias("std_val"),
             F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
         )
     )
@@ -535,7 +538,9 @@ WITH stats AS (
   WHERE abs(e.value - s.mean) > 2 * s.std
   GROUP BY e.user_id
 )
-SELECT s.user_id, s.n, round(s.mean, 6) AS mean_val, round(s.std, 6) AS std_val,
+SELECT s.user_id, s.n,
+       floor(s.mean * 1e6 + 0.5) / 1e6 AS mean_val,
+       floor(s.std * 1e6 + 0.5) / 1e6 AS std_val,
        coalesce(o.n_outliers, 0) AS n_outliers
 FROM enriched s LEFT JOIN outliers o ON s.user_id = o.user_id
 """
@@ -596,11 +601,18 @@ def events_markov_transitions(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     totals = Window.partitionBy("prev_type")
-    return pairs.select(
-        "prev_type",
-        F.col("event_type").alias("next_type"),
-        "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(totals), 6).alias("p"),
+    return (
+        pairs.withColumn("__tot", F.sum("n").over(totals))
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            "n",
+            # exact e6 rational of two counts (round(avg) lottery-class
+            # cure, SCALE.md §9)
+            F.expr(
+                "((2000000 * n + __tot) div (2 * __tot)) / 1000000.0D"
+            ).alias("p"),
+        )
     )
 
 
@@ -616,7 +628,8 @@ WITH pairs AS (
   GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n,
-       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+       ((2000000 * n::BIGINT + sum(n) OVER (PARTITION BY prev_type)::BIGINT)
+        // (2 * sum(n) OVER (PARTITION BY prev_type)::BIGINT)) / 1000000.0 AS p
 FROM pairs
 """
 

@@ -697,7 +697,13 @@ def consume_avg_over_time(spark, sf_dir):
         F.count("*").alias("n"),
         F.min("value").alias("min_val"),
         F.max("value").alias("max_val"),
-        F.round(ordered_sum / F.count("*"), 6).alias("avg_val"),
+        # floor(x*1e6 + 0.5), NOT round(x, 6): the ordered-fold mean is a
+        # bit-identical double on both engines, but round() itself is the
+        # engine-dependent op (SCALE.md §9 lottery class)
+        (
+            F.floor(ordered_sum / F.count("*") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("avg_val"),
     )
 
 
@@ -709,8 +715,9 @@ WITH s AS (
 )
 SELECT window_start, tenant_id, name, count(*) AS n,
        min(value) AS min_val, max(value) AS max_val,
-       round(list_reduce(list_prepend(0.0, list(value ORDER BY timestamp, event_id)),
-                         (acc, v) -> acc + v) / count(*), 6) AS avg_val
+       floor(list_reduce(list_prepend(0.0, list(value ORDER BY timestamp, event_id)),
+                         (acc, v) -> acc + v) / count(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_val
 FROM s GROUP BY 1, 2, 3
 """
 
@@ -741,7 +748,10 @@ def consume_quantile_over_time(spark, sf_dir):
         w = rank - F.floor(rank)
         lo_v = F.element_at("arr", lo + 1)
         hi_v = F.element_at("arr", F.least(lo + 2, F.col("n").cast("int")))
-        return F.round(lo_v * (F.lit(1.0) - w) + hi_v * w, 6)
+        # floor(x*1e6 + 0.5), NOT round(x, 6): the interpolated double is
+        # bit-identical on both engines; round() is the engine-dependent
+        # op (SCALE.md §9 lottery class)
+        return F.floor((lo_v * (F.lit(1.0) - w) + hi_v * w) * 1e6 + 0.5) / 1e6
 
     return agg.select(
         "window_start",
@@ -765,10 +775,12 @@ agg AS (
   FROM s GROUP BY 1, 2, 3
 )
 SELECT window_start, tenant_id, name, n,
-       round(arr[(floor(0.5 * (n - 1)) + 1)::INT] * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
-             + arr[least((floor(0.5 * (n - 1)) + 2)::INT, n::INT)] * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS p50,
-       round(arr[(floor(0.95 * (n - 1)) + 1)::INT] * (1.0 - (0.95 * (n - 1) - floor(0.95 * (n - 1))))
-             + arr[least((floor(0.95 * (n - 1)) + 2)::INT, n::INT)] * (0.95 * (n - 1) - floor(0.95 * (n - 1))), 6) AS p95
+       floor((arr[(floor(0.5 * (n - 1)) + 1)::INT] * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+              + arr[least((floor(0.5 * (n - 1)) + 2)::INT, n::INT)] * (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+             * 1e6 + 0.5) / 1e6 AS p50,
+       floor((arr[(floor(0.95 * (n - 1)) + 1)::INT] * (1.0 - (0.95 * (n - 1) - floor(0.95 * (n - 1))))
+              + arr[least((floor(0.95 * (n - 1)) + 2)::INT, n::INT)] * (0.95 * (n - 1) - floor(0.95 * (n - 1))))
+             * 1e6 + 0.5) / 1e6 AS p95
 FROM agg
 """
 
@@ -1536,14 +1548,17 @@ def consume_vector_matching(spark, sf_dir):
             "tenant_micro",
             F.when(
                 F.col("tenant_micro") != 0,
-                # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's round emits -0.0
-                # for tiny negative ratios; Spark's does not)
-                F.round(
+                # floor(x*1e6 + 0.5), NOT round(x, 6): the ratio double is
+                # bit-identical on both engines; round() is the engine-
+                # dependent op (SCALE.md §9 lottery class). floor also
+                # never emits -0.0, retiring the old +0.0 workaround.
+                F.floor(
                     F.col("inc_micro").cast("double")
-                    / F.col("tenant_micro").cast("double"),
-                    6,
+                    / F.col("tenant_micro").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
                 )
-                + F.lit(0.0),
+                / F.lit(1000000.0),
             ).alias("share"),
         )
     )
@@ -1561,7 +1576,8 @@ r AS (
 )
 SELECT r.window_start, r.tenant_id, r.name, r.inc_micro, tt.tenant_micro,
        CASE WHEN tt.tenant_micro <> 0
-            THEN round(r.inc_micro::DOUBLE / tt.tenant_micro::DOUBLE, 6) + 0.0
+            THEN floor(r.inc_micro::DOUBLE / tt.tenant_micro::DOUBLE
+                       * 1000000.0 + 0.5) / 1000000.0
        END AS share
 FROM r JOIN tt USING (window_start, tenant_id)
 """
@@ -1760,8 +1776,11 @@ def consume_holt_winters(spark, sf_dir):
             "tenant_id",
             "name",
             "n_samples",
-            F.round(F.col("__sb")[0], 6).alias("smoothed"),
-            F.round(F.col("__sb")[1], 6).alias("trend"),
+            # floor(x*1e6 + 0.5), NOT round(x, 6): the fold doubles are
+            # bit-identical on both engines; round() is the engine-
+            # dependent op (SCALE.md §9 lottery class)
+            (F.floor(F.col("__sb")[0] * 1e6 + 0.5) / 1e6).alias("smoothed"),
+            (F.floor(F.col("__sb")[1] * 1e6 + 0.5) / 1e6).alias("trend"),
         )
     )
 
@@ -1788,7 +1807,8 @@ WITH s AS (
   HAVING count(*) >= 2
 )
 SELECT tenant_id, name, n_samples,
-       round(sb[1], 6) AS smoothed, round(sb[2], 6) AS trend
+       floor(sb[1] * 1e6 + 0.5) / 1e6 AS smoothed,
+       floor(sb[2] * 1e6 + 0.5) / 1e6 AS trend
 FROM folded
 """
 

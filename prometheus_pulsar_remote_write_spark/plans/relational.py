@@ -34,6 +34,14 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 def q1_pricing_summary(spark, sf_dir):
+    # The averages are exact integer rationals in fixed point (the e4/e6
+    # half-up floor-div the quality score uses, operators/text.py):
+    # round(avg(DOUBLE), n) is the residual engine-lottery class (SCALE.md
+    # §9) -- an average CAN land exactly on a half boundary where Spark
+    # (shortest-decimal BigDecimal) and DuckDB (binary value) round apart.
+    # l_quantity is integer-valued; price/discount are cent-quantized, so
+    # avg at e4/e6 is round_half_up(scale * int_sum / n) with
+    # scale = 1e4 (qty), 1e2 (price cents -> e4), 1e4 (disc cents -> e6).
     (li,) = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -44,10 +52,28 @@ def q1_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("__sp"),
+            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("__sd"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.expr(
+                "((20000 * __sq + count_order) div (2 * count_order)) / 10000.0D"
+            ).alias("avg_qty"),
+            F.expr(
+                "((200 * __sp + count_order) div (2 * count_order)) / 10000.0D"
+            ).alias("avg_price"),
+            F.expr(
+                "((20000 * __sd + count_order) div (2 * count_order)) / 1000000.0D"
+            ).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -58,9 +84,12 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       ((20000 * sum(l_quantity::BIGINT)::BIGINT + count(*))
+        // (2 * count(*))) / 10000.0                                    AS avg_qty,
+       ((200 * sum(round(l_extendedprice * 100)::BIGINT)::BIGINT + count(*))
+        // (2 * count(*))) / 10000.0                                    AS avg_price,
+       ((20000 * sum(round(l_discount * 100)::BIGINT)::BIGINT + count(*))
+        // (2 * count(*))) / 1000000.0                                  AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -463,14 +492,30 @@ FROM orders WHERE o_orderkey <= 500
 
 
 def agg_stats_by_status(spark, sf_dir):
+    # avg_price is an exact e4 rational over cent integers (the round(avg)
+    # lottery-class cure, SCALE.md §9); stddev_samp stays double -- both
+    # engines run the same single-pass moments over the same values, and
+    # its boundary class is theoretical next to avg's denominator-n one.
     (orders,) = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("__sp"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            "n_customers",
+            "min_price",
+            "max_price",
+            F.expr("((200 * __sp + n) div (2 * n)) / 10000.0D").alias("avg_price"),
+            "sd_price",
+        )
     )
 
 
@@ -478,7 +523,8 @@ AGG_STATS_SQL = """
 SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price,
-       round(avg(o_totalprice), 4) AS avg_price,
+       ((200 * sum(round(o_totalprice * 100)::BIGINT)::BIGINT + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_price,
        round(stddev_samp(o_totalprice), 4) AS sd_price
 FROM orders GROUP BY o_orderstatus
 """
@@ -800,13 +846,19 @@ def variant_functions_showcase(spark, sf_dir):
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        # exact e4 rational (round(avg) lottery-class cure, SCALE.md §9);
+        # NULLIF keeps the all-NULL group NULL like avg() would
+        F.expr(
+            "((20000 * sum(k) + count(k)) div (2 * nullif(count(k), 0))) / 10000.0D"
+        ).alias("avg_k"),
     )
 
 
 VARIANTFN_SQL = """
 SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
-       sum(k)::BIGINT AS sum_k, round(avg(k), 4) AS avg_k
+       sum(k)::BIGINT AS sum_k,
+       ((20000 * sum(k)::BIGINT + count(k)) // (2 * NULLIF(count(k), 0))) / 10000.0
+           AS avg_k
 FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
 GROUP BY event_type
 """
@@ -991,12 +1043,20 @@ def q17_small_quantity_revenue(spark, sf_dir):
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # sum/7 is an exact rational over cent integers (round(avg)
+        # lottery-class cure, SCALE.md §9): e2 half-up = cents/7 half-up
+        .agg(
+            F.expr(
+                "((2 * sum(cast(round(l_extendedprice * 100) AS BIGINT)) + 7)"
+                " div 14) / 100.0D"
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ((2 * sum(round(l_extendedprice * 100)::BIGINT)::BIGINT + 7) // 14) / 100.0
+           AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1'
@@ -1062,8 +1122,25 @@ def q2_min_cost_supplier(spark, sf_dir):
     top-k) is Q2's. Reference has no joins at all (SURVEY §2.E); this is
     the F6 analytics surface."""
     part, supp, nation, li = _t(spark, sf_dir, "part", "supplier", "nation", "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost")
+    # avg of a per-row RATIO is the q9 class twice over: the ratio doubles
+    # are not exactly representable, so their sum is order-dependent AND
+    # round(avg) is the half-boundary lottery. Cure per SCALE.md §9:
+    # floor-quantize each ratio to micro units (pure IEEE, engine-
+    # identical per row), then the average is an exact integer rational.
+    unit_micro = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(unit_micro).alias("__su"), F.count("*").alias("__n"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "((2 * __su + 100 * __n) div (200 * __n)) / 10000.0D"
+            ).alias("unit_cost"),
+        )
     )
     min_cost = ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
@@ -1095,7 +1172,8 @@ def q2_min_cost_supplier(spark, sf_dir):
 Q2_SQL = """
 WITH ps AS (
   SELECT l_partkey, l_suppkey,
-         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+         ((2 * sum(floor(l_extendedprice / l_quantity * 1000000.0 + 0.5)::BIGINT)::BIGINT
+           + 100 * count(*)) // (200 * count(*))) / 10000.0 AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, unit_cost
