@@ -455,3 +455,27 @@ def test_update_mode_folds_are_split_invariant(events, cuts):
                 split.reset_index(drop=True),
                 check_dtype=False,
             )
+
+
+@given(
+    s=st.integers(min_value=0, max_value=10**14),
+    n=st.integers(min_value=1, max_value=10**9),
+    scale=st.sampled_from([100, 10_000, 1_000_000, 2_000_000]),
+)
+@settings(max_examples=300, deadline=None)
+def test_halfup_floordiv_equals_decimal_half_up(s, n, scale):
+    """The round(avg) lottery-class cure (SCALE.md §9/§10): the integer
+    form floor((2*scale*s + n) / (2n)) must equal ROUND_HALF_UP of the
+    exact rational scale*s/n for EVERY (s, n) -- including the half
+    boundaries where round(DOUBLE, k) splits the engines. Pure integer
+    arithmetic, so Spark's `div` and DuckDB's `//` compute it
+    identically by construction; this pins the formula itself."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = (2 * scale * s + n) // (2 * n)
+    want = int(
+        (Decimal(scale) * Decimal(s) / Decimal(n)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want
