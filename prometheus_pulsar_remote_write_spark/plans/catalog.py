@@ -68,6 +68,12 @@ _CHANGED: list = [
     "consume_vector_matching",
     "consume_holt_winters",
     "consume_quantile_over_time",
+    # second sweep of the same class: percent_rank/cume_dist are exact
+    # rationals (rank/n), brand_avg was a missed round(avg), and the
+    # array showcase's per-row float rounds get floor-quantization
+    "window_lead_lag_ntile",
+    "correlated_above_brand_avg",
+    "array_functions_showcase",
 ]
 
 

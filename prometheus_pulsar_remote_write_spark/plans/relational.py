@@ -348,16 +348,38 @@ def window_lead_lag_ntile(spark, sf_dir):
     total (o_orderdate, o_orderkey) order makes every value deterministic."""
     (orders,) = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.filter(F.col("o_custkey") <= 200).select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
-        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    wp = Window.partitionBy("o_custkey")
+    # pct_rank/cume are exact e6 integer rationals (round(avg) lottery-
+    # class cure, SCALE.md §9): the window order includes the unique
+    # o_orderkey, so rank == row_number and percent_rank = (rn-1)/(n-1),
+    # cume_dist = rn/n -- denominator-n rationals that CAN land exactly
+    # on an e6 half boundary (e.g. rn-1=1, n-1=16000 -> 62.5e-6) where
+    # round(DOUBLE) splits the engines.
+    return (
+        orders.filter(F.col("o_custkey") <= 200)
+        .withColumns(
+            {
+                "__rn": F.row_number().over(w).cast("long"),
+                "__n": F.count("*").over(wp).cast("long"),
+            }
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.expr(
+                "CASE WHEN __n = 1 THEN 0.0D ELSE"
+                " ((2000000 * (__rn - 1) + (__n - 1)) div (2 * (__n - 1)))"
+                " / 1000000.0D END"
+            ).alias("pct_rank"),
+            F.expr(
+                "((2000000 * __rn + __n) div (2 * __n)) / 1000000.0D"
+            ).alias("cume"),
+            F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+            F.dense_rank().over(w).cast("bigint").alias("drank"),
+        )
     )
 
 
@@ -366,13 +388,17 @@ SELECT o_custkey, o_orderkey,
        round(lag(o_totalprice)  OVER w, 2) AS prev_price,
        round(lead(o_totalprice) OVER w, 2) AS next_price,
        ntile(4) OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6)    AS cume,
+       CASE WHEN count(*) OVER wp = 1 THEN 0.0
+            ELSE ((2000000 * (row_number() OVER w - 1) + (count(*) OVER wp - 1))
+                  // (2 * (count(*) OVER wp - 1))) / 1000000.0 END AS pct_rank,
+       ((2000000 * row_number() OVER w + count(*) OVER wp)
+        // (2 * count(*) OVER wp)) / 1000000.0 AS cume,
        round(first_value(o_totalprice) OVER w, 2) AS first_price,
        dense_rank() OVER w AS drank
 FROM orders
 WHERE o_custkey <= 200
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey)
 """
 
 
@@ -750,8 +776,13 @@ def correlated_above_brand_avg(spark, sf_dir):
     (25 rows) broadcast-joined back to part -- one scan + one BHJ, no
     per-row subquery execution."""
     (part,) = _t(spark, sf_dir, "part")
+    # the FILTER keeps the plain double avg (identical on both engines:
+    # cent-exact sums, one division); only the OUTPUT column converts to
+    # the exact e4 rational (round(avg) lottery-class cure, SCALE.md §9)
     brand_avg = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
-        F.avg("p_retailprice").alias("brand_avg")
+        F.avg("p_retailprice").alias("brand_avg"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("__sc"),
+        F.count("*").alias("__n"),
     )
     return (
         part.join(F.broadcast(brand_avg), F.col("p_brand") == F.col("b_brand"))
@@ -760,17 +791,21 @@ def correlated_above_brand_avg(spark, sf_dir):
             "p_partkey",
             "p_brand",
             F.round("p_retailprice", 2).alias("p_retailprice"),
-            F.round("brand_avg", 4).alias("brand_avg"),
+            F.expr("((200 * __sc + __n) div (2 * __n)) / 10000.0D").alias(
+                "brand_avg"
+            ),
         )
     )
 
 
 CORRELATED_SQL = """
 SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice,
-       round(brand_avg, 4) AS brand_avg
+       ((200 * sc + n) // (2 * n)) / 10000.0 AS brand_avg
 FROM (
   SELECT p_partkey, p_brand, p_retailprice,
-         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg,
+         sum(round(p_retailprice * 100)::BIGINT) OVER (PARTITION BY p_brand)::BIGINT AS sc,
+         count(*) OVER (PARTITION BY p_brand) AS n
   FROM part
 ) WHERE p_retailprice >= brand_avg + 50
 """
@@ -785,15 +820,24 @@ def array_functions_showcase(spark, sf_dir):
     all JVM-side higher-order functions, no UDFs."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
+
+    # floor(x*1e6 + 0.5), NOT round(x, 6): the per-row doubles are
+    # bit-identical on both engines (same float32 -> double cast, same
+    # fold), but a float32 value CAN sit exactly on a decimal e6 half
+    # (e.g. 2^-7 = 0.0078125) where round() splits the engines
+    # (SCALE.md §9 lottery class)
+    def q6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6
+
     return emb.filter(F.col("vec_id") <= 200).select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.round(
-            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("sum_val"),
-        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
-        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        q6(F.element_at("embedding", 1).cast("double")).alias("first_val"),
+        q6(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "sum_val"
+        ),
+        q6(F.array_max("embedding").cast("double")).alias("max_val"),
+        q6(F.array_min("embedding").cast("double")).alias("min_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
     )
 
@@ -801,10 +845,11 @@ def array_functions_showcase(spark, sf_dir):
 ARRAYFN_SQL = """
 SELECT vec_id,
        len(embedding)                                              AS dim,
-       round(embedding[1]::DOUBLE, 6)                              AS first_val,
-       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS sum_val,
-       round(list_max(embedding)::DOUBLE, 6)                       AS max_val,
-       round(list_min(embedding)::DOUBLE, 6)                       AS min_val,
+       floor(embedding[1]::DOUBLE * 1e6 + 0.5) / 1e6               AS first_val,
+       floor(list_sum(list_transform(embedding, x -> x::DOUBLE)) * 1e6 + 0.5)
+         / 1e6                                                     AS sum_val,
+       floor(list_max(embedding)::DOUBLE * 1e6 + 0.5) / 1e6        AS max_val,
+       floor(list_min(embedding)::DOUBLE * 1e6 + 0.5) / 1e6        AS min_val,
        len(list_filter(embedding, x -> x > 0))                     AS n_pos
 FROM embeddings WHERE vec_id <= 200
 """
