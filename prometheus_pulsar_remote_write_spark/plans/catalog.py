@@ -74,6 +74,12 @@ _CHANGED: list = [
     "window_lead_lag_ntile",
     "correlated_above_brand_avg",
     "array_functions_showcase",
+    # third sweep closes the WATCHED classes too: percentiles become
+    # exact cent-integer interpolation (f100 = q*(n-1) mod 1 has
+    # denominator 100) on a rank-based plan, and sd_price computes its
+    # moments as exact integer sums (agg_stats_by_status already leads
+    # the window from the avg conversion)
+    "agg_percentiles_by_status",
 ]
 
 

@@ -519,19 +519,26 @@ FROM orders WHERE o_orderkey <= 500
 
 def agg_stats_by_status(spark, sf_dir):
     # avg_price is an exact e4 rational over cent integers (the round(avg)
-    # lottery-class cure, SCALE.md §9); stddev_samp stays double -- both
-    # engines run the same single-pass moments over the same values, and
-    # its boundary class is theoretical next to avg's denominator-n one.
+    # lottery-class cure, SCALE.md §9). sd_price computes its moments as
+    # EXACT integer sums (cents in DECIMAL(38,0) / HUGEINT -- order-free,
+    # so no engine-dependent Welford merge), then one identical
+    # integer->double cast, division, sqrt (all correctly-rounded IEEE)
+    # and floor-quantization: bit-identical on both engines end-to-end,
+    # where round(stddev_samp(DOUBLE), 4) depended on two different
+    # streaming-moment implementations agreeing.
     (orders,) = _t(spark, sf_dir, "orders")
+    xc = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
-        orders.groupBy("o_orderstatus")
+        orders.withColumn("__xc", xc)
+        .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("__sp"),
-            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.sum("__xc").alias("__sp"),
+            F.sum(F.expr("cast(__xc as decimal(38,0))")).alias("__s1"),
+            F.sum(F.expr("cast(__xc * __xc as decimal(38,0))")).alias("__s2"),
         )
         .select(
             "o_orderstatus",
@@ -540,19 +547,33 @@ def agg_stats_by_status(spark, sf_dir):
             "min_price",
             "max_price",
             F.expr("((200 * __sp + n) div (2 * n)) / 10000.0D").alias("avg_price"),
-            "sd_price",
+            F.expr(
+                "CASE WHEN n > 1 THEN"
+                " floor(sqrt(cast(n * __s2 - __s1 * __s1 as double)"
+                "            / (cast(n as double) * cast(n - 1 as double)))"
+                "       * 100.0D + 0.5D) / 10000.0D END"
+            ).alias("sd_price"),
         )
     )
 
 
 AGG_STATS_SQL = """
-SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers,
-       round(min(o_totalprice), 2) AS min_price,
-       round(max(o_totalprice), 2) AS max_price,
-       ((200 * sum(round(o_totalprice * 100)::BIGINT)::BIGINT + count(*))
-        // (2 * count(*))) / 10000.0 AS avg_price,
-       round(stddev_samp(o_totalprice), 4) AS sd_price
-FROM orders GROUP BY o_orderstatus
+SELECT o_orderstatus, n, n_customers, min_price, max_price,
+       ((200 * sp + n) // (2 * n)) / 10000.0 AS avg_price,
+       CASE WHEN n > 1 THEN
+         floor(sqrt((n * s2 - s1 * s1)::DOUBLE
+                    / (n::DOUBLE * (n - 1)::DOUBLE)) * 100.0 + 0.5) / 10000.0
+       END AS sd_price
+FROM (
+  SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sp,
+         sum(round(o_totalprice * 100)::BIGINT) AS s1,
+         sum(round(o_totalprice * 100)::BIGINT * round(o_totalprice * 100)::BIGINT)
+             AS s2
+  FROM orders GROUP BY o_orderstatus
+)
 """
 
 
@@ -1140,23 +1161,65 @@ GROUP BY c_nationkey
 
 def agg_percentiles_by_status(spark, sf_dir):
     """Exact interpolated percentiles (median/p90/p99) of order totals per
-    status -- Spark percentile() and DuckDB quantile_cont share the
-    linear-interpolation definition."""
+    status, computed ENTIRELY in cent integers: with 2-decimal quantiles
+    over 2-decimal values, the interpolation fraction q*(n-1) mod 1 has
+    denominator 100, so lo_cents*100 + (hi_cents-lo_cents)*f100 IS the
+    e4 fixed-point result -- no double interpolation, no round(DOUBLE,4)
+    engine lottery (SCALE.md §9), bit-identical on both engines by
+    integer arithmetic. The rank-based shape (row_number + two picked
+    order statistics per quantile) also replaces percentile()'s
+    per-group collected state with a distributed window sort -- the
+    version that survives a group holding a third of a 100 TB table."""
     (orders,) = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderstatus").orderBy("__c")
+    wp = Window.partitionBy("o_orderstatus")
+    t = (
+        orders.select("o_orderstatus", cents.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count("*").over(wp).cast("long"))
+    )
+
+    def pick(q100: int, name: str):
+        lo = f"max(CASE WHEN __rn = ({q100} * (__n - 1)) div 100 + 1 THEN __c END)"
+        hi = (
+            f"max(CASE WHEN __rn = least(({q100} * (__n - 1)) div 100 + 2, __n)"
+            " THEN __c END)"
+        )
+        f100 = f"max(({q100} * (__n - 1)) % 100)"
+        return F.expr(
+            f"(100 * {lo} + ({hi} - {lo}) * {f100}) / 10000.0D"
+        ).alias(name)
+
+    return t.groupBy("o_orderstatus").agg(
+        pick(50, "p50"), pick(90, "p90"), pick(99, "p99")
     )
 
 
-PERCENTILES_SQL = """
-SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
-       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-FROM orders GROUP BY o_orderstatus
+def _percentiles_sql() -> str:
+    def pick(q100: int, name: str) -> str:
+        lo = f"max(CASE WHEN rn = ({q100} * (n - 1)) // 100 + 1 THEN c END)"
+        hi = (
+            f"max(CASE WHEN rn = least(({q100} * (n - 1)) // 100 + 2, n)"
+            " THEN c END)"
+        )
+        f100 = f"max(({q100} * (n - 1)) % 100)"
+        return f"(100 * {lo} + ({hi} - {lo}) * {f100}) / 10000.0 AS {name}"
+
+    return f"""
+WITH t AS (
+  SELECT o_orderstatus, round(o_totalprice * 100)::BIGINT AS c,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY round(o_totalprice * 100)::BIGINT) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, {pick(50, "p50")}, {pick(90, "p90")}, {pick(99, "p99")}
+FROM t GROUP BY o_orderstatus
 """
+
+
+PERCENTILES_SQL = _percentiles_sql()
 
 
 def q2_min_cost_supplier(spark, sf_dir):
