@@ -171,6 +171,62 @@ def signlsh_buckets_batch(
     return _buckets(F.col(vec_col))
 
 
+def _seq_dots(A, B, chunk: int = 262_144):
+    """Sequential (left-to-right) IEEE dot products of PAIRED rows:
+    ``np.cumsum`` (``np.add.accumulate``) performs the identical adds, in
+    the identical order, as the expression fold
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` and DuckDB's
+    ``list_dot_product`` -- no pairwise/SIMD re-association -- so the
+    result is bit-identical to both, not merely close. Chunked along the
+    pair axis so the (pairs x dim) contribution block stays bounded."""
+    import numpy as np
+
+    out = np.empty(len(A), dtype=np.float64)
+    for lo in range(0, len(A), chunk):
+        hi = min(lo + chunk, len(A))
+        out[lo:hi] = np.cumsum(A[lo:hi] * B[lo:hi], axis=1)[:, -1]
+    return out
+
+
+def _floor_quant(x, round_to: int):
+    """floor(x * 10^k + 0.5) / 10^k -- the repo's pure-IEEE quantizer
+    (SCALE.md §9): every operation is an exact double op, so any engine
+    computing the same input double produces the same output, unlike
+    round() (Spark rounds the shortest-decimal BigDecimal, DuckDB and
+    numpy the binary value, and numpy additionally rounds half-even)."""
+    import numpy as np
+
+    scale = float(10 ** round_to)
+    return np.floor(x * scale + 0.5) / scale
+
+
+def _quant_cosines_exact(fast_dots, lhs, rhs, denom, round_to: int):
+    """Quantized cosines that are bit-identical to the DuckDB twin's
+    sequential ``list_dot_product`` fold, at BLAS speed.
+
+    ``fast_dots`` come from a matmul/einsum whose summation order is NOT
+    the fold's; the two differ by at most ~dim*eps relative (~7e-9 in
+    1e-6-quantization units for unit cosines). floor-quantization maps
+    both to the same grid value UNLESS the value sits within that error
+    of a quantization cut -- so only pairs inside a (generous) 1e-3-of-a-
+    cut guard band are recomputed with the exact sequential fold
+    (_seq_dots). Outside the band, fast == fold after quantization BY
+    ARITHMETIC; inside, the fold value is used directly. Result: the
+    oracle-exact cosine at the matmul's cost plus a vanishing fraction
+    of sequential recomputes (0 on every corpus measured)."""
+    import numpy as np
+
+    scale = float(10 ** round_to)
+    x = fast_dots / denom
+    contrib = x * scale + 0.5
+    susp = np.abs(contrib - np.rint(contrib)) < 1e-3
+    if susp.any():
+        # lhs/rhs are CALLABLES (mask -> row block) so the paired-row
+        # copies materialize only for the vanishing suspicious subset
+        x[susp] = _seq_dots(lhs(susp), rhs(susp)) / denom[susp]
+    return np.floor(x * scale + 0.5) / scale
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.42,
@@ -263,19 +319,32 @@ def embedding_neardup_pairs(
     )
 
     def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # all-pairs inside one (band, bucket) group, vectorized (BLAS);
-        # bucket sizes are bounded by signature selectivity, so this is
-        # the small dense core of the problem, not an O(n^2) global scan
+        # all-pairs inside one (band, bucket) group, vectorized; bucket
+        # sizes are bounded by signature selectivity (and the star cap),
+        # so this is the small dense core, not an O(n^2) global scan.
+        # Norms are sequential folds and cosines go through the
+        # guard-band hybrid (_quant_cosines_exact), so the quantized
+        # value is bit-identical to the DuckDB twin's
+        # list_dot_product/floor BY CONSTRUCTION at matmul speed -- the
+        # previous BLAS + np.round tier agreed with the oracle only
+        # because a ~1e-15 re-association difference survived round(6)
+        # on every instance drawn so far.
         if len(pdf) < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms = np.sqrt(_seq_dots(mat, mat))
         if max_bucket_size is not None and len(pdf) > max_bucket_size:
             # star guard: score vs the min-id anchor only -- O(B) memory
             # instead of the B x B similarity matrix
             a = int(np.argmin(ids))
-            sims = np.round(mat @ mat[a] / (norms * norms[a]), round_to)
+            sims = _quant_cosines_exact(
+                mat @ mat[a],
+                lambda m: mat[m],
+                lambda m: np.broadcast_to(mat[a], (int(m.sum()), mat.shape[1])),
+                norms * norms[a],
+                round_to,
+            )
             keep = (sims >= threshold) & (ids != ids[a])
             return pd.DataFrame(
                 {
@@ -284,9 +353,24 @@ def embedding_neardup_pairs(
                     "cosine": sims[keep],
                 }
             )
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_to)
-        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        fast = (mat @ mat.T)[iu, ju]
+        sims = _quant_cosines_exact(
+            fast,
+            lambda m: mat[iu[m]],
+            lambda m: mat[ju[m]],
+            norms[iu] * norms[ju],
+            round_to,
+        )
+        keep = sims >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": sims[keep],
+            }
+        )
 
     return (
         banded.groupBy("band_id", "bucket")
@@ -331,7 +415,7 @@ def cosine_pairs_exact(
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms = np.sqrt(_seq_dots(mat, mat))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     out_schema = T.StructType(
@@ -343,6 +427,8 @@ def cosine_pairs_exact(
     )
 
     def _pairs(batches):
+        # BLAS matmul for speed + guard-band sequential recompute for
+        # oracle bit-exactness (see _quant_cosines_exact)
         all_ids, all_mat, all_norms = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -350,12 +436,23 @@ def cosine_pairs_exact(
             if len(q_ids) == 0:
                 yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
                 continue
-            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-            sims = (q_mat @ all_mat.T) / np.outer(q_norms, all_norms)
-            sims = np.round(sims, round_to)
-            ii, jj = np.nonzero((sims >= threshold) & (q_ids[:, None] < all_ids[None, :]))
+            q_norms = np.sqrt(_seq_dots(q_mat, q_mat))
+            fast = q_mat @ all_mat.T
+            qq, cc = np.nonzero(q_ids[:, None] < all_ids[None, :])
+            sims = _quant_cosines_exact(
+                fast[qq, cc],
+                lambda m: q_mat[qq[m]],
+                lambda m: all_mat[cc[m]],
+                q_norms[qq] * all_norms[cc],
+                round_to,
+            )
+            keep = sims >= threshold
             yield pd.DataFrame(
-                {"id_a": q_ids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
+                {
+                    "id_a": q_ids[qq[keep]],
+                    "id_b": all_ids[cc[keep]],
+                    "cosine": sims[keep],
+                }
             )
 
     return emb.select(id_col, vec_col).mapInPandas(_pairs, out_schema)

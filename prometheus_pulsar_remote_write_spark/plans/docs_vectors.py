@@ -745,17 +745,22 @@ cand AS (
     WHERE s.n > {int(max_bucket_size)} AND m.vec_id > s.anchor
   )
 )"""
+    # floor(x*1e6 + 0.5), NOT round(x, 6): the Spark scorer computes the
+    # identical sequential-fold dot (similarity._seq_dots), so the
+    # quantized cosine is bit-exact across engines by construction
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 banded AS ({band_rows}),
 {cand}
 SELECT id_a, id_b,
-       round(list_dot_product(va, vb)
-             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+       floor(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+             * 1000000.0 + 0.5) / 1000000.0
            AS cosine
 FROM cand
-WHERE round(list_dot_product(va, vb)
-            / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+WHERE floor(list_dot_product(va, vb)
+            / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+            * 1000000.0 + 0.5) / 1000000.0
       >= {threshold}
 """
 
@@ -765,12 +770,14 @@ EMB_NEARDUP_LSH_SQL = _emb_neardup_lsh_sql()
 EMB_NEARDUP_EXACT_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       floor(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             * 1000000.0 + 0.5) / 1000000.0
            AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+WHERE floor(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            * 1000000.0 + 0.5) / 1000000.0
       >= 0.42
 """
 
