@@ -42,26 +42,36 @@ def q1_pricing_summary(spark, sf_dir):
     # l_quantity is integer-valued; price/discount are cent-quantized, so
     # avg at e4/e6 is round_half_up(scale * int_sum / n) with
     # scale = 1e4 (qty), 1e2 (price cents -> e4), 1e4 (disc cents -> e6).
+    #
+    # The display sums are DERIVED from the same integer sums the
+    # averages use -- not re-aggregated as rounded doubles (the r12
+    # conversion shipped both, doubling the aggregate list and q1's
+    # sf0.1 wall 0.39s -> 0.91s): sum(l_quantity) IS __sq exactly
+    # (integer-valued quantities), and round(sum(l_extendedprice), 2)
+    # IS __sp/100.0 exactly (the cent sum fits in 2^53, so the long ->
+    # double division is the correctly-rounded double of the exact
+    # decimal both engines would round to). 6 aggregates, not 8.
     (li,) = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("__sp"),
-            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("__sd"),
+            # cents are exact integers with double error << 0.5, so
+            # floor(x + 0.5) via a long cast == round-half-up, without
+            # Spark round()'s per-row BigDecimal round-trip
+            F.sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias("__sp"),
+            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("long")).alias("__sd"),
             F.count("*").alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
+            F.col("__sq").cast("double").alias("sum_qty"),
+            (F.col("__sp") / F.lit(100.0)).alias("sum_base_price"),
             "sum_disc_price",
             "sum_charge",
             F.expr(
@@ -80,8 +90,8 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       sum(l_quantity::BIGINT)::BIGINT::DOUBLE                          AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT / 100.0        AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
        ((20000 * sum(l_quantity::BIGINT)::BIGINT + count(*))
@@ -526,8 +536,12 @@ def agg_stats_by_status(spark, sf_dir):
     # and floor-quantization: bit-identical on both engines end-to-end,
     # where round(stddev_samp(DOUBLE), 4) depended on two different
     # streaming-moment implementations agreeing.
+    # cents are exact with double error << 0.5: floor(x + 0.5) via a long
+    # cast == round-half-up without the per-row BigDecimal round-trip,
+    # and the plain cent sum __sp is DERIVED from the decimal moment sum
+    # __s1 (same number) instead of being aggregated a second time.
     (orders,) = _t(spark, sf_dir, "orders")
-    xc = F.round(F.col("o_totalprice") * 100).cast("long")
+    xc = (F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         orders.withColumn("__xc", xc)
         .groupBy("o_orderstatus")
@@ -536,7 +550,6 @@ def agg_stats_by_status(spark, sf_dir):
             F.countDistinct("o_custkey").alias("n_customers"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.sum("__xc").alias("__sp"),
             F.sum(F.expr("cast(__xc as decimal(38,0))")).alias("__s1"),
             F.sum(F.expr("cast(__xc * __xc as decimal(38,0))")).alias("__s2"),
         )
@@ -546,7 +559,9 @@ def agg_stats_by_status(spark, sf_dir):
             "n_customers",
             "min_price",
             "max_price",
-            F.expr("((200 * __sp + n) div (2 * n)) / 10000.0D").alias("avg_price"),
+            F.expr(
+                "((200 * cast(__s1 as bigint) + n) div (2 * n)) / 10000.0D"
+            ).alias("avg_price"),
             F.expr(
                 "CASE WHEN n > 1 THEN"
                 " floor(sqrt(cast(n * __s2 - __s1 * __s1 as double)"
@@ -559,7 +574,7 @@ def agg_stats_by_status(spark, sf_dir):
 
 AGG_STATS_SQL = """
 SELECT o_orderstatus, n, n_customers, min_price, max_price,
-       ((200 * sp + n) // (2 * n)) / 10000.0 AS avg_price,
+       ((200 * s1::BIGINT + n) // (2 * n)) / 10000.0 AS avg_price,
        CASE WHEN n > 1 THEN
          floor(sqrt((n * s2 - s1 * s1)::DOUBLE
                     / (n::DOUBLE * (n - 1)::DOUBLE)) * 100.0 + 0.5) / 10000.0
@@ -568,7 +583,6 @@ FROM (
   SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers,
          round(min(o_totalprice), 2) AS min_price,
          round(max(o_totalprice), 2) AS max_price,
-         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sp,
          sum(round(o_totalprice * 100)::BIGINT) AS s1,
          sum(round(o_totalprice * 100)::BIGINT * round(o_totalprice * 100)::BIGINT)
              AS s2
@@ -797,17 +811,24 @@ def correlated_above_brand_avg(spark, sf_dir):
     (25 rows) broadcast-joined back to part -- one scan + one BHJ, no
     per-row subquery execution."""
     (part,) = _t(spark, sf_dir, "part")
-    # the FILTER keeps the plain double avg (identical on both engines:
-    # cent-exact sums, one division); only the OUTPUT column converts to
-    # the exact e4 rational (round(avg) lottery-class cure, SCALE.md §9)
+    # the FILTER is the exact integer inequality (r13): with avg =
+    # sc/(100n) dollars, p >= avg + 50 <=> p_cents*n >= sc + 5000n --
+    # no double avg aggregate at all, and no dependence on two engines'
+    # avg() producing the same last-ulp double at the >= boundary.
+    # Cents are exact with double error << 0.5, so floor(x + 0.5) via a
+    # long cast == round-half-up without the per-row BigDecimal.
     brand_avg = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
-        F.avg("p_retailprice").alias("brand_avg"),
-        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("__sc"),
+        F.sum((F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")).alias("__sc"),
         F.count("*").alias("__n"),
     )
     return (
         part.join(F.broadcast(brand_avg), F.col("p_brand") == F.col("b_brand"))
-        .filter(F.col("p_retailprice") >= F.col("brand_avg") + 50)
+        .filter(
+            F.expr(
+                "cast(p_retailprice * 100 + 0.5D as bigint) * __n"
+                " >= __sc + 5000 * __n"
+            )
+        )
         .select(
             "p_partkey",
             "p_brand",
@@ -824,11 +845,10 @@ SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice,
        ((200 * sc + n) // (2 * n)) / 10000.0 AS brand_avg
 FROM (
   SELECT p_partkey, p_brand, p_retailprice,
-         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg,
          sum(round(p_retailprice * 100)::BIGINT) OVER (PARTITION BY p_brand)::BIGINT AS sc,
          count(*) OVER (PARTITION BY p_brand) AS n
   FROM part
-) WHERE p_retailprice >= brand_avg + 50
+) WHERE round(p_retailprice * 100)::BIGINT * n >= sc + 5000 * n
 """
 
 
