@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import floor_quant_expr
 from .text import shingles_col, tokens_col
 
 
@@ -296,7 +297,7 @@ def ngram_jaccard_pairs(
     return both.select(
         "id_a",
         "id_b",
-        F.round(
+        floor_quant_expr(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
             6,
@@ -406,7 +407,7 @@ def jaccard_index_pairs(
         .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            floor_quant_expr(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
             ),
         )
@@ -478,7 +479,7 @@ def jaccard_prefix_pairs(
         )
         .withColumn(
             "jaccard",
-            F.round(
+            floor_quant_expr(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,

@@ -48,6 +48,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def floor_quant_expr(col: Column, digits: int) -> Column:
+    """floor(x * 10^k + 0.5) / 10^k -- the repo's pure-IEEE quantizer
+    (SCALE.md §9) as a Column. Every operation is an exact double op, so
+    any engine computing the same input double produces the same output.
+    round() is the residual engine lottery: Spark rounds the
+    shortest-decimal BigDecimal, DuckDB the binary value, and the two
+    disagree exactly when the shortest decimal lands on a half boundary
+    the binary value sits below. Used for every quantized cosine /
+    distance in OUTPUT and ORDERING positions (r13 zeroed the class)."""
+    scale = F.lit(float(10**digits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 #: Higher-order array functions are interpreted, not codegen'd -- so for
 #: pairwise work, compute each row's norm ONCE (scalar column carried
 #: through the join; the join barrier stops projection-collapse from
@@ -77,7 +90,9 @@ def cosine_topk(
         .select(
             "query_id",
             "match_id",
-            F.round(cosine_expr(F.col("query_vec"), F.col("vec")), round_to).alias("cosine"),
+            floor_quant_expr(
+                cosine_expr(F.col("query_vec"), F.col("vec")), round_to
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
@@ -151,15 +166,29 @@ def signlsh_buckets_batch(
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
         out = []
+        # a NULL embedding folds to NULL in the expression tier, and
+        # NULL >= 0 falls through to the otherwise("0") branch -- mirror
+        # that here (and keep the ragged row out of np.array)
+        null_bands = ["0" * bits_per_band] * bands
         # chunk so the (chunk x n_bits x dim) block stays ~16 MB
         chunk = max(1, 2_000_000 // (planes.shape[0] * planes.shape[1]))
         for lo in range(0, len(vecs), chunk):
-            block = vecs.iloc[lo : lo + chunk]
-            V = np.array(list(block), dtype=np.float64)  # (B, dim)
-            prods = V[:, None, :] * planes[None, :, :]  # exact doubles
-            dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
-            bits = np.where(dots >= 0, "1", "0")  # (B, n_bits)
-            for row in bits:
+            block = [v for v in vecs.iloc[lo : lo + chunk] if v is not None]
+            nulls = [v is None for v in vecs.iloc[lo : lo + chunk]]
+            if block:
+                V = np.array(block, dtype=np.float64)  # (B, dim)
+                prods = V[:, None, :] * planes[None, :, :]  # exact doubles
+                dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
+                # Spark SQL and DuckDB both order NaN above every number,
+                # so a NaN fold takes the >= 0 branch ('1'); numpy's
+                # NaN >= 0 is False -- mirror the engines, not IEEE
+                bits = np.where(np.isnan(dots) | (dots >= 0), "1", "0")
+            rows = iter(bits) if block else iter(())
+            for is_null in nulls:
+                if is_null:
+                    out.append(list(null_bands))
+                    continue
+                row = next(rows)
                 out.append(
                     [
                         "".join(row[b * bits_per_band : (b + 1) * bits_per_band])
@@ -224,7 +253,7 @@ def _quant_cosines_exact(fast_dots, lhs, rhs, denom, round_to: int):
         # lhs/rhs are CALLABLES (mask -> row block) so the paired-row
         # copies materialize only for the vanishing suspicious subset
         x[susp] = _seq_dots(lhs(susp), rhs(susp)) / denom[susp]
-    return np.floor(x * scale + 0.5) / scale
+    return _floor_quant(x, round_to)
 
 
 def embedding_neardup_pairs(
@@ -471,7 +500,8 @@ def ivf_assign(
     )
     scored = corpus.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cent))
     w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.round(cosine_expr(F.col(vec_col), F.col("cent_vec")), 9)), F.asc("cell")
+        F.desc(floor_quant_expr(cosine_expr(F.col(vec_col), F.col("cent_vec")), 9)),
+        F.asc("cell"),
     )
     return (
         scored.withColumn("__r", F.row_number().over(w))
@@ -529,7 +559,7 @@ def pq_assign(
             .select(F.col(id_col).alias("code"), F.explode(sub_structs).alias("e"))
             .select("code", F.col("e.s").alias("s"), F.col("e.sub").alias("cv"))
         )
-    dist = F.round(
+    dist = floor_quant_expr(
         F.aggregate(
             F.zip_with(
                 F.col("sub"),
@@ -683,7 +713,9 @@ def ivf_topk_indexed(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)),
+        F.desc(
+            floor_quant_expr(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)
+        ),
         F.asc("cell"),
     )
     probes = (
@@ -698,9 +730,9 @@ def ivf_topk_indexed(
         .select(
             "query_id",
             F.col(id_col).alias("match_id"),
-            F.round(cosine_expr(F.col("query_vec"), F.col(vec_col)), round_to).alias(
-                "cosine"
-            ),
+            floor_quant_expr(
+                cosine_expr(F.col("query_vec"), F.col(vec_col)), round_to
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
@@ -873,7 +905,9 @@ def ivfpq_topk_indexed(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)),
+        F.desc(
+            floor_quant_expr(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)
+        ),
         F.asc("cell"),
     )
     probes = (
@@ -968,7 +1002,9 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)),
+        F.desc(
+            floor_quant_expr(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)
+        ),
         F.asc("cell"),
     )
     probes = (
@@ -984,9 +1020,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("match_id"),
-            F.round(cosine_expr(F.col("query_vec"), F.col(vec_col)), round_to).alias(
-                "cosine"
-            ),
+            floor_quant_expr(
+                cosine_expr(F.col("query_vec"), F.col(vec_col)), round_to
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))

@@ -39,47 +39,48 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED: list = [
-    # round 12: (a) the two measured-unsafe LSH defaults shipped their
-    # scale-safe parameterizations -- emb_neardup_lsh at 4 bands x 8 bits
-    # (sign-LSH, Arrow signature tier, star cap mirrored in SQL) and the
-    # text drop-set path (curation funnel + near-dup dedup) with the
-    # hot-bucket star cap on and mirrored in its capped SQL twin; (b) the
-    # entire round(avg)/round(ratio) residual lottery class (SCALE.md §9
-    # risk map) converted to exact integer rationals or pure-IEEE
-    # floor(x*1e6+0.5) quantization on BOTH engines -- 16 entries' output
-    # formulas changed, so they lead the window; the stalest-tail sort
-    # fills the remaining slots.
-    "emb_neardup_lsh",
+    # round 13: entries whose OUTPUT FORMULA (or filter semantics)
+    # changed this round, so they lead the driver window.
+    # (a) emb_neardup_exact: the r12 floor-quantization change was
+    # deliberately deferred from the r12 window (SCALE.md §10) -- it is
+    # the only entry whose current formula has never been
+    # driver-recorded, so it goes first.
+    "emb_neardup_exact",
+    # (b) the aggregate-reclaim sweep: q1 derives its display sums from
+    # the integer sums, agg_stats derives the cent sum from the decimal
+    # moment sum, correlated's filter became the exact integer
+    # inequality.
+    "q1_pricing_summary",
+    "agg_stats_by_status",
+    "correlated_above_brand_avg",
+    # (c) the floor-quantization sweep that zeroes the last watched
+    # float class (round() in ORDERING and quantized-output positions,
+    # SCALE.md §9): every IVF/PQ cosine rank, quantized cosine/distance
+    # output, and n-gram jaccard converts to floor(x*10^k + 0.5)/10^k
+    # on BOTH engines.
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_ivf_recall",
+    "emb_nprobe_sweep",
+    "emb_kmeans_assign",
+    "emb_int8_quantize",
+    "emb_semdedup",
+    "emb_pq_assign",
+    "emb_residual_pq_assign",
+    "emb_pq_adc_topk",
+    "emb_matryoshka_recall",
+    "emb_pq_distortion",
+    "emb_hubness_report",
+    "emb_triplet_consistency",
+    "docs_neardup_pairs",
     "docs_neardup_dedup",
     "docs_curation_pipeline",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "agg_stats_by_status",
-    "variant_functions_showcase",
-    "docs_lang_profile",
-    "docs_bpe_token_stats",
-    "docs_lexical_diversity",
-    "docs_repetition_filter",
-    "emb_label_centroids",
-    "events_markov_transitions",
-    "events_anomaly_zscore",
-    "consume_avg_over_time",
-    "consume_vector_matching",
-    "consume_holt_winters",
-    "consume_quantile_over_time",
-    # second sweep of the same class: percent_rank/cume_dist are exact
-    # rationals (rank/n), brand_avg was a missed round(avg), and the
-    # array showcase's per-row float rounds get floor-quantization
-    "window_lead_lag_ntile",
-    "correlated_above_brand_avg",
-    "array_functions_showcase",
-    # third sweep closes the WATCHED classes too: percentiles become
-    # exact cent-integer interpolation (f100 = q*(n-1) mod 1 has
-    # denominator 100) on a rank-based plan, and sd_price computes its
-    # moments as exact integer sums (agg_stats_by_status already leads
-    # the window from the avg conversion)
-    "agg_percentiles_by_status",
+    "docs_jaccard_index_pairs",
+    "docs_jaccard_ppjoin",
+    "docs_bbit_minhash",
+    "docs_jaccard_threshold_curve",
+    "docs_dup_families",
+    "docs_leakage_safe_split",
 ]
 
 

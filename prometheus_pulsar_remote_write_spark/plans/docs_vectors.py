@@ -31,6 +31,7 @@ from ..operators.similarity import (
     cosine_pairs_exact,
     cosine_topk,
     embedding_neardup_pairs,
+    floor_quant_expr,
     ivf_assign,
     ivf_topk,
 )
@@ -368,12 +369,13 @@ bands AS (
 ),
 {cand}
 sh AS ({_SHINGLES_SQL})
-SELECT id_a, id_b,
-       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+) WHERE jaccard >= 0.7
 """
 
 
@@ -522,14 +524,15 @@ def docs_jaccard_index_pairs(spark, sf_dir):
 JACCARD_INDEX_SQL = f"""
 WITH sh AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+       floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
              / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+                - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6
+           AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles)) > 0
-  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+  AND floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
             / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.7
+               - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6 >= 0.7
 """
 
 
@@ -589,8 +592,8 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings 
 c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
   SELECT query_id, match_id,
-         round(list_dot_product(qv, cv)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)
+         floor((list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 1e4 + 0.5) / 1e4
              AS cosine
   FROM q JOIN c ON match_id <> query_id
 ),
@@ -622,8 +625,8 @@ assigned AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cent.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(e.v, cent.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                cent.cell ASC) AS r
     FROM e CROSS JOIN cent) WHERE r = 1
 ),
@@ -632,15 +635,15 @@ probes AS (
   SELECT query_id, qv, cell FROM (
     SELECT q.query_id, q.qv, cent.cell,
            row_number() OVER (PARTITION BY q.query_id
-             ORDER BY round(list_dot_product(q.qv, cent.cv)
-                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(q.qv, cent.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                cent.cell ASC) AS r
     FROM q CROSS JOIN cent) WHERE r <= 2
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS match_id,
-         round(list_dot_product(p.qv, a.v)
-               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4)
+         floor((list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))) * 1e4 + 0.5) / 1e4
              AS cosine
   FROM probes p JOIN assigned a USING (cell)
   WHERE a.vec_id <> p.query_id
@@ -1623,7 +1626,8 @@ def emb_kmeans_assign(spark, sf_dir):
     def assign(vecs, cents):
         scored = vecs.join(F.broadcast(cents))
         w = Window.partitionBy("vec_id").orderBy(
-            F.asc(F.round(sqdist(F.col("v"), F.col("cv")), 9)), F.asc("cluster")
+            F.asc(floor_quant_expr(sqdist(F.col("v"), F.col("cv")), 9)),
+            F.asc("cluster"),
         )
         return (
             scored.withColumn("__r", F.row_number().over(w))
@@ -1677,7 +1681,7 @@ a1 AS (
   SELECT vec_id, v, cluster FROM (
     SELECT e.vec_id, e.v, cent0.cluster,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round({_kmeans_sqdist_sql('e.v', 'cent0.cv')}, 9) ASC,
+             ORDER BY floor(({_kmeans_sqdist_sql('e.v', 'cent0.cv')}) * 1e9 + 0.5) / 1e9 ASC,
                       cent0.cluster ASC) AS r
     FROM e CROSS JOIN cent0) WHERE r = 1
 ),
@@ -1693,7 +1697,7 @@ a2 AS (
   SELECT vec_id, cluster AS cluster2 FROM (
     SELECT a1.vec_id, cent1.cluster,
            row_number() OVER (PARTITION BY a1.vec_id
-             ORDER BY round({_kmeans_sqdist_sql('a1.v', 'cent1.cv')}, 9) ASC,
+             ORDER BY floor(({_kmeans_sqdist_sql('a1.v', 'cent1.cv')}) * 1e9 + 0.5) / 1e9 ASC,
                       cent1.cluster ASC) AS r
     FROM a1 CROSS JOIN cent1) WHERE r = 1
 )
@@ -2319,10 +2323,10 @@ def emb_int8_quantize(spark, sf_dir):
             "vec_id",
             "label",
             "dim",
-            (F.round("vmin", 6) + F.lit(0.0)).alias("vmin_r"),
-            F.round("scale", 9).alias("scale_r"),
+            (floor_quant_expr(F.col("vmin"), 6) + F.lit(0.0)).alias("vmin_r"),
+            floor_quant_expr(F.col("scale"), 9).alias("scale_r"),
             F.md5(F.array_join("codes", ",")).alias("codes_digest"),
-            F.round(dequant_err, 6).alias("recon_err"),
+            floor_quant_expr(dequant_err, 6).alias("recon_err"),
         )
     )
 
@@ -2343,14 +2347,14 @@ WITH base AS (
   FROM base
 )
 SELECT vec_id, label, dim,
-       round(vmin, 6) + 0.0 AS vmin_r,
-       round(scale, 9) AS scale_r,
+       floor(vmin * 1e6 + 0.5) / 1e6 + 0.0 AS vmin_r,
+       floor(scale * 1e9 + 0.5) / 1e9 AS scale_r,
        md5(array_to_string(codes, ',')) AS codes_digest,
-       round(list_reduce(list_prepend(0.0,
+       floor((list_reduce(list_prepend(0.0,
                list_transform(range(1, dim + 1),
                  i -> (embedding[i]::DOUBLE - (vmin + codes[i] * scale))
                     * (embedding[i]::DOUBLE - (vmin + codes[i] * scale)))),
-               (acc, v) -> acc + v), 6) AS recon_err
+               (acc, v) -> acc + v)) * 1e6 + 0.5) / 1e6 AS recon_err
 FROM coded
 """
 
@@ -2579,7 +2583,7 @@ def emb_semdedup(spark, sf_dir):
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(
+            floor_quant_expr(
                 dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             )
             >= _SEMDEDUP_THR
@@ -2604,8 +2608,8 @@ a0 AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, seed.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(e.v, seed.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seed.cv, seed.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(e.v, seed.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(seed.cv, seed.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                seed.cell ASC) AS r
     FROM e CROSS JOIN seed) WHERE r = 1
 ),
@@ -2621,16 +2625,16 @@ a AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cent.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(e.v, cent.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                cent.cell ASC) AS r
     FROM e CROSS JOIN cent) WHERE r = 1
 ),
 drop_ids AS (
   SELECT DISTINCT y.vec_id
   FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
-  WHERE round(list_dot_product(x.v, y.v)
-        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+  WHERE floor((list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))) * 1e6 + 0.5) / 1e6
         >= {_SEMDEDUP_THR}
 )
 SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM drop_ids) AS kept
@@ -3504,9 +3508,9 @@ subs AS (
   FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
 ), scored AS (
   SELECT vec_id, subs.s, code,
-         round(list_reduce(list_prepend(0.0,
+         floor((list_reduce(list_prepend(0.0,
                  list_transform(range(1, 9), i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
-               (a, b) -> a + b), 9) AS dist_r
+               (a, b) -> a + b)) * 1e9 + 0.5) / 1e9 AS dist_r
   FROM subs JOIN cbsubs ON subs.s = cbsubs.s
 ), best AS (
   SELECT vec_id, s, code, dist_r FROM (
@@ -3623,8 +3627,8 @@ a AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cent.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(e.v, cent.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                cent.cell ASC) AS r
     FROM e CROSS JOIN cent) WHERE r = 1
 ),
@@ -3642,9 +3646,9 @@ subs AS (
   FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
 ), scored AS (
   SELECT vec_id, subs.s, code,
-         round(list_reduce(list_prepend(0.0,
+         floor((list_reduce(list_prepend(0.0,
                  list_transform(range(1, 9), i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
-               (a, b) -> a + b), 9) AS dist_r
+               (a, b) -> a + b)) * 1e9 + 0.5) / 1e9 AS dist_r
   FROM subs JOIN cbsubs ON subs.s = cbsubs.s
 ), best AS (
   SELECT vec_id, s, code, dist_r FROM (
@@ -3692,10 +3696,10 @@ subs AS (
   SELECT vec_id AS match_id, s, code FROM (
     SELECT vec_id, subs.s, code,
            row_number() OVER (PARTITION BY vec_id, subs.s
-             ORDER BY round(list_reduce(list_prepend(0.0,
+             ORDER BY floor((list_reduce(list_prepend(0.0,
                        list_transform(range(1, 9),
                          i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
-                     (a, b) -> a + b), 9) ASC, code ASC) AS rn
+                     (a, b) -> a + b)) * 1e9 + 0.5) / 1e9 ASC, code ASC) AS rn
     FROM subs JOIN cbsubs ON subs.s = cbsubs.s
   ) WHERE rn = 1
 ), dtab AS (
@@ -3836,15 +3840,15 @@ probes_{nprobe} AS (
   SELECT query_id, qv, cell FROM (
     SELECT q.query_id, q.qv, cent.cell,
            row_number() OVER (PARTITION BY q.query_id
-             ORDER BY round(list_dot_product(q.qv, cent.cv)
-                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(q.qv, cent.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                cent.cell ASC) AS r
     FROM q CROSS JOIN cent) WHERE r <= {nprobe}
 ),
 scored_{nprobe} AS (
   SELECT p.query_id, a.vec_id AS match_id,
-         round(list_dot_product(p.qv, a.v)
-               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4)
+         floor((list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))) * 1e4 + 0.5) / 1e4
              AS cosine
   FROM probes_{nprobe} p JOIN assigned a USING (cell)
   WHERE a.vec_id <> p.query_id
@@ -3876,8 +3880,8 @@ assigned AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cent.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(e.v, cent.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 9) DESC,
+             ORDER BY floor((list_dot_product(e.v, cent.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))) * 1e9 + 0.5) / 1e9 DESC,
                cent.cell ASC) AS r
     FROM e CROSS JOIN cent) WHERE r = 1
 ),
@@ -4515,8 +4519,9 @@ cand AS (
 sh AS ({_SHINGLES_SQL}),
 exact AS (
   SELECT id_a, id_b,
-         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
   FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
 ),
 bb AS (SELECT doc_id, mh0 % 4 AS b0, mh1 % 4 AS b1, mh2 % 4 AS b2, mh3 % 4 AS b3, mh4 % 4 AS b4, mh5 % 4 AS b5, mh6 % 4 AS b6, mh7 % 4 AS b7 FROM sigs),
@@ -4702,8 +4707,8 @@ exact AS (
   SELECT query_id, match_id AS exact_match FROM (
     SELECT q.query_id, e.vec_id AS match_id,
            row_number() OVER (PARTITION BY q.query_id
-             ORDER BY round(list_dot_product(q.qv, e.v)
-               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+             ORDER BY floor((list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1e4 + 0.5) / 1e4 DESC,
                e.vec_id ASC) AS r
     FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id) WHERE r <= 3
 ),
@@ -4713,8 +4718,8 @@ approx AS (
   SELECT query_id, match_id FROM (
     SELECT qt.query_id, et.vec_id AS match_id,
            row_number() OVER (PARTITION BY qt.query_id
-             ORDER BY round(list_dot_product(qt.qv, et.v)
-               / (sqrt(list_dot_product(qt.qv, qt.qv)) * sqrt(list_dot_product(et.v, et.v))), 4) DESC,
+             ORDER BY floor((list_dot_product(qt.qv, et.v)
+               / (sqrt(list_dot_product(qt.qv, qt.qv)) * sqrt(list_dot_product(et.v, et.v)))) * 1e4 + 0.5) / 1e4 DESC,
                et.vec_id ASC) AS r
     FROM qt CROSS JOIN et WHERE et.vec_id <> qt.query_id) WHERE r <= 3
 ),
@@ -5079,9 +5084,9 @@ subs AS (
   FROM cb, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
 ), scored AS (
   SELECT vec_id, subs.s, code,
-         round(list_reduce(list_prepend(0.0,
+         floor((list_reduce(list_prepend(0.0,
                  list_transform(range(1, 9), i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))),
-               (a, b) -> a + b), 9) AS dist_r
+               (a, b) -> a + b)) * 1e9 + 0.5) / 1e9 AS dist_r
   FROM subs JOIN cbsubs ON subs.s = cbsubs.s
 ), best AS (
   SELECT vec_id, s, code, dist_r FROM (
@@ -5546,8 +5551,8 @@ nn AS (
   SELECT match_id AS vec_id FROM (
     SELECT q.vec_id AS query_id, e.vec_id AS match_id,
            row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY round(list_dot_product(q.v, e.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+             ORDER BY floor((list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))) * 1e4 + 0.5) / 1e4 DESC,
                e.vec_id ASC) AS r
     FROM e q CROSS JOIN e WHERE e.vec_id <> q.vec_id) WHERE r <= 3
 ), indeg AS (
@@ -5678,8 +5683,8 @@ near AS (
   SELECT vec_id, near_id FROM (
     SELECT a.vec_id, e.vec_id AS near_id,
            row_number() OVER (PARTITION BY a.vec_id
-             ORDER BY round(list_dot_product(a.v, e.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+             ORDER BY floor((list_dot_product(a.v, e.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(e.v, e.v)))) * 1e4 + 0.5) / 1e4 DESC,
                e.vec_id ASC) AS r
     FROM anchors a CROSS JOIN e WHERE e.vec_id <> a.vec_id) WHERE r = 1
 ), far AS (
@@ -5763,8 +5768,9 @@ cand AS (
 sh AS ({_SHINGLES_SQL}),
 scored AS (
   SELECT id_a, id_b,
-         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
   FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
 ), banded AS (
   SELECT least(floor(jaccard * 10)::INT, 9) AS band, id_b FROM scored

@@ -469,7 +469,15 @@ def test_halfup_floordiv_equals_decimal_half_up(s, n, scale):
     exact rational scale*s/n for EVERY (s, n) -- including the half
     boundaries where round(DOUBLE, k) splits the engines. Pure integer
     arithmetic, so Spark's `div` and DuckDB's `//` compute it
-    identically by construction; this pins the formula itself."""
+    identically by construction; this pins the formula itself.
+
+    DOMAIN: s >= 0 only. Every call site aggregates non-negative
+    quantities (counts, lengths, cents of non-negative prices), so the
+    non-negative domain is the one the catalog exercises; for negative
+    numerators the ROUND_HALF_UP identity does NOT hold, because Spark
+    `div` and DuckDB `//` both truncate toward zero (still agreeing
+    with EACH OTHER -- see the companion test below -- but not with
+    Python's flooring `//` or with decimal half-up)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     got = (2 * scale * s + n) // (2 * n)
@@ -479,3 +487,30 @@ def test_halfup_floordiv_equals_decimal_half_up(s, n, scale):
         )
     )
     assert got == want
+
+
+@given(
+    s=st.integers(min_value=-(10**14), max_value=0),
+    n=st.integers(min_value=1, max_value=10**9),
+    scale=st.sampled_from([100, 10_000, 1_000_000, 2_000_000]),
+)
+@settings(max_examples=200, deadline=None)
+def test_truncating_div_cross_engine_semantics_for_negative_numerators(s, n, scale):
+    """Pins what the ENGINES actually compute on negative numerators:
+    Spark's `div` and DuckDB's `//` both truncate the integer quotient
+    toward zero (verified against DuckDB in
+    test_catalog_oracle/test_properties fixtures), which differs from
+    Python's flooring `//` whenever the division is inexact. The
+    catalog never feeds a negative numerator into the half-up formula
+    (all call sites sum non-negative integers), but if one ever does,
+    this is the cross-engine contract: trunc, not floor, not half-up."""
+    num = 2 * scale * s + n
+    den = 2 * n
+    # truncation toward zero -- the Spark `div` / DuckDB `//` semantics
+    trunc = abs(num) // den
+    if num < 0:
+        trunc = -trunc
+    import duckdb
+
+    want = duckdb.sql(f"SELECT {num} // {den}").fetchone()[0]
+    assert trunc == want

@@ -846,3 +846,56 @@ def test_signlsh_arrow_tier_parity_with_expression_tier(spark):
             ).collect()
         )
         assert arrow == expr and arrow
+
+
+def test_signlsh_arrow_tier_nan_and_null_match_expression_tier(spark):
+    """NaN folds take the engines' NaN-above-everything branch ('1'), not
+    numpy's IEEE NaN >= 0 == False; a NULL embedding yields all-'0'
+    buckets (the expression tier's otherwise branch) instead of crashing
+    the Arrow batch. Pinned by comparing the two tiers' raw bucket
+    arrays row by row."""
+    import math
+
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        _hyperplane_signs,
+        signlsh_bits,
+        signlsh_buckets_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    nan_vec = [float(x) for x in rng.normal(size=8)]
+    nan_vec[3] = math.nan
+    rows.append((100, nan_vec))
+    rows.append((101, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bands, bits_per_band = 2, 3
+    signs = _hyperplane_signs(8, bands * bits_per_band)
+    arrow = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            signlsh_buckets_batch("embedding", signs, bands, bits_per_band).alias("b"),
+        ).collect()
+    }
+    bits = signlsh_bits(F.col("embedding"), signs)
+    expr = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band])
+                    for b in range(bands)
+                ]
+            ).alias("b"),
+        ).collect()
+    }
+    assert arrow == expr
+    assert arrow[101] == ["000", "000"]
+    # the NaN fold really does take the '1' branch on the planes that
+    # touch the NaN coordinate -- i.e. every plane, since the fold is NaN
+    assert arrow[100] == ["111", "111"]
