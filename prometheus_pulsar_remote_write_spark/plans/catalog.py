@@ -53,6 +53,25 @@ _CHANGED: list = [
     "q1_pricing_summary",
     "agg_stats_by_status",
     "correlated_above_brand_avg",
+    # (b2) the revenue-sum exactness sweep: the true value of
+    # sum(l_extendedprice*(1-l_discount)) is a multiple of 1e-4 (not
+    # 1e-2), so round(sum(DOUBLE), 2) had REACHABLE half boundaries --
+    # the q9 r10-incident class, previously mislabelled SAFE. Every
+    # disc-price / charge / promo-ratio / market-share aggregate now
+    # sums exact e4/e6 integers (BIGINT for key-bounded groups,
+    # DECIMAL(38,0)/HUGEINT for unbounded ones) and derives the
+    # display value by half-up integer arithmetic.
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_join",
+    "nation_market_hhi",
     # (c) the floor-quantization sweep that zeroes the last watched
     # float class (round() in ORDERING and quantized-output positions,
     # SCALE.md §9): every IVF/PQ cosine rank, quantized cosine/distance

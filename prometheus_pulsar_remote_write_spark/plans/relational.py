@@ -2,8 +2,19 @@
 windows, sorts/top-k, set ops, scalar functions -- over the TPC-H-ish tables.
 
 Conventions shared with the DuckDB oracles:
-  - money aggregates rounded to 2 decimals, averages to 4-6, so double
-    summation-order differences across engines can't flip the hash;
+  - money aggregates are EXACT e4/e6 integer sums (r13): the true value
+    of sum(l_extendedprice * (1 - l_discount)) is a multiple of 1e-4,
+    not 1e-2, so round(sum(DOUBLE), 2) has REACHABLE half boundaries
+    where two engines' order-dependent double sums can land apart (the
+    q9 round-10 incident class). Per-row pc*(100-dc) [and *(100+tc)]
+    are exact longs; groups that are unbounded corpus fractions sum
+    them in DECIMAL(38,0), key-bounded groups (per order / supplier /
+    part) in BIGINT; the 2-decimal display value is the half-up
+    integer ((A4 + 50) div 100) / 100.0 -- identical on both engines
+    by integer arithmetic. Averages are exact e4/e6 rationals;
+  - inputs that ARE 2-decimal (o_totalprice, acctbal) may keep
+    round(sum(x), 2): their true sums sit ON the output grid, 0.005
+    from any boundary -- unreachable by ~1e-10 double error;
   - every LIMIT carries a total tiebreak order;
   - timestamps leave queries as 'yyyy-MM-dd' strings or epoch BIGINTs.
 
@@ -30,6 +41,25 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
+def _rev_e4():
+    """Exact e4-integer line revenue pc * (100 - dc) as a LONG column.
+
+    Cents are exact with double error << 0.5, so floor(x + 0.5) via a
+    long cast == round-half-up without a per-row BigDecimal. Sum this
+    directly (BIGINT) when the group is key-bounded; cast to
+    decimal(38,0) first when the group is an unbounded corpus fraction."""
+    pc = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return pc * (F.lit(100) - dc)
+
+
+#: DuckDB twin of _rev_e4 (sum() of BIGINT is HUGEINT -- overflow-free)
+_REV_E4_SQL = (
+    "round(l_extendedprice * 100)::BIGINT"
+    " * (100 - round(l_discount * 100)::BIGINT)"
+)
+
+
 # --- aggregation ------------------------------------------------------------
 
 
@@ -51,14 +81,26 @@ def q1_pricing_summary(spark, sf_dir):
     # IS __sp/100.0 exactly (the cent sum fits in 2^53, so the long ->
     # double division is the correctly-rounded double of the exact
     # decimal both engines would round to). 6 aggregates, not 8.
+    # disc_price / charge sums are computed as EXACT e4/e6 integers
+    # (r13): the true sums are multiples of 1e-4 / 1e-6, not 1e-2, so
+    # round(sum(DOUBLE), 2) has REACHABLE half boundaries (true sum
+    # = x.xx50 exactly) where two engines' order-dependent double sums
+    # can land on opposite sides -- the exact q9-incident class.
+    # pc*(100-dc) and pc*(100-dc)*(100+tc) are exact longs per row;
+    # the groups here are unbounded corpus fractions (6 flag/status
+    # groups), so the sums go through DECIMAL(38,0), order-free.
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pc = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tc = (F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    disc4 = (pc * (F.lit(100) - dc)).cast("decimal(38,0)")
+    charge6 = (pc * (F.lit(100) - dc) * (F.lit(100) + tc)).cast("decimal(38,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(disc4).alias("__a4"),
+            F.sum(charge6).alias("__a6"),
             F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
             # cents are exact integers with double error << 0.5, so
             # floor(x + 0.5) via a long cast == round-half-up, without
@@ -72,8 +114,9 @@ def q1_pricing_summary(spark, sf_dir):
             "l_linestatus",
             F.col("__sq").cast("double").alias("sum_qty"),
             (F.col("__sp") / F.lit(100.0)).alias("sum_base_price"),
-            "sum_disc_price",
-            "sum_charge",
+            # half-up e4 -> e2: ((A4 + 50) div 100) / 100, exact
+            F.expr("((__a4 + 50) div 100) / 100.0D").alias("sum_disc_price"),
+            F.expr("((__a6 + 5000) div 10000) / 100.0D").alias("sum_charge"),
             F.expr(
                 "((20000 * __sq + count_order) div (2 * count_order)) / 10000.0D"
             ).alias("avg_qty"),
@@ -92,8 +135,13 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::BIGINT)::BIGINT::DOUBLE                          AS sum_qty,
        sum(round(l_extendedprice * 100)::BIGINT)::BIGINT / 100.0        AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ((sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT)) + 50)
+        // 100) / 100.0                                                 AS sum_disc_price,
+       ((sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT)
+             * (100 + round(l_tax * 100)::BIGINT)) + 5000)
+        // 10000) / 100.0                                               AS sum_charge,
        ((20000 * sum(l_quantity::BIGINT)::BIGINT + count(*))
         // (2 * count(*))) / 10000.0                                    AS avg_qty,
        ((200 * sum(round(l_extendedprice * 100)::BIGINT)::BIGINT + count(*))
@@ -118,15 +166,18 @@ def q3_shipping_priority(spark, sf_dir):
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # per-order group (<= 7 lines): exact e4 BIGINT sum, half-up e2
+        .agg(F.sum(_rev_e4()).alias("__a4"))
+        .withColumn("revenue", F.expr("((__a4 + 50) div 100) / 100.0D"))
+        .drop("__a4")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum({_REV_E4_SQL}) + 50) // 100) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -163,12 +214,14 @@ def q5_local_supplier_volume(spark, sf_dir):
         )
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # per-nation group = unbounded corpus fraction: DECIMAL(38,0) sum
+        .agg(F.sum(_rev_e4().cast("decimal(38,0)")).alias("__a4"))
+        .select("n_name", F.expr("((__a4 + 50) div 100) / 100.0D").alias("revenue"))
     )
 
 
-Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q5_SQL = f"""
+SELECT n_name, ((sum({_REV_E4_SQL}) + 50) // 100) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -196,16 +249,19 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # per-customer group (key-bounded): exact e4 BIGINT sum
+        .agg(F.sum(_rev_e4()).alias("__a4"))
+        .withColumn("revenue", F.expr("((__a4 + 50) div 100) / 100.0D"))
+        .drop("__a4")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
         .withColumn("c_acctbal", F.round("c_acctbal", 2))
     )
 
 
-Q10_SQL = """
+Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum({_REV_E4_SQL}) + 50) // 100) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -664,12 +720,22 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        # global aggregate: exact e4 pc*dc in DECIMAL(38,0), half-up e2
+        .agg(
+            F.sum(
+                (
+                    (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                ).cast("decimal(38,0)")
+            ).alias("__a4")
+        )
+        .select(F.expr("((__a4 + 50) div 100) / 100.0D").alias("revenue"))
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT ((sum(round(l_extendedprice * 100)::BIGINT
+             * round(l_discount * 100)::BIGINT) + 50) // 100) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -679,28 +745,37 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim join."""
     part, li = _t(spark, sf_dir, "part", "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # ratio of two order-dependent double sums was the WORST residual
+        # lottery shape; both sums are exact e4 DECIMAL(38,0) integers
+        # now, and the e4-rounded percentage is the half-up rational
+        # (2*10^6*A + B) div (2B) / 10^4 -- exact on both engines
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
-                / F.sum(disc_price),
-                4,
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_e4())
+                .otherwise(F.lit(0).cast("long"))
+                .cast("decimal(38,0)")
+            ).alias("__a"),
+            F.sum(_rev_e4().cast("decimal(38,0)")).alias("__b"),
+        )
+        .select(
+            F.expr(
+                "((2000000 * __a + __b) div (2 * __b)) / 10000.0D"
             ).alias("promo_pct")
         )
     )
 
 
-Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+Q14_SQL = f"""
+SELECT ((2000000 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL}
+                            ELSE 0 END)
+         + sum({_REV_E4_SQL}))
+        // (2 * sum({_REV_E4_SQL}))) / 10000.0 AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
 """
@@ -765,16 +840,17 @@ def q19_disjunctive_join(spark, sf_dir):
         .filter(cond)
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum(_rev_e4().cast("decimal(38,0)")).alias("__a4"),
+        )
+        .select(
+            "n_lines", F.expr("((__a4 + 50) div 100) / 100.0D").alias("revenue")
         )
     )
 
 
-Q19_SQL = """
+Q19_SQL = f"""
 SELECT count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum({_REV_E4_SQL}) + 50) // 100) / 100.0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -983,19 +1059,24 @@ def q7_volume_shipping(spark, sf_dir):
             )
         )
     )
-    return pairs.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+    return (
+        pairs.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_rev_e4().cast("decimal(38,0)")).alias("__a4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.expr("((__a4 + 50) div 100) / 100.0D").alias("revenue"),
         )
     )
 
 
-Q7_SQL = """
+Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum({_REV_E4_SQL}) + 50) // 100) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1027,25 +1108,34 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
-        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("vol4", _rev_e4())
     )
     return (
         vol.groupBy(F.year("o_orderdate").alias("o_year"))
+        # exact e6 rational of two DECIMAL(38,0) e4 sums (see q14)
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                6,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("vol4"))
+                .otherwise(F.lit(0).cast("long"))
+                .cast("decimal(38,0)")
+            ).alias("__a"),
+            F.sum(F.col("vol4").cast("decimal(38,0)")).alias("__b"),
+        )
+        .select(
+            "o_year",
+            F.expr(
+                "((2000000 * __a + __b) div (2 * __b)) / 1000000.0D"
+            ).alias("mkt_share"),
         )
     )
 
 
-Q8_SQL = """
+Q8_SQL = f"""
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_1'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       ((2000000 * sum(CASE WHEN n2.n_name = 'NATION_1'
+                            THEN {_REV_E4_SQL} ELSE 0 END)
+         + sum({_REV_E4_SQL}))
+        // (2 * sum({_REV_E4_SQL}))) / 1000000.0 AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1089,11 +1179,11 @@ def q15_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        # per-supplier group (key-bounded): exact e4 BIGINT sum; the
+        # max-equality join below is robust because the value is exact
+        .agg(F.sum(_rev_e4()).alias("__a4"))
+        .withColumn("total_revenue", F.expr("((__a4 + 50) div 100) / 100.0D"))
+        .drop("__a4")
     )
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
@@ -1103,10 +1193,10 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
-Q15_SQL = """
+Q15_SQL = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         ((sum({_REV_E4_SQL}) + 50) // 100) / 100.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -1380,30 +1470,41 @@ def q11_important_part_value(spark, sf_dir):
             F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .withColumn("val", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("val4", _rev_e4())
     )
-    per_part = national.groupBy("l_partkey").agg(F.round(F.sum("val"), 2).alias("value"))
-    total = national.agg((F.sum("val") * 0.001).alias("threshold"))
+    # per-part value: exact e4 BIGINT sum, half-up e2 cents v2; the
+    # 0.1%-of-total HAVING is the exact integer inequality
+    # v2/100 > T4/10^7  <=>  v2 * 10^5 > T4 (both DECIMAL(38,0))
+    per_part = national.groupBy("l_partkey").agg(F.sum("val4").alias("__a4"))
+    total = national.agg(
+        F.sum(F.col("val4").cast("decimal(38,0)")).alias("__t4")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_partkey", "value")
+        .filter(
+            F.expr(
+                "cast((__a4 + 50) div 100 as decimal(38,0)) * 100000 > __t4"
+            )
+        )
+        .select(
+            "l_partkey", F.expr("((__a4 + 50) div 100) / 100.0D").alias("value")
+        )
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 WITH national AS (
-  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+  SELECT l_partkey, {_REV_E4_SQL} AS val4
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_3'
 )
-SELECT l_partkey, round(sum(val), 2) AS value
+SELECT l_partkey, ((sum(val4) + 50) // 100) / 100.0 AS value
 FROM national
 GROUP BY l_partkey
-HAVING round(sum(val), 2) > (SELECT sum(val) * 0.001 FROM national)
+HAVING ((sum(val4) + 50) // 100) * 100000 > (SELECT sum(val4) FROM national)
 ORDER BY value DESC, l_partkey ASC
 """
 
@@ -2178,13 +2279,10 @@ def nation_market_hhi(spark, sf_dir):
     rev = (
         li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_nationkey", "s_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000
-            )
-            .cast("bigint")
-            .alias("rev_milli")
-        )
+        # per-supplier e4 BIGINT sum; milli-dollars = half-up(A4 / 10)
+        .agg(F.sum(_rev_e4()).alias("__a4"))
+        .withColumn("rev_milli", F.expr("(__a4 + 5) div 10"))
+        .drop("__a4")
     )
     totals = rev.groupBy("s_nationkey").agg(
         F.sum("rev_milli").alias("total_milli"),
@@ -2206,10 +2304,10 @@ def nation_market_hhi(spark, sf_dir):
     )
 
 
-HHI_SQL = """
+HHI_SQL = f"""
 WITH rev AS (
   SELECT s_nationkey, s_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)) * 1000)::BIGINT AS rev_milli
+         ((sum({_REV_E4_SQL}) + 5) // 10)::BIGINT AS rev_milli
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY 1, 2
 ), totals AS (
