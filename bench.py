@@ -58,6 +58,76 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _drain_listener_bus(spark) -> None:
+    try:
+        spark._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        try:
+            spark._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass
+
+
+def _stage_list(spark):
+    store = spark._jsc.sc().statusStore()
+    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    return store.stageList(None, *defaults)
+
+
+def _max_stage_id(spark) -> int:
+    """Highest stage id the status store has seen (or -1)."""
+    try:
+        _drain_listener_bus(spark)
+        it = _stage_list(spark).iterator()
+        m = -1
+        while it.hasNext():
+            m = max(m, it.next().stageId())
+        return m
+    except Exception:
+        return -1
+
+
+def _peak_memory_snapshot(spark, min_stage_id: int) -> dict | None:
+    """Max per-stage memory peaks across stages with id > min_stage_id.
+
+    Three signals, three failure modes they catch (the round-12 lesson:
+    the B x B LSH-bucket hazard is a MEMORY quadratic that is invisible
+    in shuffle-byte profiles):
+      - peak_exec_mem_mb: JVM unified execution memory (sort/agg/join
+        buffers) -- task-metric exact;
+      - peak_python_rss_mb: resident set of ALL Python UDF workers (the
+        numpy blocks inside pandas UDFs) -- polled every 250 ms via
+        spark.executor.processTreeMetrics, so short spikes can
+        under-report but sustained quadratics cannot hide. POOL-WIDE:
+        local[32] keeps ~32 forked workers resident (~6 GB baseline),
+        so read the DELTA against the detail file's
+        python_rss_baseline_mb / neighboring queries, not the absolute;
+      - peak_jvm_heap_mb: polled JVM heap, the catch-all.
+    Returns None if the store's Scala surface drifts -- the bench must
+    never depend on metrics plumbing."""
+    try:
+        _drain_listener_bus(spark)
+        it = _stage_list(spark).iterator()
+        exec_mem = py_rss = jvm_heap = 0
+        while it.hasNext():
+            s = it.next()
+            if s.stageId() <= min_stage_id:
+                continue
+            exec_mem = max(exec_mem, s.peakExecutionMemory())
+            pem = s.peakExecutorMetrics()
+            if pem.isDefined():
+                em = pem.get()
+                py_rss = max(py_rss, em.getMetricValue("ProcessTreePythonRSSMemory"))
+                jvm_heap = max(jvm_heap, em.getMetricValue("JVMHeapMemory"))
+        return {
+            "peak_exec_mem_mb": round(exec_mem / 1e6, 1),
+            "peak_python_rss_mb": round(py_rss / 1e6, 1),
+            "peak_jvm_heap_mb": round(jvm_heap / 1e6, 1),
+        }
+    except Exception:
+        return None
+
+
 def _metrics_snapshot(spark) -> tuple[int, int] | None:
     """Cumulative (shuffle_write, shuffle_read) bytes across all
     stages, read from the JVM AppStatusStore (populated with the UI off).
@@ -70,19 +140,8 @@ def _metrics_snapshot(spark) -> tuple[int, int] | None:
         # taken right after a job returns can miss its final stages'
         # metrics, so drain the bus first (bounded wait; failure just
         # means a slightly early snapshot, never a broken bench)
-        try:
-            spark._jsc.sc().listenerBus().waitUntilEmpty(10_000)
-        except Exception:
-            try:
-                spark._jsc.sc().listenerBus().waitUntilEmpty()
-            except Exception:
-                pass
-        store = spark._jsc.sc().statusStore()
-        defaults = [
-            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
-        ]
-        stages = store.stageList(None, *defaults)
-        it = stages.iterator()
+        _drain_listener_bus(spark)
+        it = _stage_list(spark).iterator()
         sw = sr = 0
         while it.hasNext():
             s = it.next()
@@ -100,13 +159,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else -1.0
-    spark = get_spark(app_name="bench")
+    # processTree + fast polling feed the per-stage peak-memory columns
+    # (bench-only conf: a 250 ms /proc walk is noise here, wrong as a
+    # production default)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.executor.processTreeMetrics.enabled": "true",
+            "spark.executor.metrics.pollingInterval": "250ms",
+        },
+    )
     # warm the JVM + Python worker pool so timings measure queries, not
     # first-job session start-up (codegen compiler, executor threads, Arrow)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, "x int"
     ).write.format("noop").mode("overwrite").save()
+    baseline = _peak_memory_snapshot(spark, -1)
 
     # One UNTIMED warmup execution per query absorbs the one-time codegen /
     # file-index / Python-worker-fork costs a long-running engine amortizes
@@ -130,6 +199,7 @@ def main() -> None:
         # buffers, broadcast blocks) from surfacing as a GC pause inside
         # the next query's timed window
         spark._jvm.System.gc()
+        first_stage = _max_stage_id(spark)
         run_query(fn(spark, sf_dir))  # untimed warmup
         runs = []
         before = _metrics_snapshot(spark)
@@ -156,6 +226,11 @@ def main() -> None:
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
+        peaks = _peak_memory_snapshot(spark, first_stage)
+        if peaks is not None:
+            # max over warmup + timed runs of the same plan -- a memory
+            # quadratic shows in every execution
+            bytes_moved.setdefault(name, {}).update(peaks)
         timings[name] = round(min(runs), 3)
         spreads[name] = [round(r, 3) for r in runs]
         print(f"  {name}: {timings[name]}s (runs: {spreads[name]})", file=sys.stderr)
@@ -182,7 +257,14 @@ def main() -> None:
     # line), so the final stdout line stays minimal. The full per-run
     # spreads and per-query shuffle-bytes profile -- the plan-regression
     # instrument -- go to a side file (durable, committable) and stderr.
-    detail = {"spread": spreads, "bytes": bytes_moved, "sf": sf}
+    detail = {
+        "spread": spreads,
+        "bytes": bytes_moved,
+        "sf": sf,
+        # worker-pool RSS right after session warmup: the subtrahend for
+        # every query's peak_python_rss_mb
+        "python_rss_baseline_mb": (baseline or {}).get("peak_python_rss_mb"),
+    }
     try:
         detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
