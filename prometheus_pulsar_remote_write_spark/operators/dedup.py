@@ -174,6 +174,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket_size: int | None = None,
+    bucket_obs=None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
@@ -204,6 +205,15 @@ def lsh_candidate_pairs(
     bands/rows_per_band first and keep the cap as the runaway backstop.
     Default None keeps the exact all-pairs semantics (and byte-identical
     plans) for every existing catalog query and its DuckDB oracle.
+
+    ``bucket_obs`` (an ``Observation``) attaches the SCALE.md §10
+    saturation-regime detector to the bucket relation as a free side
+    output (metrics.bucket_size_exprs: count/max/median/p99 occupancy,
+    the sum-of-squares candidate proxy, over-cap bucket count). Read it
+    after any action on the returned pairs: a MEDIAN occupancy that
+    grows with n means the signature space is saturating -- widen
+    bands/rows_per_band; a growing MAX alone is a dup mass -- the star
+    cap's territory.
     """
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
@@ -230,6 +240,14 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if bucket_obs is not None:
+        from .metrics import bucket_size_exprs
+
+        # >= 2 members only: singleton buckets produce no pairs and no
+        # memory, and excluding them keeps the median a pair-stage signal
+        buckets = buckets.observe(
+            bucket_obs, *bucket_size_exprs(F.size("ids"), cap=max_bucket_size)
+        )
     all_pairs = F.expr(
         "flatten(transform(ids, (x, i) ->"
         " transform(slice(ids, i + 2, size(ids)),"

@@ -54,6 +54,61 @@ def observe_samples(df: DataFrame, name: str = "samples") -> tuple[DataFrame, Ob
     return df.observe(obs, *sample_metrics_exprs()), obs
 
 
+def bucket_size_exprs(size_col, cap: int | None = None) -> list:
+    """Observed-metric expressions for an LSH bucket-occupancy histogram.
+
+    The saturation-regime detector from SCALE.md §10: when MEDIAN bucket
+    occupancy grows with n (not just the max -- one dup mass legitimately
+    grows the max), the signature space is saturating for this corpus and
+    the right response is more bits/bands, not a tighter cap. sum_sq_size
+    is the exact all-pairs candidate count proxy (sum of B*(B-1)/2 over
+    buckets == (sum_sq - n_rows)/2), the quantity whose growth rate IS
+    the wall-clock exponent of the pair stage.
+
+    ``size_col`` is a Column with one row per bucket (e.g. F.size("ids")
+    over the grouped bucket relation). observe() computes these as a side
+    output of the existing plan -- no second scan, no extra shuffle.
+    """
+    exprs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max(size_col).alias("max_bucket"),
+        # observe() rejects exact percentile's internal state; approx is
+        # the idiom (exact at this cardinality for the median anyway)
+        F.percentile_approx(size_col, 0.5).alias("median_bucket"),
+        F.percentile_approx(size_col, 0.99).alias("p99_bucket"),
+        F.sum(size_col).alias("sum_size"),
+        F.sum(size_col.cast("long") * size_col.cast("long")).alias("sum_sq_size"),
+    ]
+    if cap is not None:
+        exprs.append(
+            F.sum(F.when(size_col > F.lit(int(cap)), 1).otherwise(0)).alias(
+                "over_cap_buckets"
+            )
+        )
+    return exprs
+
+
+def lsh_bucket_histogram(banded: DataFrame, *key_cols: str, cap: int | None = None) -> dict:
+    """On-demand bucket-occupancy histogram over a banded LSH relation
+    ((id, band, bucket) rows): one groupBy + one tiny aggregate.
+
+    The inline path (lsh_candidate_pairs' ``bucket_obs``) rides the
+    production query for free; this accessor exists for paths whose plan
+    never materializes a grouped bucket relation (the embedding scorer
+    goes straight into applyInPandas) and for operators' health checks.
+    """
+    keys = list(key_cols) or ["band_id", "bucket"]
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        # >= 2 members only, matching the inline observe(): singleton
+        # buckets produce no pairs and would drown the median at 1
+        .filter(F.col("__n") >= 2)
+    )
+    row = sizes.agg(*bucket_size_exprs(F.col("__n"), cap=cap)).collect()[0]
+    return row.asDict()
+
+
 class MetricsListener:
     """StreamingQueryListener capturing per-batch progress + observed metrics.
 

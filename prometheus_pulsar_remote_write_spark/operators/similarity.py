@@ -256,6 +256,83 @@ def _quant_cosines_exact(fast_dots, lhs, rhs, denom, round_to: int):
     return _floor_quant(x, round_to)
 
 
+def _banded_embeddings(
+    emb: DataFrame,
+    signs: list[list[int]],
+    bands: int,
+    bits_per_band: int,
+    signature_tier: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, band_id, bucket) rows -- the sign-LSH banded relation
+    shared by the pair scorer and the bucket-histogram detector."""
+    if signature_tier == "arrow":
+        # one vectorized Arrow pass for ALL sign bits (see
+        # signlsh_buckets_batch -- bit-exact with the expression tier)
+        return (
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col),
+                signlsh_buckets_batch(vec_col, signs, bands, bits_per_band).alias(
+                    "__buckets"
+                ),
+            )
+            .select(
+                id_col, vec_col, F.posexplode("__buckets").alias("band_id", "bucket")
+            )
+        )
+    bits = signlsh_bits(F.col(vec_col), signs)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(band_entries).alias("band"),
+    ).select(id_col, vec_col, "band.band_id", "band.bucket")
+
+
+def embedding_lsh_bucket_histogram(
+    emb: DataFrame,
+    bands: int = 2,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    signature_tier: str = "arrow",
+    max_bucket_size: int | None = None,
+) -> dict:
+    """Saturation-regime detector for the sign-LSH path (SCALE.md §10):
+    count / max / median / p99 bucket occupancy, the sum-of-squares
+    all-pairs candidate proxy, and the over-cap bucket count.
+
+    embedding_neardup_pairs' plan goes straight from the banded relation
+    into applyInPandas, so the histogram cannot ride it as an observe()
+    side output (that hook exists on the text path,
+    dedup.lsh_candidate_pairs bucket_obs); this is the on-demand twin --
+    one groupBy-count over the banded relation with the vectors pruned
+    from the scan. Run it when the ladder (or the bench's peak-memory
+    column) moves: MEDIAN occupancy growing with n = signature
+    saturation, widen bands/bits; MAX alone growing = a dup mass, the
+    star cap's territory."""
+    from .metrics import lsh_bucket_histogram
+
+    signs = _hyperplane_signs(dim, bands * bits_per_band)
+    banded = _banded_embeddings(
+        emb, signs, bands, bits_per_band, signature_tier, id_col, vec_col
+    ).select(id_col, "band_id", "bucket")
+    return lsh_bucket_histogram(banded, "band_id", "bucket", cap=max_bucket_size)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.42,
@@ -305,39 +382,9 @@ def embedding_neardup_pairs(
     import numpy as np
 
     signs = _hyperplane_signs(dim, bands * bits_per_band)
-    if signature_tier == "arrow":
-        # one vectorized Arrow pass for ALL sign bits (see
-        # signlsh_buckets_batch -- bit-exact with the expression tier)
-        banded = (
-            emb.select(
-                F.col(id_col),
-                F.col(vec_col),
-                signlsh_buckets_batch(vec_col, signs, bands, bits_per_band).alias(
-                    "__buckets"
-                ),
-            )
-            .select(
-                id_col, vec_col, F.posexplode("__buckets").alias("band_id", "bucket")
-            )
-        )
-    else:
-        bits = signlsh_bits(F.col(vec_col), signs)
-        band_entries = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]).alias(
-                        "bucket"
-                    ),
-                )
-                for b in range(bands)
-            ]
-        )
-        banded = emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(band_entries).alias("band"),
-        ).select(id_col, vec_col, "band.band_id", "band.bucket")
+    banded = _banded_embeddings(
+        emb, signs, bands, bits_per_band, signature_tier, id_col, vec_col
+    )
 
     out_schema = T.StructType(
         [

@@ -239,3 +239,70 @@ def test_metrics_listener_dedup_counters_and_lint():
     assert "stream_dedup_dropped_late_total 1" in text
     assert "stream_dedup_state_rows 2" in text
     assert lint_exposition(text) == []
+
+
+def test_lsh_bucket_histogram_detects_planted_hot_bucket(spark):
+    """The SCALE.md §10 saturation-regime detector: a planted dup mass
+    (40 copies of one document) must surface as a hot max_bucket with a
+    small median -- the 'dup mass, star-cap territory' signature -- and
+    the over-cap counter must count the hot buckets when a cap is set.
+    Pins BOTH hooks: the free observe() riding lsh_candidate_pairs and
+    the on-demand embedding-path accessor."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    hot = [(i, "the same boilerplate template text repeats verbatim here")
+           for i in range(40)]
+    # distinct docs with ENOUGH token variety that their signatures
+    # differ; a couple may still share a band bucket -- the assertions
+    # below pin the planted mass, not zero background
+    cold = [(100 + i, f"unique document number {i} about topic {i * 7} "
+                      f"with words w{i}a w{i}b w{i}c w{i}d") for i in range(12)]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    obs = Observation("lsh_buckets")
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2, bucket_obs=obs)
+    pairs.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    # 40 identical docs share every band bucket: the hot mass is the max
+    assert got["max_bucket"] == 40
+    assert got["n_buckets"] >= 4  # at least the 4 hot band buckets
+    # dup-mass signature: median stays far below the hot mass
+    assert got["median_bucket"] <= 40
+    # all-pairs proxy: at least the 4 hot buckets' 40^2 contributions
+    assert got["sum_sq_size"] >= 4 * 40 * 40
+    assert "over_cap_buckets" not in got  # no cap requested -> no column
+
+    obs2 = Observation("lsh_buckets_capped")
+    capped = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=8, bucket_obs=obs2
+    )
+    capped.write.format("noop").mode("overwrite").save()
+    got2 = obs2.get
+    assert got2["over_cap_buckets"] >= 4  # every hot band bucket trips the cap
+
+    # the embedding-path twin: plant 30 identical vectors among 20 spread
+    # ones and read the same histogram shape through the accessor
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_lsh_bucket_histogram,
+    )
+
+    rng = np.random.default_rng(5)
+    twin = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, twin) for i in range(30)]
+    rows += [(100 + i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hist = embedding_lsh_bucket_histogram(
+        emb, bands=2, bits_per_band=4, dim=16, max_bucket_size=10
+    )
+    assert hist["max_bucket"] >= 30  # the planted mass (plus collisions)
+    assert hist["over_cap_buckets"] >= 2  # both bands' hot buckets
+    assert hist["n_buckets"] >= 2
