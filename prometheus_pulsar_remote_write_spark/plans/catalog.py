@@ -100,6 +100,9 @@ _CHANGED: list = [
     "docs_jaccard_threshold_curve",
     "docs_dup_families",
     "docs_leakage_safe_split",
+    # (d) emb_power_iteration's component_micro is floor(x*1e6 + 0.5)
+    # on both engines (was python-round under a wobbling floor)
+    "emb_power_iteration",
 ]
 
 

@@ -4786,14 +4786,21 @@ def emb_power_iteration(spark, sf_dir):
         v = [x / scale for x in raw]
     norm = sum(x * x for x in v) ** 0.5
     unit = [x / norm for x in v]
+    # floor(x*1e6 + 0.5): the pure-IEEE micro quantizer (SCALE.md §9).
+    # The previous floor(1e6 * round(x, 6)) stacked python's half-even
+    # midpoint rule under a floor with a -1 wobble whenever the rounded
+    # double sat below its decimal -- engine-consistent only while no
+    # component hit a representable half (the 2^-k class).
+    import math
+
     out = spark.createDataFrame(
-        [(j, int(v[j] * 1e6 // 1), round(unit[j], 6)) for j in range(dim)],
-        ["dim", "v_micro", "component"],
+        [
+            (j, int(v[j] * 1e6 // 1), math.floor(unit[j] * 1e6 + 0.5))
+            for j in range(dim)
+        ],
+        ["dim", "v_micro", "component_micro"],
     )
-    return out.select(
-        "dim",
-        F.floor(F.lit(1e6) * F.col("component")).cast("long").alias("component_micro"),
-    )
+    return out.select("dim", F.col("component_micro").cast("long").alias("component_micro"))
 
 
 def _power_iteration_sql() -> str:
@@ -4817,7 +4824,7 @@ def _power_iteration_sql() -> str:
     sql += (
         f"unitv AS (SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS u FROM {last}),\n"
         "dims AS (SELECT unnest(range(0, 64)) AS dim)\n"
-        "SELECT dim, floor(1e6 * round(u[(dim + 1)::INT], 6))::BIGINT AS component_micro\n"
+        "SELECT dim, floor(u[(dim + 1)::INT] * 1e6 + 0.5)::BIGINT AS component_micro\n"
         "FROM dims CROSS JOIN unitv"
     )
     return sql
