@@ -101,8 +101,12 @@ _CHANGED: list = [
     "docs_dup_families",
     "docs_leakage_safe_split",
     # (d) emb_power_iteration's component_micro is floor(x*1e6 + 0.5)
-    # on both engines (was python-round under a wobbling floor)
+    # on both engines (was python-round under a wobbling floor); q22's
+    # dormant-rich threshold is the exact integer inequality
+    # bc*n > sum_cents (avg(c_acctbal) was an order-dependent double
+    # sum feeding a > filter whose boundary an e2 balance can hit)
     "emb_power_iteration",
+    "q22_dormant_rich_customers",
 ]
 
 

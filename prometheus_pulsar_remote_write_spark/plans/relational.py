@@ -1243,12 +1243,29 @@ WHERE p_brand = 'Brand#1'
 
 def q22_dormant_rich_customers(spark, sf_dir):
     """Q22 shape: customers above the positive-balance average with no
-    RECENT orders (scalar subquery + anti join), counted per nation."""
+    RECENT orders (scalar subquery + anti join), counted per nation.
+
+    The threshold is the exact integer inequality (r13): acctbal is
+    cent-quantized but NOT integer-valued, so avg() is a sum of
+    non-integer doubles -- order-dependent across engines -- and the
+    rational sum/(100n) CAN exactly equal an e2 balance, where the
+    last-ulp summation difference would decide the > filter. With
+    bc = balance cents: bc > sc / n  <=>  bc * n > sc, exact."""
     cust, orders = _t(spark, sf_dir, "customer", "orders")
+    bc = (F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+        F.sum(bc.cast("decimal(38,0)")).alias("__sc"),
+        F.count("*").alias("__n"),
     )
-    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(
+            F.expr(
+                "cast(cast(c_acctbal * 100 + 0.5D as bigint) as decimal(38,0))"
+                " * __n > __sc"
+            )
+        )
+    )
     recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     dormant = rich.join(
         recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
@@ -1262,7 +1279,10 @@ def q22_dormant_rich_customers(spark, sf_dir):
 Q22_SQL = """
 SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE round(c_acctbal * 100)::BIGINT
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(round(c_acctbal * 100)::BIGINT) FROM customer
+         WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
