@@ -514,3 +514,53 @@ def test_truncating_div_cross_engine_semantics_for_negative_numerators(s, n, sca
 
     want = duckdb.sql(f"SELECT {num} // {den}").fetchone()[0]
     assert trunc == want
+
+
+def test_floor_quant_expr_bit_identical_across_spark_and_duckdb(spark):
+    """The r13 quantizer doctrine's central claim, pinned at the ENGINE
+    level rather than by argument: floor(x*10^k + 0.5)/10^k computes
+    bit-identically in Spark and DuckDB for the same input double,
+    because every op is an exact IEEE double op (scale by a power of
+    ten: correctly-rounded multiply; +0.5: exact for |x*s| < 2^52;
+    floor: exact; divide: correctly rounded). The draw set leans on the
+    adversarial classes: representable halves (2^-k), e2/e4 rationals
+    near cut points, tiny magnitudes, negatives (where floor-quant
+    deliberately differs from round-half-away -- on BOTH engines the
+    same way), and cosine-range values."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        floor_quant_expr,
+    )
+
+    xs = [0.0078125, -0.0078125, 2**-20, -(2**-20), 0.1234565, -0.1234565,
+          0.5, -0.5, 0.9999995, -0.9999995, 1.0, -1.0, 0.42, 0.7,
+          0.6999995, 0.7000005, 3.0 / 8.0, 5.0 / 7.0, -5.0 / 7.0,
+          1e-9, -1e-9, 0.145, 12345.678949999, -12345.678949999]
+    import random
+
+    rnd = random.Random(13)
+    xs += [rnd.uniform(-1, 1) for _ in range(200)]
+    xs += [rnd.uniform(-1e6, 1e6) for _ in range(100)]
+
+    for k in (2, 4, 6, 9):
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = [
+            r.q
+            for r in df.select(floor_quant_expr(F.col("x"), k).alias("q"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                f"SELECT floor(? * 1e{k} + 0.5) / 1e{k}", [x]
+            ).fetchone()[0]
+            for x in xs
+        ]
+        con.close()
+        import struct
+
+        for x, g, w in zip(xs, got, want):
+            assert struct.pack("<d", g) == struct.pack("<d", w), (x, k, g, w)
