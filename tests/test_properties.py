@@ -458,8 +458,13 @@ def test_update_mode_folds_are_split_invariant(events, cuts):
 
 
 @given(
-    s=st.integers(min_value=0, max_value=10**14),
-    n=st.integers(min_value=1, max_value=10**9),
+    # r13: s up to 1e20 covers the DECIMAL(38,0)/HUGEINT e4/e6 money
+    # sums (sf100 charge sums reach ~1e17; two more decades of headroom)
+    # and n up to 1e12 covers any realistic group cardinality -- the
+    # identity is pure integer arithmetic, so the pin is magnitude-free
+    # by construction and this just proves it where the catalog lives
+    s=st.integers(min_value=0, max_value=10**20),
+    n=st.integers(min_value=1, max_value=10**12),
     scale=st.sampled_from([100, 10_000, 1_000_000, 2_000_000]),
 )
 @settings(max_examples=300, deadline=None)
@@ -481,11 +486,18 @@ def test_halfup_floordiv_equals_decimal_half_up(s, n, scale):
     from decimal import ROUND_HALF_UP, Decimal
 
     got = (2 * scale * s + n) // (2 * n)
-    want = int(
-        (Decimal(scale) * Decimal(s) / Decimal(n)).quantize(
-            Decimal(1), rounding=ROUND_HALF_UP
+    # widen the Decimal context: scale*s reaches 27 digits and the
+    # default 28-digit precision would make the REFERENCE the rounding
+    # error at the top of the range
+    from decimal import localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 60
+        want = int(
+            (Decimal(scale) * Decimal(s) / Decimal(n)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
         )
-    )
     assert got == want
 
 
