@@ -333,6 +333,38 @@ def embedding_lsh_bucket_histogram(
     return lsh_bucket_histogram(banded, "band_id", "bucket", cap=max_bucket_size)
 
 
+def suggest_signature_bits(
+    n_vectors: int,
+    bands: int = 4,
+    target_median_bucket: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Deterministic bits-per-band sizing from corpus cardinality: the
+    executable form of SCALE.md §11's resize doctrine.
+
+    On a corpus without dominant dup masses, sign-LSH buckets fill
+    roughly uniformly, so median occupancy ~ n / 2^bits per band (the
+    sf1->sf100 ladder measured exactly this: median 73/729/7321 vs
+    n/1024 = 78/781/7812). Solving for the target median gives
+    bits = ceil(log2(n / target)): at 2M vectors and target 64 this
+    returns 15; the measured 4x12 remedy corresponds to target ~500.
+    The result is a function of COUNT only -- deterministic, cheap (one
+    count at most), and engine-replayable -- so callers can widen
+    signatures before the quadratic bucket work instead of after the
+    bench regresses. When the corpus IS dominated by dup masses (the
+    text regime -- median flat, max growing), sizing by count
+    over-widens; check the histogram
+    (embedding_lsh_bucket_histogram / lsh_candidate_pairs bucket_obs)
+    when the two regimes are in doubt."""
+    import math
+
+    if n_vectors <= 0:
+        return min_bits
+    bits = math.ceil(math.log2(max(n_vectors / target_median_bucket, 1.0)))
+    return max(min_bits, min(max_bits, bits))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.42,

@@ -899,3 +899,30 @@ def test_signlsh_arrow_tier_nan_and_null_match_expression_tier(spark):
     # the NaN fold really does take the '1' branch on the planes that
     # touch the NaN coordinate -- i.e. every plane, since the fold is NaN
     assert arrow[100] == ["111", "111"]
+
+
+def test_suggest_signature_bits_matches_ladder_model():
+    """The sizing rule is pinned to the SCALE.md §11 ladder: median
+    occupancy tracked n/2^bits at every measured scale, so
+    ceil(log2(n/target)) must reproduce the measured-safe choices --
+    8 bits is adequate at 20k vectors (sf1 median 73 with target 64),
+    widening kicks in by 200k, and 2M demands the 12+ bit range the
+    4x12 remedy measurement validated. Bounds clamp degenerate
+    corpora."""
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        suggest_signature_bits,
+    )
+
+    assert suggest_signature_bits(20_000) == 9  # sf1: near the 4x8 default
+    assert suggest_signature_bits(200_000) == 12  # sf10
+    assert suggest_signature_bits(2_000_000) == 15  # sf100
+    assert suggest_signature_bits(2_000_000, target_median_bucket=500) == 12
+    # monotone in n, clamped at both ends
+    assert suggest_signature_bits(0) == 4
+    assert suggest_signature_bits(100) == 4
+    assert suggest_signature_bits(10**12) == 16
+    prev = 0
+    for n in (1, 10**3, 10**5, 10**7, 10**9):
+        b = suggest_signature_bits(n)
+        assert b >= prev
+        prev = b
