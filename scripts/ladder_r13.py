@@ -39,6 +39,11 @@ from prometheus_pulsar_remote_write_spark.session import get_spark
 
 
 def main():
+    # --wide: re-measure each corpus with 4x12 signatures as well (the
+    # §11 saturation remedy) -- pair counts + histogram + wall, exactly
+    # the numbers behind SCALE.md §11's remedy table
+    wide = "--wide" in sys.argv
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark(
         app_name="ladder-r13",
         extra_conf={
@@ -50,7 +55,7 @@ def main():
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, "x int"
     ).write.format("noop").mode("overwrite").save()
-    for sf_dir in sys.argv[1:]:
+    for sf_dir in dirs:
         first_stage = _max_stage_id(spark)
         measure(spark, "emb_neardup_lsh", emb_neardup_lsh, sf_dir)
         peaks = _peak_memory_snapshot(spark, first_stage)
@@ -65,6 +70,42 @@ def main():
             json.dumps({"sf_dir": sf_dir, "peaks": peaks, "bucket_hist": hist}),
             flush=True,
         )
+        if wide:
+            import time
+
+            from prometheus_pulsar_remote_write_spark.operators.similarity import (
+                embedding_neardup_pairs,
+            )
+
+            for bands, bits in ((EMB_LSH_BANDS, EMB_LSH_BITS), (4, 12)):
+                t0 = time.time()
+                n_pairs = embedding_neardup_pairs(
+                    emb,
+                    threshold=0.42,
+                    bands=bands,
+                    bits_per_band=bits,
+                    max_bucket_size=EMB_LSH_MAX_BUCKET,
+                ).count()
+                wall = round(time.time() - t0, 1)
+                h = embedding_lsh_bucket_histogram(
+                    emb,
+                    bands=bands,
+                    bits_per_band=bits,
+                    max_bucket_size=EMB_LSH_MAX_BUCKET,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "sf_dir": sf_dir,
+                            "bands": bands,
+                            "bits": bits,
+                            "n_pairs": n_pairs,
+                            "wall_s": wall,
+                            "hist": h,
+                        }
+                    ),
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
