@@ -917,6 +917,9 @@ def test_suggest_signature_bits_matches_ladder_model():
     assert suggest_signature_bits(200_000) == 12  # sf10
     assert suggest_signature_bits(2_000_000) == 15  # sf100
     assert suggest_signature_bits(2_000_000, target_median_bucket=500) == 12
+    # sf1000 out-of-sample validation (SCALE.md §11): the clamp's 16
+    # bits measured 99.7% of buckets under the cap at 20M vectors
+    assert suggest_signature_bits(20_000_000) == 16
     # monotone in n, clamped at both ends
     assert suggest_signature_bits(0) == 4
     assert suggest_signature_bits(100) == 4
