@@ -18,12 +18,16 @@ executors as a side output of the existing plan.
 
 from __future__ import annotations
 
+import json
+import logging
 import re
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 #: send-duration histogram bucket upper bounds, seconds (prometheus-style)
 DURATION_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
@@ -68,22 +72,35 @@ def bucket_size_exprs(size_col, cap: int | None = None) -> list:
     ``size_col`` is a Column with one row per bucket (e.g. F.size("ids")
     over the grouped bucket relation). observe() computes these as a side
     output of the existing plan -- no second scan, no extra shuffle.
+
+    Every aggregate is coalesced to 0, so a corpus with NO >=2 bucket
+    (nothing collides) yields an all-zero histogram instead of NULLs --
+    arithmetic consumers (the saturation gate's median-vs-target
+    comparison, ratio checks) must not TypeError on the empty edge
+    (r13 advice).
     """
     exprs = [
         F.count(F.lit(1)).alias("n_buckets"),
-        F.max(size_col).alias("max_bucket"),
+        F.coalesce(F.max(size_col), F.lit(0)).alias("max_bucket"),
         # observe() rejects exact percentile's internal state; approx is
         # the idiom (exact at this cardinality for the median anyway)
-        F.percentile_approx(size_col, 0.5).alias("median_bucket"),
-        F.percentile_approx(size_col, 0.99).alias("p99_bucket"),
-        F.sum(size_col).alias("sum_size"),
-        F.sum(size_col.cast("long") * size_col.cast("long")).alias("sum_sq_size"),
+        F.coalesce(F.percentile_approx(size_col, 0.5), F.lit(0)).alias(
+            "median_bucket"
+        ),
+        F.coalesce(F.percentile_approx(size_col, 0.99), F.lit(0)).alias(
+            "p99_bucket"
+        ),
+        F.coalesce(F.sum(size_col), F.lit(0)).alias("sum_size"),
+        F.coalesce(
+            F.sum(size_col.cast("long") * size_col.cast("long")), F.lit(0)
+        ).alias("sum_sq_size"),
     ]
     if cap is not None:
         exprs.append(
-            F.sum(F.when(size_col > F.lit(int(cap)), 1).otherwise(0)).alias(
-                "over_cap_buckets"
-            )
+            F.coalesce(
+                F.sum(F.when(size_col > F.lit(int(cap)), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("over_cap_buckets")
         )
     return exprs
 
@@ -107,6 +124,63 @@ def lsh_bucket_histogram(banded: DataFrame, *key_cols: str, cap: int | None = No
     )
     row = sizes.agg(*bucket_size_exprs(F.col("__n"), cap=cap)).collect()[0]
     return row.asDict()
+
+
+def warn_if_saturated(
+    hist: dict,
+    *,
+    target_median_bucket: int = 64,
+    factor: int = 4,
+    logger: logging.Logger | None = None,
+) -> dict | None:
+    """SCALE.md §11's operating rule as a production gate (r14): regime
+    (a) -- SIGNATURE SATURATION, median bucket occupancy far above the
+    sizing target, the quadratic pair stage -- logs one loud structured
+    warning naming the resize suggest_signature_bits would pick. Regime
+    (b) -- a DUP MASS, max grows while the median stays flat -- stays
+    silent: that is the star cap's territory and capping is the correct
+    response (the sf1-sf10 text ladder measured exactly this split).
+
+    Takes the dict lsh_bucket_histogram /
+    similarity.embedding_lsh_bucket_histogram return (n_vectors / bands /
+    bits_per_band keys sharpen the suggestion when present; sum_size
+    approximates the per-band row count otherwise). Returns the warning
+    payload, or None when the histogram is in regime.
+    """
+    median = hist.get("median_bucket") or 0
+    if median <= factor * target_median_bucket:
+        return None
+    from .similarity import suggest_signature_bits
+
+    bands = int(hist.get("bands") or 4)
+    n = hist.get("n_vectors")
+    if n is None:
+        # sum_size counts >=2-bucket memberships across all bands: an
+        # UNDERestimate of n*bands that is tight exactly in the
+        # saturated regime this branch fires in (everything collides)
+        n = int(hist.get("sum_size") or 0) // max(bands, 1)
+    suggested = suggest_signature_bits(
+        int(n), bands=bands, target_median_bucket=target_median_bucket
+    )
+    payload = {
+        "event": "lsh_signature_saturated",
+        "median_bucket": int(median),
+        "p99_bucket": hist.get("p99_bucket"),
+        "max_bucket": hist.get("max_bucket"),
+        "n_buckets": hist.get("n_buckets"),
+        "n_vectors": int(n),
+        "bands": bands,
+        "bits_per_band": hist.get("bits_per_band"),
+        "suggested_bits_per_band": int(suggested),
+        "remedy": (
+            "signature space is saturating for this corpus (median bucket "
+            "occupancy grows with n): widen to the suggested bits_per_band "
+            "or pass bits_per_band=None to auto-size; a tighter star cap "
+            "would DESTROY recall here (SCALE.md §9/§11)"
+        ),
+    }
+    (logger or _log).warning("LSH_SATURATION %s", json.dumps(payload, default=str))
+    return payload
 
 
 class MetricsListener:

@@ -19,10 +19,33 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
+import logging
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
+
+
+def _log_auto_size(n_vectors: int, bands: int, bits_per_band: int) -> None:
+    """One structured line per auto-sized LSH plan, so a cluster operator
+    sees what the sizing rule picked (and from what count) in the driver
+    log without running the ladder."""
+    _log.info(
+        "LSH_AUTO_SIZE %s",
+        json.dumps(
+            {
+                "event": "lsh_auto_size",
+                "n_vectors": int(n_vectors),
+                "bands": int(bands),
+                "bits_per_band": int(bits_per_band),
+                "buckets_per_band": 1 << int(bits_per_band),
+            }
+        ),
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -115,6 +138,46 @@ def _hyperplane_signs(dim: int, n_bits: int, seed: str = "lsh") -> list[list[int
         ]
         for j in range(n_bits)
     ]
+
+
+#: Plane-index stride for AUTO-sized signatures (r14): band b's j-th bit
+#: always uses hyperplane index b*MAX_AUTO_BITS + j, whatever
+#: bits_per_band the sizing rule picks -- so a k-bit bucket is the
+#: PREFIX of the 16-bit bucket. The prefix property is what lets ONE
+#: static DuckDB oracle string stay bit-exact at every corpus size: the
+#: SQL computes all MAX_AUTO_BITS bit-chars per band and substr()s to
+#: the count-derived width (plans/docs_vectors._emb_neardup_lsh_sql).
+#: Explicit (bands, bits_per_band) callers keep the historical flat
+#: layout (band b = planes [b*bits, (b+1)*bits)), so every committed
+#: ladder measurement (SCALE.md §9-§11) remains replayable as recorded.
+MAX_AUTO_BITS = 16
+
+
+def auto_banded_signs(
+    n_vectors: int,
+    bands: int = 4,
+    dim: int = 64,
+    target_median_bucket: int = 64,
+    min_bits: int = 4,
+    max_bits: int = MAX_AUTO_BITS,
+) -> tuple[int, list[list[int]]]:
+    """(bits_per_band, hyperplanes) for a corpus of ``n_vectors`` under
+    the banded-stride prefix convention (see MAX_AUTO_BITS): the sizing
+    rule picks the width, and band b's planes are the k-prefix of its
+    MAX_AUTO_BITS-plane slot, independent of k."""
+    if max_bits > MAX_AUTO_BITS:
+        raise ValueError(
+            f"auto-sized signatures are capped at {MAX_AUTO_BITS} bits/band "
+            f"(the static oracle computes exactly that many); got max_bits={max_bits}"
+        )
+    bits = suggest_signature_bits(
+        n_vectors, bands, target_median_bucket, min_bits, max_bits
+    )
+    planes = _hyperplane_signs(dim, bands * MAX_AUTO_BITS)
+    signs = [
+        planes[b * MAX_AUTO_BITS + j] for b in range(bands) for j in range(bits)
+    ]
+    return bits, signs
 
 
 def signlsh_bits(vec: Column, signs: list[list[int]]) -> list[Column]:
@@ -303,8 +366,8 @@ def _banded_embeddings(
 
 def embedding_lsh_bucket_histogram(
     emb: DataFrame,
-    bands: int = 2,
-    bits_per_band: int = 4,
+    bands: int = 4,
+    bits_per_band: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -323,14 +386,32 @@ def embedding_lsh_bucket_histogram(
     from the scan. Run it when the ladder (or the bench's peak-memory
     column) moves: MEDIAN occupancy growing with n = signature
     saturation, widen bands/bits; MAX alone growing = a dup mass, the
-    star cap's territory."""
-    from .metrics import lsh_bucket_histogram
+    star cap's territory.
 
-    signs = _hyperplane_signs(dim, bands * bits_per_band)
+    r14: ``bits_per_band=None`` mirrors embedding_neardup_pairs' auto
+    sizing (same count, same rule, same banded-stride planes), so the
+    histogram describes the buckets the production plan actually uses;
+    the result carries n_vectors/bands/bits_per_band, and regime (a)
+    (signature saturation) triggers metrics.warn_if_saturated's loud
+    structured warning -- the detector is a production gate now, not
+    just a ladder instrument."""
+    from .metrics import lsh_bucket_histogram, warn_if_saturated
+
+    n = emb.count()
+    if bits_per_band is None:
+        bits_per_band, signs = auto_banded_signs(n, bands=bands, dim=dim)
+        _log_auto_size(n, bands, bits_per_band)
+    else:
+        signs = _hyperplane_signs(dim, bands * bits_per_band)
     banded = _banded_embeddings(
         emb, signs, bands, bits_per_band, signature_tier, id_col, vec_col
     ).select(id_col, "band_id", "bucket")
-    return lsh_bucket_histogram(banded, "band_id", "bucket", cap=max_bucket_size)
+    hist = lsh_bucket_histogram(banded, "band_id", "bucket", cap=max_bucket_size)
+    hist["n_vectors"] = n
+    hist["bands"] = bands
+    hist["bits_per_band"] = bits_per_band
+    warn_if_saturated(hist)
+    return hist
 
 
 def suggest_signature_bits(
@@ -356,20 +437,27 @@ def suggest_signature_bits(
     text regime -- median flat, max growing), sizing by count
     over-widens; check the histogram
     (embedding_lsh_bucket_histogram / lsh_candidate_pairs bucket_obs)
-    when the two regimes are in doubt."""
-    import math
+    when the two regimes are in doubt.
 
+    INTEGER-EXACT (r14): ceil(log2(n/t)) is computed as
+    bit_length(ceil(n/t) - 1) -- the smallest k with t*2^k >= n -- with
+    no float log2 anywhere, so the DuckDB oracle's mirrored derivation
+    (length(ltrim(bin(m-1),'0')) over m = (n + t - 1) // t) is equal BY
+    CONSTRUCTION at every n, not by log-implementation ulp-luck. The
+    values are unchanged from the math.log2 form the sf1-sf1000 ladder
+    validated (pytest pins the ladder points)."""
     if n_vectors <= 0:
         return min_bits
-    bits = math.ceil(math.log2(max(n_vectors / target_median_bucket, 1.0)))
+    m = (n_vectors + target_median_bucket - 1) // target_median_bucket
+    bits = (m - 1).bit_length() if m >= 2 else 0
     return max(min_bits, min(max_bits, bits))
 
 
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.42,
-    bands: int = 2,
-    bits_per_band: int = 4,
+    bands: int = 4,
+    bits_per_band: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -394,8 +482,22 @@ def embedding_neardup_pairs(
     candidate-pair bytes. Over-cap buckets score every member against
     the bucket's minimum-id anchor only -- O(B*dim) compute, O(B) output.
 
-    SIZE ``bands * bits_per_band`` TO THE CORPUS FIRST; the cap is the
-    OOM backstop, not the scale strategy. Hot buckets have two causes
+    ``bits_per_band=None`` (the default since r14) SIZES THE SIGNATURE
+    TO THE CORPUS: one deterministic ``count()`` feeds
+    suggest_signature_bits (the SCALE.md §11 resize doctrine, validated
+    out-of-sample at 20M vectors), and the planes follow the
+    banded-stride prefix convention (MAX_AUTO_BITS) so the DuckDB twin
+    mirrors the pick from its own count(*) and the gate stays bit-exact
+    by construction at every corpus size. This closes the r13 hazard:
+    the old fixed 4x8 default saturated at >=2M vectors (median bucket
+    occupancy = n/1024 at every ladder decade; 1,020/1,024 buckets over
+    the star cap at sf100, pair listing collapsed to 0.3% of truth).
+    An explicit ``bits_per_band`` keeps the historical flat plane
+    layout and skips the count.
+
+    SIZE ``bands * bits_per_band`` TO THE CORPUS FIRST (or leave it
+    None and let the rule do it); the cap is the OOM backstop, not the
+    scale strategy. Hot buckets have two causes
     with opposite correct responses (both measured at 200k vectors,
     SCALE.md §9): (a) UNDER-SELECTIVE signatures -- 2x4 bits is 16
     buckets/band, so bucket size grows linearly with n and the matmul
@@ -413,7 +515,12 @@ def embedding_neardup_pairs(
     """
     import numpy as np
 
-    signs = _hyperplane_signs(dim, bands * bits_per_band)
+    if bits_per_band is None:
+        n = emb.count()
+        bits_per_band, signs = auto_banded_signs(n, bands=bands, dim=dim)
+        _log_auto_size(n, bands, bits_per_band)
+    else:
+        signs = _hyperplane_signs(dim, bands * bits_per_band)
     banded = _banded_embeddings(
         emb, signs, bands, bits_per_band, signature_tier, id_col, vec_col
     )

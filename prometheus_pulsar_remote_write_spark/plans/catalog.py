@@ -39,74 +39,22 @@ for module in (pipeline, docs_vectors, events_batch, relational):
 #: locally strict-verified via scripts/check_oracle.py and the
 #: full-catalog pytest oracle run.
 _CHANGED: list = [
-    # round 13: entries whose OUTPUT FORMULA (or filter semantics)
-    # changed this round, so they lead the driver window.
-    # (a) emb_neardup_exact: the r12 floor-quantization change was
-    # deliberately deferred from the r12 window (SCALE.md §10) -- it is
-    # the only entry whose current formula has never been
-    # driver-recorded, so it goes first.
-    "emb_neardup_exact",
-    # (b) the aggregate-reclaim sweep: q1 derives its display sums from
-    # the integer sums, agg_stats derives the cent sum from the decimal
-    # moment sum, correlated's filter became the exact integer
-    # inequality.
-    "q1_pricing_summary",
-    "agg_stats_by_status",
-    "correlated_above_brand_avg",
-    # (b2) the revenue-sum exactness sweep: the true value of
-    # sum(l_extendedprice*(1-l_discount)) is a multiple of 1e-4 (not
-    # 1e-2), so round(sum(DOUBLE), 2) had REACHABLE half boundaries --
-    # the q9 r10-incident class, previously mislabelled SAFE. Every
-    # disc-price / charge / promo-ratio / market-share aggregate now
-    # sums exact e4/e6 integers (BIGINT for key-bounded groups,
-    # DECIMAL(38,0)/HUGEINT for unbounded ones) and derives the
-    # display value by half-up integer arithmetic.
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_disjunctive_join",
-    "nation_market_hhi",
-    # (c) the floor-quantization sweep that zeroes the last watched
-    # float class (round() in ORDERING and quantized-output positions,
-    # SCALE.md §9): every IVF/PQ cosine rank, quantized cosine/distance
-    # output, and n-gram jaccard converts to floor(x*10^k + 0.5)/10^k
-    # on BOTH engines.
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_ivf_recall",
-    "emb_nprobe_sweep",
-    "emb_kmeans_assign",
-    "emb_int8_quantize",
-    "emb_semdedup",
-    "emb_pq_assign",
-    "emb_residual_pq_assign",
-    "emb_pq_adc_topk",
-    "emb_matryoshka_recall",
-    "emb_pq_distortion",
-    "emb_hubness_report",
-    "emb_triplet_consistency",
-    "docs_neardup_pairs",
-    "docs_neardup_dedup",
-    "docs_curation_pipeline",
-    "docs_jaccard_index_pairs",
-    "docs_jaccard_ppjoin",
-    "docs_bbit_minhash",
-    "docs_jaccard_threshold_curve",
-    "docs_dup_families",
-    "docs_leakage_safe_split",
-    # (d) emb_power_iteration's component_micro is floor(x*1e6 + 0.5)
-    # on both engines (was python-round under a wobbling floor); q22's
-    # dormant-rich threshold is the exact integer inequality
-    # bc*n > sum_cents (avg(c_acctbal) was an order-dependent double
-    # sum feeding a > filter whose boundary an e2 balance can hit)
-    "emb_power_iteration",
+    # round 14: the only entry whose OUTPUT FORMULA changed -- the LSH
+    # signature is now AUTO-SIZED from the corpus count (the r13 weak's
+    # cure, wired: suggest_signature_bits picks bits_per_band, the
+    # banded-stride prefix planes replace the flat 4x8 layout, and the
+    # DuckDB twin derives the same width from its own count(*)). q22's
+    # cent extraction moved to floor(x*100+0.5) on both engines (the
+    # +0.5-long-cast truncated toward zero on negative balances -- r13
+    # advice; provably output-identical here since the threshold is
+    # strictly positive, listed for the formula-evidence doctrine).
+    "emb_neardup_lsh",
     "q22_dormant_rich_customers",
+    # Everything else this round is rotation: r13 spent two heavy
+    # changed-formula rounds' worth of window slots on the float
+    # exactness sweeps, leaving 20 entries' newest green at r8 and 37
+    # at r9 -- the stalest-tail sort below absorbs all 20 r8 entries
+    # plus the oldest r9 entries into r14's 48 remaining slots.
 ]
 
 

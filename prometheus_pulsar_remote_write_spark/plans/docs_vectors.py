@@ -27,6 +27,7 @@ from ..operators.dedup import (
     simhash_band_pairs,
 )
 from ..operators.similarity import (
+    MAX_AUTO_BITS,
     _hyperplane_signs,
     cosine_pairs_exact,
     cosine_topk,
@@ -655,24 +656,31 @@ SELECT query_id, match_id, cosine, rank FROM (
 """
 
 
-#: emb_neardup_lsh signature sizing. 4 bands x 8 bits (256 buckets/band)
-#: is the MEASURED-safe default from the sf0.1->sf1->sf10 ladder
-#: (SCALE.md §9): the old 2x4 (16 buckets/band) made bucket size grow
-#: linearly with n and the within-bucket BxB cosine matmul quadratically
-#: -- wall exponent 1.41, 155s at 200k vectors -- while 4x8 is 4x faster
-#: (37.8s) with equal-or-better recall (11,212 vs 11,209 pairs at the
-#: same threshold). The star cap is the OOM backstop only (never fires
-#: when selectivity is sized right: 4x8 + cap returns the identical
-#: pair set at 200k vectors) and is mirrored into the DuckDB oracle, so
-#: the gate stays bit-exact by construction even at a scale where it
-#: DOES fire.
+#: emb_neardup_lsh signature sizing. Since r14 the catalog entry AUTO-
+#: SIZES bits_per_band from the corpus count (bits_per_band=None ->
+#: suggest_signature_bits, the SCALE.md §11 resize doctrine): the r13
+#: ladder proved any FIXED width eventually saturates -- the old 4x8
+#: default's median bucket occupancy was n/1024 at every measured decade,
+#: and at >=2M vectors 1,020/1,024 buckets blew past the star cap, so
+#: the pair listing silently collapsed to 0.3% of truth (31,654 pairs at
+#: sf100 vs 10.3M from right-sized signatures). The rule picks
+#: ceil(log2(n/64)) bits clamped to [4,16] (integer-exact on both
+#: engines), validated out-of-sample at 20M vectors (99.7% of buckets
+#: under cap, exponent 0.77). The DuckDB twin derives the SAME width
+#: from its own count(*) and substr()s a MAX_AUTO_BITS-char bucket to
+#: it (the banded-stride prefix convention), so the gate stays bit-exact
+#: by construction AT EVERY SF with one static SQL string. The star cap
+#: stays as the OOM backstop only and remains mirrored in the oracle.
 EMB_LSH_BANDS = 4
+#: kept for ladder replays / explicit-width callers; the catalog entry
+#: no longer uses it (auto-sized since r14)
 EMB_LSH_BITS = 8
 EMB_LSH_MAX_BUCKET = 2000
 
 
 def emb_neardup_lsh(spark, sf_dir):
-    """F2 (embeddings): sign-LSH banded candidates -> exact cosine >= 0.42.
+    """F2 (embeddings): sign-LSH banded candidates -> exact cosine >= 0.42,
+    signature width auto-sized from the corpus count (r14).
 
     The synthetic embeddings have no true near-dups (max pairwise cosine
     ~0.51), so the threshold sits where the data has matter; recall of the
@@ -683,7 +691,7 @@ def emb_neardup_lsh(spark, sf_dir):
         emb,
         threshold=0.42,
         bands=EMB_LSH_BANDS,
-        bits_per_band=EMB_LSH_BITS,
+        bits_per_band=None,
         max_bucket_size=EMB_LSH_MAX_BUCKET,
     )
 
@@ -701,21 +709,65 @@ def _signs_sql_literal(plane: list[int]) -> str:
 def _emb_neardup_lsh_sql(
     threshold: float = 0.42,
     bands: int = EMB_LSH_BANDS,
-    bits_per_band: int = EMB_LSH_BITS,
+    bits_per_band: int | None = None,
     max_bucket_size: int | None = EMB_LSH_MAX_BUCKET,
+    target_median_bucket: int = 64,
+    min_bits: int = 4,
+    max_bits: int = MAX_AUTO_BITS,
 ) -> str:
-    signs = _hyperplane_signs(64, bands * bits_per_band)
-    bit_exprs = [
-        f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
-        "THEN '1' ELSE '0' END)"
-        for p in signs
-    ]
-    band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, v, {b} AS band_id, "
-        + " || ".join(bit_exprs[b * bits_per_band : (b + 1) * bits_per_band])
-        + " AS bucket FROM e"
-        for b in range(bands)
-    )
+    """DuckDB twin of embedding_neardup_pairs.
+
+    ``bits_per_band=None`` (the catalog default since r14) emits the
+    COUNT-ADAPTIVE form: the params CTE derives the signature width from
+    count(*) with the integer-exact rule suggest_signature_bits uses
+    (bits = bit_length(ceil(n/target) - 1), via DuckDB's
+    length(ltrim(bin(m-1),'0')), clamped to [min_bits, max_bits]), each
+    band computes all MAX_AUTO_BITS bit-chars under the banded-stride
+    plane convention (band b bit j = plane b*MAX_AUTO_BITS + j), and the
+    bucket is substr(bucket_full, 1, bits) -- the k-bit PREFIX, exactly
+    the planes the Spark side selects for the same count. One static SQL
+    string, bit-exact at every corpus size by construction. An explicit
+    bits_per_band keeps the historical flat plane layout."""
+    if bits_per_band is None:
+        planes = _hyperplane_signs(64, bands * MAX_AUTO_BITS)
+        bit_exprs = [
+            f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        ]
+        band_rows = " UNION ALL ".join(
+            f"SELECT vec_id, v, {b} AS band_id, "
+            + " || ".join(bit_exprs[b * MAX_AUTO_BITS : (b + 1) * MAX_AUTO_BITS])
+            + " AS bucket_full FROM e"
+            for b in range(bands)
+        )
+        banded = f"""
+params AS (
+  SELECT GREATEST({min_bits}, LEAST({max_bits},
+           CASE WHEN m <= 1 THEN 0
+                ELSE length(ltrim(bin(m - 1), '0')) END)) AS bits
+  FROM (SELECT ((SELECT count(*) FROM e) + {target_median_bucket} - 1)
+               // {target_median_bucket} AS m)
+),
+banded_full AS ({band_rows}),
+banded AS (
+  SELECT vec_id, v, band_id, substr(bucket_full, 1, bits) AS bucket
+  FROM banded_full CROSS JOIN params
+)"""
+    else:
+        signs = _hyperplane_signs(64, bands * bits_per_band)
+        bit_exprs = [
+            f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in signs
+        ]
+        band_rows = " UNION ALL ".join(
+            f"SELECT vec_id, v, {b} AS band_id, "
+            + " || ".join(bit_exprs[b * bits_per_band : (b + 1) * bits_per_band])
+            + " AS bucket FROM e"
+            for b in range(bands)
+        )
+        banded = f"banded AS ({band_rows})"
     if max_bucket_size is None:
         cand = """
 cand AS (
@@ -753,7 +805,7 @@ cand AS (
     # quantized cosine is bit-exact across engines by construction
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-banded AS ({band_rows}),
+{banded},
 {cand}
 SELECT id_a, id_b,
        floor(list_dot_product(va, vb)

@@ -1250,9 +1250,17 @@ def q22_dormant_rich_customers(spark, sf_dir):
     non-integer doubles -- order-dependent across engines -- and the
     rational sum/(100n) CAN exactly equal an e2 balance, where the
     last-ulp summation difference would decide the > filter. With
-    bc = balance cents: bc > sc / n  <=>  bc * n > sc, exact."""
+    bc = balance cents: bc > sc / n  <=>  bc * n > sc, exact.
+
+    Cents come from floor(x*100 + 0.5) -- floor_quant semantics -- NOT
+    (x*100 + 0.5)::long (r14): the long cast truncates toward ZERO, so a
+    NEGATIVE balance would yield -12344 where DuckDB's round() yields
+    -12345. acctbal is the one money column with negatives; the old
+    idiom pair only agreed because the filter compares against a
+    strictly positive threshold. floor() is engine-identical on the
+    whole real line, so both sides now compute the same idiom."""
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    bc = (F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    bc = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.sum(bc.cast("decimal(38,0)")).alias("__sc"),
         F.count("*").alias("__n"),
@@ -1261,7 +1269,7 @@ def q22_dormant_rich_customers(spark, sf_dir):
         cust.join(F.broadcast(avg_bal))
         .filter(
             F.expr(
-                "cast(cast(c_acctbal * 100 + 0.5D as bigint) as decimal(38,0))"
+                "cast(floor(c_acctbal * 100 + 0.5D) as decimal(38,0))"
                 " * __n > __sc"
             )
         )
@@ -1279,9 +1287,9 @@ def q22_dormant_rich_customers(spark, sf_dir):
 Q22_SQL = """
 SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
 FROM customer
-WHERE round(c_acctbal * 100)::BIGINT
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
       * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
-      > (SELECT sum(round(c_acctbal * 100)::BIGINT) FROM customer
+      > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) FROM customer
          WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')

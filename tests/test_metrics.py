@@ -271,7 +271,9 @@ def test_lsh_bucket_histogram_detects_planted_hot_bucket(spark):
     pairs.write.format("noop").mode("overwrite").save()
     got = obs.get
     # 40 identical docs share every band bucket: the hot mass is the max
-    assert got["max_bucket"] == 40
+    # (>= not ==: a cold doc colliding into a hot band bucket makes it
+    # 41 -- pin the planted-mass signature, not the minhash seeding)
+    assert 40 <= got["max_bucket"] <= 42
     assert got["n_buckets"] >= 4  # at least the 4 hot band buckets
     # dup-mass signature: median stays far below the hot mass
     assert got["median_bucket"] <= 40
@@ -306,3 +308,101 @@ def test_lsh_bucket_histogram_detects_planted_hot_bucket(spark):
     assert hist["max_bucket"] >= 30  # the planted mass (plus collisions)
     assert hist["over_cap_buckets"] >= 2  # both bands' hot buckets
     assert hist["n_buckets"] >= 2
+
+
+def test_lsh_bucket_histogram_empty_corpus_is_all_zero(spark):
+    """A corpus where nothing collides (no bucket of size >= 2) must
+    yield an all-ZERO histogram, not NULLs -- arithmetic consumers (the
+    saturation gate's median comparison, ratio checks) would TypeError
+    on None (r13 advice)."""
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        lsh_bucket_histogram,
+        warn_if_saturated,
+    )
+
+    banded = spark.createDataFrame(
+        [(1, 0, "0001"), (2, 0, "0010"), (3, 1, "0100")],
+        "doc_id long, band_id int, bucket string",
+    )
+    hist = lsh_bucket_histogram(banded, "band_id", "bucket", cap=5)
+    assert hist["n_buckets"] == 0
+    for k in ("max_bucket", "median_bucket", "p99_bucket", "sum_size",
+              "sum_sq_size", "over_cap_buckets"):
+        assert hist[k] == 0, k
+    # and the gate consumes it without raising
+    assert warn_if_saturated(hist) is None
+
+
+def test_warn_if_saturated_fires_on_saturation_not_on_dup_mass(spark, caplog):
+    """r14: the SCALE.md §11 operating rule as a production gate.
+    Regime (a) -- median occupancy far above target (signature
+    saturation) -- logs ONE loud structured warning naming the bits
+    suggest_signature_bits would pick; regime (b) -- max grows, median
+    flat (a dup mass, the star cap's correct territory) -- stays silent.
+    Pinned on synthetic histograms AND end-to-end through
+    embedding_lsh_bucket_histogram on a planted saturated corpus."""
+    import json
+    import logging
+
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        warn_if_saturated,
+    )
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_lsh_bucket_histogram,
+    )
+
+    # regime (a): saturated -- the r13 sf100 measurement's shape
+    saturated = {
+        "n_buckets": 1024, "max_bucket": 2405, "median_bucket": 1953,
+        "p99_bucket": 2200, "sum_size": 8_000_000, "sum_sq_size": 10**10,
+        "n_vectors": 2_000_000, "bands": 4, "bits_per_band": 8,
+    }
+    with caplog.at_level(
+        logging.WARNING,
+        logger="prometheus_pulsar_remote_write_spark.operators.metrics",
+    ):
+        payload = warn_if_saturated(saturated)
+    assert payload is not None
+    assert payload["suggested_bits_per_band"] == 15  # the sf100 rule pick
+    logged = [r for r in caplog.records if "LSH_SATURATION" in r.message]
+    assert logged and json.loads(
+        logged[0].message.split("LSH_SATURATION ", 1)[1]
+    )["suggested_bits_per_band"] == 15
+    caplog.clear()
+
+    # regime (b): dup mass -- median flat at 2, one huge bucket (the
+    # sf10 text-ladder shape); the star cap is correct, NO warning
+    dup_mass = {
+        "n_buckets": 40_000, "max_bucket": 844, "median_bucket": 2,
+        "p99_bucket": 9, "sum_size": 120_000, "sum_sq_size": 10**6,
+    }
+    with caplog.at_level(
+        logging.WARNING,
+        logger="prometheus_pulsar_remote_write_spark.operators.metrics",
+    ):
+        assert warn_if_saturated(dup_mass) is None
+    assert not [r for r in caplog.records if "LSH_SATURATION" in r.message]
+    caplog.clear()
+
+    # end-to-end: 3 point masses of 300 vectors saturate every band
+    # bucket (median ~300 > 4 * 64), so the histogram accessor itself
+    # must emit the warning -- the detector is a gate, not a ladder tool
+    rng = np.random.default_rng(9)
+    masses = [[float(x) for x in rng.normal(size=8)] for _ in range(3)]
+    rows = [(m * 1000 + i, masses[m]) for m in range(3) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(
+        logging.WARNING,
+        logger="prometheus_pulsar_remote_write_spark.operators.metrics",
+    ):
+        hist = embedding_lsh_bucket_histogram(
+            emb, bands=2, bits_per_band=4, dim=8
+        )
+    assert hist["median_bucket"] >= 300
+    assert [r for r in caplog.records if "LSH_SATURATION" in r.message]
+    # while the planted DUP-MASS corpus above (40 hot + cold) stays
+    # silent is covered by regime (b)'s synthetic shape; the planted
+    # corpus in test_lsh_bucket_histogram_detects_planted_hot_bucket has
+    # median << 4*64 by the same arithmetic

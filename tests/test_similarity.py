@@ -929,3 +929,111 @@ def test_suggest_signature_bits_matches_ladder_model():
         b = suggest_signature_bits(n)
         assert b >= prev
         prev = b
+
+
+def test_suggest_signature_bits_integer_exact_everywhere():
+    """r14: the rule is pure integer arithmetic -- bit_length over
+    ceil-division -- so it must equal BOTH its definition (the smallest
+    k with target * 2^k >= n) and the float-log2 form it replaced, at
+    every n including exact power-of-two boundaries where a 1-ulp log2
+    difference would flip ceil(). The DuckDB oracle mirrors the same
+    integer derivation (length(ltrim(bin(m-1),'0'))), so this is the
+    cross-engine equality proof in miniature."""
+    import math
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        suggest_signature_bits,
+    )
+
+    def smallest_k(n, t):
+        k = 0
+        while t * (1 << k) < n:
+            k += 1
+        return k
+
+    for t in (64, 100, 500):
+        for n in list(range(1, 300)) + [
+            t * 2**k + d for k in range(1, 15) for d in (-1, 0, 1)
+        ]:
+            got = suggest_signature_bits(
+                n, target_median_bucket=t, min_bits=0, max_bits=64
+            )
+            assert got == smallest_k(n, t), (n, t)
+            float_form = math.ceil(math.log2(max(n / t, 1.0)))
+            assert got == float_form, (n, t)
+
+
+def test_auto_banded_signs_prefix_convention():
+    """The banded-stride plane layout: band b's j-th bit uses plane
+    b*MAX_AUTO_BITS + j whatever width the rule picks, so a k-bit bucket
+    is the PREFIX of the 16-bit bucket -- the property that lets the
+    static count-adaptive DuckDB twin substr() to the chosen width."""
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        MAX_AUTO_BITS,
+        _hyperplane_signs,
+        auto_banded_signs,
+    )
+
+    planes = _hyperplane_signs(16, 4 * MAX_AUTO_BITS)
+    bits, signs = auto_banded_signs(2_000_000, bands=4, dim=16)
+    assert bits == 15 and len(signs) == 4 * 15
+    for b in range(4):
+        assert (
+            signs[b * bits : (b + 1) * bits]
+            == planes[b * MAX_AUTO_BITS : b * MAX_AUTO_BITS + bits]
+        )
+    # narrower pick is the prefix of the wider pick, per band
+    bits_s, signs_s = auto_banded_signs(500, bands=4, dim=16)
+    assert bits_s == 4
+    for b in range(4):
+        assert signs_s[b * bits_s : (b + 1) * bits_s] == signs[b * bits : b * bits + bits_s]
+    import pytest
+
+    with pytest.raises(ValueError):
+        auto_banded_signs(10, max_bits=MAX_AUTO_BITS + 1)
+
+
+def test_embedding_neardup_auto_sizing_matches_adaptive_oracle(spark, caplog):
+    """r14 wiring of the one r13 weak: bits_per_band=None sizes the
+    signature from the corpus count on BOTH engines -- Spark via
+    suggest_signature_bits + banded-stride planes, DuckDB via the
+    count-adaptive params CTE + substr -- so one STATIC oracle string is
+    bit-exact at any corpus size. Also pins the structured sizing log
+    line a cluster operator sees."""
+    import logging
+
+    import duckdb
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _emb_neardup_lsh_sql,
+    )
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    with caplog.at_level(
+        logging.INFO,
+        logger="prometheus_pulsar_remote_write_spark.operators.similarity",
+    ):
+        got = sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.3, bands=4, bits_per_band=None
+            ).collect()
+        )
+    assert any("LSH_AUTO_SIZE" in r.message for r in caplog.records)
+    assert any('"bits_per_band": 4' in r.message for r in caplog.records)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            _emb_neardup_lsh_sql(0.3, bands=4, bits_per_band=None, max_bucket_size=None)
+        ).fetchall()
+    )
+    con.close()
+    assert got and got == want
