@@ -213,7 +213,9 @@ def lsh_candidate_pairs(
     after any action on the returned pairs: a MEDIAN occupancy that
     grows with n means the signature space is saturating -- widen
     bands/rows_per_band; a growing MAX alone is a dup mass -- the star
-    cap's territory.
+    cap's territory. Feed the dict straight into
+    metrics.warn_if_saturated (r14) to get the loud structured regime-(a)
+    warning the embedding histogram path emits automatically.
     """
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
