@@ -414,6 +414,106 @@ def embedding_lsh_bucket_histogram(
     return hist
 
 
+def embedding_lsh_bucket_stats_df(
+    emb: DataFrame,
+    bands: int = 4,
+    bits_per_band: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    signature_tier: str = "arrow",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The saturation detector as an ORACLE-CHECKED relation (r14): one
+    row of exact integer bucket-occupancy statistics over the banded
+    sign-LSH relation embedding_neardup_pairs actually builds --
+    (n_vectors, bits_per_band, n_buckets, max_bucket, median_bucket,
+    p99_bucket, sum_size, sum_sq_size, over_cap_buckets).
+
+    Differs from embedding_lsh_bucket_histogram (the dict accessor) in
+    two load-bearing ways:
+
+    - returns a DataFrame, no driver-side collect, so the detector's
+      FORMULA itself sits behind the DuckDB gate like any other catalog
+      entry (a detector with an unverified formula is how a saturation
+      diagnosis gets mis-read);
+    - median/p99 are exact DISCRETE order statistics (the value at
+      ascending position (B+1) div 2 resp. ceil(0.99*B) = (99*B+99)
+      div 100), not percentile_approx -- integer-exact and
+      engine-identical by construction, no interpolation semantics to
+      disagree over.
+
+    Scale: the ranked relation has at most bands * 2**MAX_AUTO_BITS
+    rows (262,144 at 4 bands -- the bits clamp bounds the bucket space
+    INDEPENDENT of corpus size), so the single-partition order-statistic
+    window is a constant-size driver-adjacent step at any n; everything
+    upstream (banding, the groupBy) shuffles on the bucket key exactly
+    like the production pair plan. All counts are BIGINT.
+    """
+    n = emb.count()
+    if bits_per_band is None:
+        bits_per_band, signs = auto_banded_signs(n, bands=bands, dim=dim)
+        _log_auto_size(n, bands, bits_per_band)
+    else:
+        signs = _hyperplane_signs(dim, bands * bits_per_band)
+    banded = _banded_embeddings(
+        emb, signs, bands, bits_per_band, signature_tier, id_col, vec_col
+    ).select(id_col, "band_id", "bucket")
+    sizes = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        # >= 2 members only -- singleton buckets produce no pairs and
+        # would drown the median at 1 (same contract as the histogram)
+        .filter(F.col("sz") >= 2)
+    )
+    w = Window.orderBy("sz")
+    ranked = sizes.select(
+        F.col("sz").cast("long").alias("sz"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("sz").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("cnt"),
+    )
+    cap = int(max_bucket_size) if max_bucket_size is not None else None
+    zero = F.lit(0).cast("long")
+    over_cap = (
+        F.coalesce(
+            F.sum(F.when(F.col("sz") > F.lit(cap), 1).otherwise(0).cast("long")),
+            zero,
+        )
+        if cap is not None
+        else F.coalesce(F.min(zero), zero)
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.coalesce(F.max("sz"), zero).alias("max_bucket"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("sz"))),
+            zero,
+        ).alias("median_bucket"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("rn") == F.expr("(99 * cnt + 99) div 100"), F.col("sz"))
+            ),
+            zero,
+        ).alias("p99_bucket"),
+        F.coalesce(F.sum("sz"), zero).alias("sum_size"),
+        F.coalesce(F.sum(F.col("sz") * F.col("sz")), zero).alias("sum_sq_size"),
+        over_cap.alias("over_cap_buckets"),
+    )
+    # constants ride an outer select, not the agg: over an EMPTY sizes
+    # relation agg literals would come back NULL via max()-style wrapping
+    return stats.select(
+        F.lit(int(n)).cast("long").alias("n_vectors"),
+        F.lit(int(bits_per_band)).cast("long").alias("bits_per_band"),
+        "*",
+    )
+
+
 def suggest_signature_bits(
     n_vectors: int,
     bands: int = 4,

@@ -50,6 +50,10 @@ _CHANGED: list = [
     # strictly positive, listed for the formula-evidence doctrine).
     "emb_neardup_lsh",
     "q22_dormant_rich_customers",
+    # NEW in r14: the saturation detector as an oracle-checked relation
+    # (exact discrete order statistics over the auto-sized banded
+    # relation; same planes, same width rule, same star cap).
+    "emb_lsh_bucket_stats",
     # Everything else this round is rotation: r13 spent two heavy
     # changed-formula rounds' worth of window slots on the float
     # exactness sweeps, leaving 20 entries' newest green at r8 and 37

@@ -31,6 +31,7 @@ from ..operators.similarity import (
     _hyperplane_signs,
     cosine_pairs_exact,
     cosine_topk,
+    embedding_lsh_bucket_stats_df,
     embedding_neardup_pairs,
     floor_quant_expr,
     ivf_assign,
@@ -706,6 +707,61 @@ def _signs_sql_literal(plane: list[int]) -> str:
     return "[" + ",".join(str(s) for s in plane) + "]"
 
 
+def _emb_banded_cte(
+    bands: int,
+    bits_per_band: int | None,
+    target_median_bucket: int = 64,
+    min_bits: int = 4,
+    max_bits: int = MAX_AUTO_BITS,
+) -> tuple[str, str]:
+    """(CTE fragment, bits SQL expression) for the sign-LSH banded
+    relation over ``e`` -- the shared front half of the pair twin and the
+    bucket-stats twin. ``bits_per_band=None`` emits the count-adaptive
+    params/banded_full/substr form (see _emb_neardup_lsh_sql's docstring
+    for the banded-stride prefix convention); an explicit width keeps the
+    historical flat plane layout and a literal bits expression."""
+    if bits_per_band is None:
+        planes = _hyperplane_signs(64, bands * MAX_AUTO_BITS)
+        bit_exprs = [
+            f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        ]
+        band_rows = " UNION ALL ".join(
+            f"SELECT vec_id, v, {b} AS band_id, "
+            + " || ".join(bit_exprs[b * MAX_AUTO_BITS : (b + 1) * MAX_AUTO_BITS])
+            + " AS bucket_full FROM e"
+            for b in range(bands)
+        )
+        cte = f"""
+params AS (
+  SELECT GREATEST({min_bits}, LEAST({max_bits},
+           CASE WHEN m <= 1 THEN 0
+                ELSE length(ltrim(bin(m - 1), '0')) END)) AS bits
+  FROM (SELECT ((SELECT count(*) FROM e) + {target_median_bucket} - 1)
+               // {target_median_bucket} AS m)
+),
+banded_full AS ({band_rows}),
+banded AS (
+  SELECT vec_id, v, band_id, substr(bucket_full, 1, bits) AS bucket
+  FROM banded_full CROSS JOIN params
+)"""
+        return cte, "(SELECT bits FROM params)"
+    signs = _hyperplane_signs(64, bands * bits_per_band)
+    bit_exprs = [
+        f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in signs
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_id, "
+        + " || ".join(bit_exprs[b * bits_per_band : (b + 1) * bits_per_band])
+        + " AS bucket FROM e"
+        for b in range(bands)
+    )
+    return f"banded AS ({band_rows})", str(int(bits_per_band))
+
+
 def _emb_neardup_lsh_sql(
     threshold: float = 0.42,
     bands: int = EMB_LSH_BANDS,
@@ -728,46 +784,9 @@ def _emb_neardup_lsh_sql(
     the planes the Spark side selects for the same count. One static SQL
     string, bit-exact at every corpus size by construction. An explicit
     bits_per_band keeps the historical flat plane layout."""
-    if bits_per_band is None:
-        planes = _hyperplane_signs(64, bands * MAX_AUTO_BITS)
-        bit_exprs = [
-            f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
-            "THEN '1' ELSE '0' END)"
-            for p in planes
-        ]
-        band_rows = " UNION ALL ".join(
-            f"SELECT vec_id, v, {b} AS band_id, "
-            + " || ".join(bit_exprs[b * MAX_AUTO_BITS : (b + 1) * MAX_AUTO_BITS])
-            + " AS bucket_full FROM e"
-            for b in range(bands)
-        )
-        banded = f"""
-params AS (
-  SELECT GREATEST({min_bits}, LEAST({max_bits},
-           CASE WHEN m <= 1 THEN 0
-                ELSE length(ltrim(bin(m - 1), '0')) END)) AS bits
-  FROM (SELECT ((SELECT count(*) FROM e) + {target_median_bucket} - 1)
-               // {target_median_bucket} AS m)
-),
-banded_full AS ({band_rows}),
-banded AS (
-  SELECT vec_id, v, band_id, substr(bucket_full, 1, bits) AS bucket
-  FROM banded_full CROSS JOIN params
-)"""
-    else:
-        signs = _hyperplane_signs(64, bands * bits_per_band)
-        bit_exprs = [
-            f"(CASE WHEN list_dot_product(v, {_signs_sql_literal(p)}::DOUBLE[]) >= 0 "
-            "THEN '1' ELSE '0' END)"
-            for p in signs
-        ]
-        band_rows = " UNION ALL ".join(
-            f"SELECT vec_id, v, {b} AS band_id, "
-            + " || ".join(bit_exprs[b * bits_per_band : (b + 1) * bits_per_band])
-            + " AS bucket FROM e"
-            for b in range(bands)
-        )
-        banded = f"banded AS ({band_rows})"
+    banded, _bits = _emb_banded_cte(
+        bands, bits_per_band, target_median_bucket, min_bits, max_bits
+    )
     if max_bucket_size is None:
         cand = """
 cand AS (
@@ -821,6 +840,73 @@ WHERE floor(list_dot_product(va, vb)
 
 
 EMB_NEARDUP_LSH_SQL = _emb_neardup_lsh_sql()
+
+
+def emb_lsh_bucket_stats(spark, sf_dir):
+    """The sign-LSH saturation detector as a catalog entry (r14): exact
+    integer bucket-occupancy statistics -- discrete median/p99, max,
+    sum-of-squares pair proxy, over-cap count -- over the SAME banded
+    relation (same auto-sized width, same planes, same star cap) the
+    emb_neardup_lsh production plan builds. Putting the detector's
+    formula behind the DuckDB gate means a saturation diagnosis
+    (SCALE.md §11's regime split) rests on a verified computation, not
+    an instrument trusted on faith.
+
+    operators/similarity.embedding_lsh_bucket_stats_df; the dict twin
+    (embedding_lsh_bucket_histogram) stays for interactive use and the
+    warn_if_saturated production gate."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return embedding_lsh_bucket_stats_df(
+        emb,
+        bands=EMB_LSH_BANDS,
+        bits_per_band=None,
+        max_bucket_size=EMB_LSH_MAX_BUCKET,
+    )
+
+
+def _emb_lsh_bucket_stats_sql(
+    bands: int = EMB_LSH_BANDS,
+    bits_per_band: int | None = None,
+    max_bucket_size: int = EMB_LSH_MAX_BUCKET,
+) -> str:
+    """DuckDB twin of embedding_lsh_bucket_stats_df: identical banded CTE
+    (count-adaptive width via _emb_banded_cte), then count(*) per
+    (band, bucket) HAVING >= 2 and exact discrete order statistics --
+    the value at ascending row_number position (cnt+1)//2 resp.
+    (99*cnt+99)//100 (= ceil(0.99*cnt)), matching the Spark side's div
+    arithmetic literally. Every output is BIGINT on both engines; the
+    empty-corpus edge (no colliding bucket) returns an all-zero row on
+    both engines (coalesce, and constants computed before the agg)."""
+    banded, bits_expr = _emb_banded_cte(bands, bits_per_band)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{banded},
+sizes AS (
+  SELECT band_id, bucket, count(*)::BIGINT AS sz
+  FROM banded GROUP BY band_id, bucket HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT sz, row_number() OVER (ORDER BY sz) AS rn,
+         count(*) OVER () AS cnt
+  FROM sizes
+)
+SELECT (SELECT count(*) FROM e)::BIGINT                          AS n_vectors,
+       {bits_expr}::BIGINT                                       AS bits_per_band,
+       count(*)::BIGINT                                          AS n_buckets,
+       coalesce(max(sz), 0)::BIGINT                              AS max_bucket,
+       coalesce(max(CASE WHEN rn = (cnt + 1) // 2 THEN sz END), 0)::BIGINT
+                                                                 AS median_bucket,
+       coalesce(max(CASE WHEN rn = (99 * cnt + 99) // 100 THEN sz END), 0)::BIGINT
+                                                                 AS p99_bucket,
+       coalesce(sum(sz), 0)::BIGINT                              AS sum_size,
+       coalesce(sum(sz * sz), 0)::BIGINT                         AS sum_sq_size,
+       coalesce(sum(CASE WHEN sz > {int(max_bucket_size)} THEN 1 ELSE 0 END), 0)::BIGINT
+                                                                 AS over_cap_buckets
+FROM ranked
+"""
+
+
+EMB_LSH_BUCKET_STATS_SQL = _emb_lsh_bucket_stats_sql()
 
 EMB_NEARDUP_EXACT_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -5996,6 +6082,7 @@ QUERIES = {
     "emb_kmeans_assign": emb_kmeans_assign,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_neardup_lsh": emb_neardup_lsh,
+    "emb_lsh_bucket_stats": emb_lsh_bucket_stats,
     "emb_neardup_exact": emb_neardup_exact,
     "docs_bpe_token_stats": docs_bpe_token_stats,
     "docs_fingerprints": docs_fingerprints,
@@ -6094,6 +6181,7 @@ ORACLES = {
     "emb_kmeans_assign": KMEANS_SQL,
     "emb_ivf_topk": IVF_TOPK_SQL,
     "emb_neardup_lsh": EMB_NEARDUP_LSH_SQL,
+    "emb_lsh_bucket_stats": EMB_LSH_BUCKET_STATS_SQL,
     "emb_neardup_exact": EMB_NEARDUP_EXACT_SQL,
     "docs_bpe_token_stats": DOCS_BPE_SQL,
     "docs_fingerprints": DOCS_FINGERPRINTS_SQL,

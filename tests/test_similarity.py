@@ -1037,3 +1037,127 @@ def test_embedding_neardup_auto_sizing_matches_adaptive_oracle(spark, caplog):
     )
     con.close()
     assert got and got == want
+
+
+def test_emb_lsh_bucket_stats_exact_order_statistics(spark):
+    """r14 detector-as-relation: the one-row bucket-stats entry must
+    equal (a) a numpy brute force over the banded bucket sizes -- pinning
+    the DISCRETE median/p99 definition (value at ascending position
+    (B+1)//2 resp. ceil(0.99B)) -- and (b) the DuckDB twin, bit-exact
+    (all columns BIGINT, so strict and default compare coincide)."""
+    import duckdb
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        _banded_embeddings,
+        auto_banded_signs,
+        embedding_lsh_bucket_stats_df,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        EMB_LSH_BUCKET_STATS_SQL,
+        EMB_LSH_MAX_BUCKET,
+    )
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    row = (
+        embedding_lsh_bucket_stats_df(
+            emb, bands=4, bits_per_band=None, max_bucket_size=EMB_LSH_MAX_BUCKET
+        )
+        .collect()[0]
+        .asDict()
+    )
+
+    n = emb.count()
+    bits, signs = auto_banded_signs(n, bands=4)
+    sizes = np.sort(
+        np.array(
+            _banded_embeddings(emb, signs, 4, bits, "arrow", "vec_id", "embedding")
+            .groupBy("band_id", "bucket")
+            .count()
+            .filter(F.col("count") >= 2)
+            .select("count")
+            .toPandas()["count"],
+            dtype=np.int64,
+        )
+    )
+    B = len(sizes)
+    want = {
+        "n_vectors": n,
+        "bits_per_band": bits,
+        "n_buckets": B,
+        "max_bucket": int(sizes[-1]) if B else 0,
+        "median_bucket": int(sizes[(B + 1) // 2 - 1]) if B else 0,
+        "p99_bucket": int(sizes[(99 * B + 99) // 100 - 1]) if B else 0,
+        "sum_size": int(sizes.sum()),
+        "sum_sq_size": int((sizes * sizes).sum()),
+        "over_cap_buckets": int((sizes > EMB_LSH_MAX_BUCKET).sum()),
+    }
+    assert row == want
+    assert B > 0  # the smoke corpus must actually exercise the stats
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet'"
+    )
+    cols, vals = zip(
+        *sorted(
+            zip(
+                [d[0] for d in con.execute(EMB_LSH_BUCKET_STATS_SQL).description],
+                con.execute(EMB_LSH_BUCKET_STATS_SQL).fetchall()[0],
+            )
+        )
+    )
+    con.close()
+    assert dict(zip(cols, vals)) == want
+
+
+def test_emb_lsh_bucket_stats_empty_collision_edge(spark):
+    """A corpus with NO colliding bucket (single vector) must yield an
+    all-zero stats row -- not NULLs -- on both engines, with the
+    constant columns (n_vectors, min-clamped bits) still populated
+    (the r13-advice coalesce contract, now oracle-shaped)."""
+    import duckdb
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_lsh_bucket_stats_df,
+    )
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _emb_lsh_bucket_stats_sql,
+    )
+
+    one = (
+        load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+        .orderBy("vec_id")
+        .limit(1)
+    )
+    row = (
+        embedding_lsh_bucket_stats_df(
+            one, bands=4, bits_per_band=None, max_bucket_size=10
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert row == {
+        "n_vectors": 1,
+        "bits_per_band": 4,  # min clamp
+        "n_buckets": 0,
+        "max_bucket": 0,
+        "median_bucket": 0,
+        "p99_bucket": 0,
+        "sum_size": 0,
+        "sum_sq_size": 0,
+        "over_cap_buckets": 0,
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{SF_SMOKE}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 1"
+    )
+    got = con.execute(_emb_lsh_bucket_stats_sql(max_bucket_size=10)).fetchall()[0]
+    names = [
+        d[0] for d in con.execute(_emb_lsh_bucket_stats_sql(max_bucket_size=10)).description
+    ]
+    con.close()
+    assert dict(zip(names, got)) == row
