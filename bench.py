@@ -53,6 +53,21 @@ HEADLINE = [
     "docs_phrase_search",
 ]
 
+#: Queries timed with MORE than best-of-2: the r14 drift A/B
+#: (scripts/drift_ab_r14.py, SCALE.md §12) showed the wire queries keep
+#: warming in ~6 runs deep (JIT C2 on the hot serialization codegen) --
+#: session floors agree within 7%, but run 1-2 minima sit 8-30% above
+#: the 12-run floor WITHOUT tripping the 1.2x agreement retry, which is
+#: exactly the plan-identical +/-20-30% round-over-round band r12/r13
+#: chased. min-of-6 lands within ~5% of the floor on both A/B sessions
+#: at ~1s/run extra harness wall. Everything else stays best-of-2: the
+#: doctrine for diagnosing movers remains shuffle-byte + peak-memory
+#: profiles, not seconds.
+DEEP_RUN_QUERIES = {
+    "produce_flatten": 6,
+    "produce_serialize_json": 6,
+}
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -203,7 +218,7 @@ def main() -> None:
         run_query(fn(spark, sf_dir))  # untimed warmup
         runs = []
         before = _metrics_snapshot(spark)
-        for _ in range(2):
+        for _ in range(DEEP_RUN_QUERIES.get(name, 2)):
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
@@ -219,7 +234,7 @@ def main() -> None:
         # retry (up to 2 extra runs) until the two best runs agree within
         # 1.2x: a single GC pause / contended run then costs one retry
         # instead of poisoning the reported spread
-        while len(runs) < 4:
+        while len(runs) < DEEP_RUN_QUERIES.get(name, 2) + 2:
             best2 = sorted(runs)[:2]
             if best2[1] <= 1.2 * best2[0]:
                 break
