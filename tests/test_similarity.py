@@ -1161,3 +1161,48 @@ def test_emb_lsh_bucket_stats_empty_collision_edge(spark):
     ]
     con.close()
     assert dict(zip(names, got)) == row
+
+
+def test_signlsh_recall_holds_at_the_widest_auto_clamp(spark):
+    """The auto-sizing rule widens signatures for boundedness; recall on
+    GENUINE near-dups must survive the widest width it can ever pick
+    (MAX_AUTO_BITS = 16, the clamp that binds at >= ~4M vectors).
+    Analytically: a cosine-0.99 pair collides per 16-bit band with
+    p = (1 - acos(.99)/pi)^16 ~ 0.48, so 4 bands give ~93% recall; the
+    moderate-similarity band (cos ~0.95) is where wide signatures trade
+    recall for boundedness, and THAT tradeoff is SCALE.md §12's
+    documented bands-compensation knob, not a silent loss."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        MAX_AUTO_BITS,
+        cosine_pairs_exact,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        dup = v + rng.normal(scale=0.05, size=64)  # cosine ~0.99
+        rows.append((1000 + i, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_exact(emb, threshold=0.98).collect()
+    }
+    assert len(true_pairs) >= 50
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.98, bands=4, bits_per_band=MAX_AUTO_BITS
+        ).collect()
+    }
+    assert found <= true_pairs
+    recall = len(found & true_pairs) / len(true_pairs)
+    # expectation ~0.93 at 60 planted pairs; 0.75 leaves ~4.5 sigma of
+    # sampling slack while still refuting any recall-collapse regression
+    assert recall >= 0.75, f"16-bit-band recall collapsed: {recall:.2f}"
