@@ -1206,3 +1206,38 @@ def test_signlsh_recall_holds_at_the_widest_auto_clamp(spark):
     # expectation ~0.93 at 60 planted pairs; 0.75 leaves ~4.5 sigma of
     # sampling slack while still refuting any recall-collapse regression
     assert recall >= 0.75, f"16-bit-band recall collapsed: {recall:.2f}"
+
+
+def test_suggest_signature_bits_equals_duckdb_params_cte():
+    """Evaluate the oracle's ACTUAL width derivation -- the params-CTE
+    expression GREATEST(min, LEAST(max, length(ltrim(bin(m-1),'0'))))
+    over m = (n+t-1)//t -- in DuckDB itself, across boundary-dense n,
+    and pin equality with suggest_signature_bits. The integer-exact
+    pytest above proves the Python side equals its definition; this one
+    proves the SQL twin computes the SAME function, so the two engines
+    cannot disagree on the width at any corpus size."""
+    import duckdb
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        suggest_signature_bits,
+    )
+
+    t = 64
+    ns = list(range(1, 400)) + [
+        t * 2**k + d for k in range(1, 30) for d in (-1, 0, 1)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ns(n BIGINT)")
+    con.executemany("INSERT INTO ns VALUES (?)", [(n,) for n in ns])
+    rows = con.execute(
+        f"""
+        SELECT n, GREATEST(4, LEAST(16,
+                 CASE WHEN m <= 1 THEN 0
+                      ELSE length(ltrim(bin(m - 1), '0')) END)) AS bits
+        FROM (SELECT n, (n + {t} - 1) // {t} AS m FROM ns)
+        """
+    ).fetchall()
+    con.close()
+    assert len(rows) == len(ns)
+    for n, sql_bits in rows:
+        assert sql_bits == suggest_signature_bits(n), n
