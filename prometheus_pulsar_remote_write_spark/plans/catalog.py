@@ -54,6 +54,13 @@ _CHANGED: list = [
     # (exact discrete order statistics over the auto-sized banded
     # relation; same planes, same width rule, same star cap).
     "emb_lsh_bucket_stats",
+    # r14 oracle-side rewrite (values identical by construction, proven
+    # row-identical at sf0.01): JACCARD_INDEX_SQL is now the same
+    # inverted-index join the Spark operator runs instead of an n^2
+    # list_intersect cross join -- 322s -> 4s at sf0.1. Both entries
+    # share the string, so both lead the window.
+    "docs_jaccard_index_pairs",
+    "docs_jaccard_ppjoin",
     # Everything else this round is rotation: r13 spent two heavy
     # changed-formula rounds' worth of window slots on the float
     # exactness sweeps, leaving 20 entries' newest green at r8 and 37

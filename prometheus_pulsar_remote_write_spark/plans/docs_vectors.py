@@ -523,18 +523,32 @@ def docs_jaccard_index_pairs(spark, sf_dir):
     return jaccard_index_pairs(docs, threshold=0.7)
 
 
+# r14: the oracle is the SAME inverted-index join the Spark operator
+# runs (unnest -> equi-join on shingle -> count common per pair), not
+# the previous all-pairs list_intersect cross join: the values are
+# identical BY CONSTRUCTION (shingles are list_distinct on both
+# engines, so count-of-matches == |A - B| intersection cardinality, and
+# the jaccard double is the same int/int division under the same
+# floor-quant), but the work drops from n^2 * |list_intersect| to
+# sum_s df(s)^2 -- 322s -> seconds at sf0.1's 5,000 docs, and the gate
+# stays runnable as document counts grow.
 JACCARD_INDEX_SQL = f"""
-WITH sh AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6
+WITH sh AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0),
+counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor((n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)) * 1e6 + 0.5) / 1e6
            AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) > 0
-  AND floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6 >= 0.7
+FROM common
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE floor((n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)) * 1e6 + 0.5) / 1e6
+      >= 0.7
 """
 
 
