@@ -61,6 +61,11 @@ _CHANGED: list = [
     # share the string, so both lead the window.
     "docs_jaccard_index_pairs",
     "docs_jaccard_ppjoin",
+    # same rewrite class, same proof (row-identical at sf0.01):
+    # CONTAINMENT_SQL index-joined (279s -> 3s), which also carries
+    # DEDUP_SWEEP_SQL's containment leg (323s -> 4s).
+    "docs_containment_pairs",
+    "docs_dedup_sweep",
     # Everything else this round is rotation: r13 spent two heavy
     # changed-formula rounds' worth of window slots on the float
     # exactness sweeps, leaving 20 entries' newest green at r8 and 37

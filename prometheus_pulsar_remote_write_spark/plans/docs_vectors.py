@@ -572,14 +572,26 @@ def docs_containment_pairs(spark, sf_dir):
     return containment_pairs(docs, threshold_milli=700)
 
 
+# r14: inverted-index join instead of the n^2 list_intersect cross
+# join, same class of rewrite as JACCARD_INDEX_SQL (count-of-matches
+# over distinct shingles == intersection cardinality, identical
+# integers into the same orientation/threshold arithmetic) -- this CTE
+# also rides inside DEDUP_SWEEP_SQL's containment leg, which was the
+# sweep dashboard's entire 323s.
 CONTAINMENT_SQL = f"""
 WITH sh AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL}) WHERE len(shingles) > 0),
+counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.shingles, b.shingles)) AS n_common,
-         len(a.shingles) AS n_a, len(b.shingles) AS n_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
+  FROM common
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
 ), o AS (
   SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b) THEN id_a ELSE id_b END AS id_small,
          CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b) THEN id_b ELSE id_a END AS id_big,
