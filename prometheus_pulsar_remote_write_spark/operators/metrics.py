@@ -142,43 +142,59 @@ def warn_if_saturated(
     response (the sf1-sf10 text ladder measured exactly this split).
 
     Takes the dict lsh_bucket_histogram /
-    similarity.embedding_lsh_bucket_histogram return (n_vectors / bands /
-    bits_per_band keys sharpen the suggestion when present; sum_size
-    approximates the per-band row count otherwise). Returns the warning
-    payload, or None when the histogram is in regime.
+    similarity.embedding_lsh_bucket_histogram return. When the histogram
+    carries the sign-LSH keys (n_vectors / bands / bits_per_band) the
+    payload names the exact width suggest_signature_bits would pick;
+    a MinHash histogram (no such keys -- and no bits knob to name) gets
+    the generic regime-(a) remedy in its own terms (widen
+    bands/rows_per_band). Returns the warning payload, or None when the
+    histogram is in regime.
     """
     median = hist.get("median_bucket") or 0
     if median <= factor * target_median_bucket:
         return None
-    from .similarity import suggest_signature_bits
-
-    bands = int(hist.get("bands") or 4)
-    n = hist.get("n_vectors")
-    if n is None:
-        # sum_size counts >=2-bucket memberships across all bands: an
-        # UNDERestimate of n*bands that is tight exactly in the
-        # saturated regime this branch fires in (everything collides)
-        n = int(hist.get("sum_size") or 0) // max(bands, 1)
-    suggested = suggest_signature_bits(
-        int(n), bands=bands, target_median_bucket=target_median_bucket
-    )
     payload = {
         "event": "lsh_signature_saturated",
         "median_bucket": int(median),
         "p99_bucket": hist.get("p99_bucket"),
         "max_bucket": hist.get("max_bucket"),
         "n_buckets": hist.get("n_buckets"),
-        "n_vectors": int(n),
-        "bands": bands,
-        "bits_per_band": hist.get("bits_per_band"),
-        "suggested_bits_per_band": int(suggested),
-        "remedy": (
-            "signature space is saturating for this corpus (median bucket "
-            "occupancy grows with n): widen to the suggested bits_per_band "
-            "or pass bits_per_band=None to auto-size; a tighter star cap "
-            "would DESTROY recall here (SCALE.md §9/§11)"
-        ),
     }
+    # The concrete resize suggestion exists only for the sign-LSH path,
+    # whose histogram carries n_vectors/bands/bits_per_band (the sizing
+    # rule is a function of those). A MinHash histogram (text path,
+    # dedup.lsh_candidate_pairs bucket_obs) has neither the keys nor a
+    # bits knob -- naming one would send an on-call at the WRONG lever
+    # -- so it gets the generic regime-(a) remedy in its own terms.
+    if hist.get("n_vectors") is not None:
+        from .similarity import suggest_signature_bits
+
+        bands = int(hist.get("bands") or 4)
+        n = int(hist["n_vectors"])
+        payload.update(
+            n_vectors=n,
+            bands=bands,
+            bits_per_band=hist.get("bits_per_band"),
+            suggested_bits_per_band=int(
+                suggest_signature_bits(
+                    n, bands=bands, target_median_bucket=target_median_bucket
+                )
+            ),
+            remedy=(
+                "signature space is saturating for this corpus (median "
+                "bucket occupancy grows with n): widen to the suggested "
+                "bits_per_band or pass bits_per_band=None to auto-size; a "
+                "tighter star cap would DESTROY recall here "
+                "(SCALE.md §9/§11)"
+            ),
+        )
+    else:
+        payload["remedy"] = (
+            "signature space is saturating for this corpus (median bucket "
+            "occupancy grows with n): widen bands/rows_per_band on the "
+            "MinHash signature; a tighter star cap would DESTROY recall "
+            "here (SCALE.md §9/§11)"
+        )
     (logger or _log).warning("LSH_SATURATION %s", json.dumps(payload, default=str))
     return payload
 

@@ -746,6 +746,15 @@ def _emb_banded_cte(
     params/banded_full/substr form (see _emb_neardup_lsh_sql's docstring
     for the banded-stride prefix convention); an explicit width keeps the
     historical flat plane layout and a literal bits expression."""
+    if bits_per_band is None and max_bits > MAX_AUTO_BITS:
+        # mirror auto_banded_signs' guard: banded_full carries exactly
+        # MAX_AUTO_BITS bit-chars per band, so a wider clamp would make
+        # substr() silently return the 16-char bucket while params
+        # claims a wider width -- error loudly like the Spark twin
+        raise ValueError(
+            f"auto-sized signatures are capped at {MAX_AUTO_BITS} bits/band "
+            f"(banded_full computes exactly that many); got max_bits={max_bits}"
+        )
     if bits_per_band is None:
         planes = _hyperplane_signs(64, bands * MAX_AUTO_BITS)
         bit_exprs = [

@@ -55,7 +55,6 @@ def main():
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
         out["runs"][name] = runs
-        best2 = sorted(runs[:2])
         print(
             json.dumps(
                 {

@@ -30,14 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _max_stage_id, _peak_memory_snapshot
 from prometheus_pulsar_remote_write_spark.operators.similarity import (
     embedding_lsh_bucket_histogram,
+    embedding_neardup_pairs,
     suggest_signature_bits,
 )
 from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
     EMB_LSH_BANDS,
     EMB_LSH_MAX_BUCKET,
-)
-from prometheus_pulsar_remote_write_spark.operators.similarity import (
-    embedding_neardup_pairs,
 )
 from prometheus_pulsar_remote_write_spark.schema import load_tables
 from prometheus_pulsar_remote_write_spark.session import get_spark

@@ -54,6 +54,9 @@ def main() -> None:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: plan_audit.py [names...] [--json OUT.json]")
+            sys.exit(2)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     only = set(args)

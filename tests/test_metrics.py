@@ -406,3 +406,43 @@ def test_warn_if_saturated_fires_on_saturation_not_on_dup_mass(spark, caplog):
     # silent is covered by regime (b)'s synthetic shape; the planted
     # corpus in test_lsh_bucket_histogram_detects_planted_hot_bucket has
     # median << 4*64 by the same arithmetic
+
+
+def test_warn_if_saturated_minhash_histogram_gets_generic_remedy():
+    """A MinHash histogram (text path: no n_vectors/bands/bits keys) in
+    regime (a) must warn in ITS OWN terms -- widen bands/rows_per_band
+    -- and must NOT name a bits_per_band/auto-size knob the MinHash
+    path does not have, nor invent a suggested width from a guessed
+    band count (r14 review finding)."""
+    from prometheus_pulsar_remote_write_spark.operators.metrics import (
+        warn_if_saturated,
+    )
+
+    minhash_saturated = {
+        "n_buckets": 64, "max_bucket": 9_000, "median_bucket": 3_000,
+        "p99_bucket": 8_000, "sum_size": 200_000, "sum_sq_size": 10**9,
+    }
+    payload = warn_if_saturated(minhash_saturated)
+    assert payload is not None
+    assert "suggested_bits_per_band" not in payload
+    assert "bits_per_band" not in payload
+    assert "rows_per_band" in payload["remedy"]
+    assert "auto-size" not in payload["remedy"]
+
+
+def test_emb_banded_cte_refuses_overwide_auto_clamp():
+    """The SQL twin must mirror auto_banded_signs' ValueError when asked
+    for an auto clamp wider than the MAX_AUTO_BITS planes banded_full
+    actually computes -- substr() would otherwise silently truncate
+    while the params CTE claims the wider width (r14 review finding)."""
+    import pytest as _pytest
+
+    from prometheus_pulsar_remote_write_spark.plans.docs_vectors import (
+        _emb_banded_cte,
+    )
+
+    with _pytest.raises(ValueError, match="capped at 16 bits/band"):
+        _emb_banded_cte(4, None, max_bits=17)
+    # explicit widths above 16 are the historical flat layout -- allowed
+    cte, bits = _emb_banded_cte(2, 20)
+    assert bits == "20" and "banded AS (" in cte
