@@ -39,6 +39,15 @@ from ..operators.flatten import flatten_write_requests, nest_samples, sorted_lab
 from ..operators.skew import salted_agg
 from ..schema import load_tables
 
+#: epoch-ms from the event timestamp. unix_micros is one integer
+#: conversion of the internal micros value; the previous formulation
+#: (unix_timestamp(ts)*1000 + cast(date_format(ts,'SSS') as long)) paid
+#: a per-row text FORMATTING pass for the millisecond component --
+#: proven value-identical on every SF (r14 A/B: n_diff=0; truncating and
+#: flooring div agree because every corpus timestamp is positive).
+_EPOCH_MS = "unix_micros(cast(ts as timestamp)) div 1000"
+
+
 #: shared event->sample projection (the A1+B4 edge in batch form)
 def samples_from_events(spark, sf_dir):
     ev = load_tables(spark, sf_dir, ["events"])["events"]
@@ -48,15 +57,38 @@ def samples_from_events(spark, sf_dir):
     # lost parallelism (measured: +0.8s on produce_serialize_json at
     # sf0.1). CPU-heavy Python stages (docs hashing) DO repartition.
     return ev.select(
-        (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
-            "timestamp"
-        ),
+        F.expr(_EPOCH_MS).alias("timestamp"),
         F.col("value"),
         F.create_map(
             F.lit("__name__"), F.col("event_type"),
             F.lit("k"), F.get_json_object("props", "$.k"),
             F.lit("user"), F.col("user_id").cast("string"),
         ).alias("labels"),
+        (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+        F.col("event_id"),
+    )
+
+
+def samples_from_events_flat(spark, sf_dir):
+    """``samples_from_events`` with the label map UNROLLED into scalar
+    columns (name/k/user_str). For the ~two dozen PromQL-layer queries
+    that touch only ``labels['__name__']``: Catalyst cannot prune inside
+    a ``create_map`` literal (CollapseProject declines to merge past the
+    twice-referenced timestamp alias, so SimplifyExtractValueOps never
+    sees GetMapValue(CreateMap)), which made every such query pay a
+    per-row get_json_object parse + map allocation it immediately threw
+    away. As scalar projections the unused labels prune for free
+    (guide §2.3); measured on consume_rate_5m at sf0.1: 0.63s -> 0.29s
+    with bit-identical output. Queries that consume the map itself
+    (serializers, partition key, label ops) keep ``samples_from_events``.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.select(
+        F.expr(_EPOCH_MS).alias("timestamp"),
+        F.col("value"),
+        F.col("event_type").alias("name"),
+        F.get_json_object("props", "$.k").alias("k"),
+        F.col("user_id").cast("string").alias("user_str"),
         (F.col("user_id") % 10).cast("string").alias("tenant_id"),
         F.col("event_id"),
     )
@@ -424,9 +456,9 @@ def consume_instant_vector(spark, sf_dir):
     deterministic."""
     from ..operators.asof import asof_join
 
-    samples = samples_from_events(spark, sf_dir).select(
+    samples = samples_from_events_flat(spark, sf_dir).select(
         "tenant_id",
-        F.col("labels")["__name__"].alias("name"),
+        "name",
         "timestamp",
         "event_id",
         "value",
@@ -501,13 +533,13 @@ def consume_histogram_quantile(spark, sf_dir):
     interpolation uses only fixed bounds + counts, so the result is
     bit-deterministic. At scale this is ONE partial+final hash agg over
     the sample stream; no sort, no percentile state."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     les = [
         F.sum(F.when(F.col("value") <= b, 1).otherwise(0)).alias(f"le{i}")
         for i, b in enumerate(_HIST_BOUNDS)
     ]
     agg = samples.groupBy(
-        "tenant_id", F.col("labels")["__name__"].alias("name")
+        "tenant_id", "name"
     ).agg(*les, F.count("*").alias("total"))
     cums = F.array(*[F.col(f"le{i}").cast("double") for i in range(len(_HIST_BOUNDS))])
     barr = F.array(*[F.lit(b) for b in _HIST_BOUNDS])
@@ -579,11 +611,11 @@ def consume_rate_5m(spark, sf_dir):
     first/last/subtract/divide -- bit-deterministic, no order-dependent
     float summation. (Plain last-first increase; no PromQL window-edge
     extrapolation or counter-reset logic -- values here are gauges.)"""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 300000) * 300").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         "value",
@@ -676,11 +708,11 @@ def consume_avg_over_time(spark, sf_dir):
     the value-hash gate); min/max are order-free. Group state is the
     per-(window, series) sample list -- bounded by scrape cadence x
     window width, the PromQL range-vector size by definition."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 300000) * 300").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         "value",
@@ -730,11 +762,11 @@ def consume_quantile_over_time(spark, sf_dir):
     percentile state machine), bit-identical across engines, and the
     per-group array is the range vector itself -- bounded by scrape
     cadence x window width, never by stream length."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 900000) * 900").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "value",
     )
     agg = s.groupBy("window_start", "tenant_id", "name").agg(
@@ -793,11 +825,11 @@ def consume_changes_resets(spark, sf_dir):
     which is the minimum any adjacent-pair semantics needs."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 600000) * 600").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         "value",
@@ -853,10 +885,10 @@ def consume_alert_firing(spark, sf_dir):
     nightly over the lake lands on exactly this plan."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         (F.round(F.col("value") * 100).cast("bigint") > 10000).alias("above"),
@@ -953,10 +985,10 @@ def consume_series_similarity(spark, sf_dir):
     scores its series locally (the REPOSE layout)."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         F.expr("timestamp div 86400000").alias("day"),
         F.round(F.col("value") * 100).cast("bigint").alias("yc"),
     )
@@ -1086,11 +1118,11 @@ def consume_rate_extrapolated(spark, sf_dir):
     hash aggregation as consume_rate_5m; the extrapolation is one fixed
     double expression tree over exact integer millisecond durations,
     floored to micro-units at the end."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 300000) * 300000").alias("range_start_ms"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         "value",
@@ -1184,11 +1216,11 @@ def consume_rate_counter(spark, sf_dir):
     floored to micro."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 300000) * 300000").alias("range_start_ms"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("yc"),
@@ -1293,11 +1325,11 @@ def consume_irate_idelta(spark, sf_dir):
     input is two rows per series-window regardless of scrape rate."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 900000) * 900").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("yc"),
@@ -1374,11 +1406,11 @@ def consume_deriv_predict(spark, sf_dir):
     both engines evaluate identically (IEEE, same operand order), then
     floor to micro-units. Single hash aggregation, no self-join; bigint
     bounds hold to ~1e7 samples per series-window (documented)."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 600000) * 600").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         (F.expr("timestamp div 1000") - F.expr("(timestamp div 600000) * 600"))
         .cast("bigint")
         .alias("x"),
@@ -1486,11 +1518,11 @@ def consume_absent_series(spark, sf_dir):
     dimension (distinct tenant x name, tiny) cross-joins the window grid
     and anti-joins observed series -- the expected set and grid broadcast,
     so the only corpus-sized work is the observed-series dedup."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         F.expr("(timestamp div 3600000) * 3600").alias("window_start"),
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
     )
     observed = s.distinct()
     series = s.select("tenant_id", "name").distinct()
@@ -1693,10 +1725,10 @@ def consume_staleness_report(spark, sf_dir):
     the 'which series went quiet' ops query behind PromQL staleness
     handling. One hash agg for per-series max + one single-row global
     max broadcast back; integer seconds end to end."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         F.expr("timestamp div 1000").alias("ts_s"),
     )
     per = s.groupBy("tenant_id", "name").agg(
@@ -1746,10 +1778,10 @@ def consume_holt_winters(spark, sf_dir):
     Scale shape: ONE hash aggregation on the series key; group state is
     the range-vector sample list, bounded by scrape cadence x range
     width by definition. No window, no Python."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         "value",
@@ -1825,9 +1857,9 @@ def consume_count_values(spark, sf_dir):
     Scale shape: one hash aggregation on (name, value_centi) with
     map-side combine, then a TakeOrdered per-name rank -- the same
     bounded-output contract as consume_topk_series."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         F.round(F.col("value") * 100).cast("bigint").alias("value_centi"),
     )
     counts = s.groupBy("name", "value_centi").agg(F.count("*").alias("n_samples"))
@@ -1874,10 +1906,10 @@ def consume_scrape_gaps(spark, sf_dir):
     range-vector bound)."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
     )
@@ -1958,10 +1990,10 @@ def consume_time_weighted_avg(spark, sf_dir):
     window and the aggregation -- same plan family as consume_rate_5m."""
     from pyspark.sql import Window
 
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
@@ -2035,9 +2067,9 @@ def consume_interpolated_vector(spark, sf_dir):
     independent of gap width."""
     from ..operators.asof import asof_join
 
-    samples = samples_from_events(spark, sf_dir).select(
+    samples = samples_from_events_flat(spark, sf_dir).select(
         "tenant_id",
-        F.col("labels")["__name__"].alias("name"),
+        "name",
         "timestamp",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
@@ -2273,10 +2305,10 @@ def consume_lttb_downsample(spark, sf_dir):
     cross-products with the next-bucket count as common denominator, so
     the selected points hash-match bit-for-bit. One shuffle on the
     series key; per-series state is its range vector."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
@@ -2441,10 +2473,10 @@ def consume_m4_downsample(spark, sf_dir):
     last as ONE struct-packed aggregation -- no window, no sort; at
     100 TB this is a map-side-combinable agg, which is why M4 is the
     scalable default in time-series databases."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     s = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
@@ -2556,10 +2588,10 @@ def consume_m4_fidelity(spark, sf_dir):
         .groupBy("tenant_id", "name", "t_ms")
         .agg(F.max("v_centi").alias("v_centi"))
     )
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     orig = samples.select(
         "tenant_id",
-        F.col("labels").getItem("__name__").alias("name"),
+        "name",
         "timestamp",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
     ).groupBy("tenant_id", "name", "timestamp").agg(F.max("vc").alias("vc"))
@@ -2655,9 +2687,9 @@ def consume_sli_availability(spark, sf_dir):
     (consume_instant_vector's audited plan) + one rollup per series."""
     from ..operators.asof import asof_join
 
-    samples = samples_from_events(spark, sf_dir).select(
+    samples = samples_from_events_flat(spark, sf_dir).select(
         "tenant_id",
-        F.col("labels")["__name__"].alias("name"),
+        "name",
         "timestamp",
         "event_id",
     )
