@@ -275,7 +275,7 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_k: int = 3,
+    shingle_k: int = 3, prune_to_candidates: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -288,7 +288,23 @@ def ngram_jaccard_pairs(
     projection each evaluate exactly once, with no checkpoint/cache
     needed. The regroup shuffle carries only candidate shingle arrays
     (pairs << corpus at any scale).
+
+    ``prune_to_candidates`` (r14) broadcast-semi-joins the candidate ids
+    into ``df`` BEFORE any tokenize/shingle work: without it the verify
+    leg re-shingles the ENTIRE corpus just so the pair join can pick the
+    few candidate rows out of it (decide with small rows -- guide §8).
+    Only set it when ``pairs`` is materialized (localCheckpoint) or
+    trivially cheap: the pair subplan is consumed twice (id prune + pair
+    list) and would otherwise evaluate twice. Output is identical either
+    way -- shingles of never-joined docs don't reach the result.
     """
+    if prune_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sets = df.select(
         F.col(id_col).alias("__did"),
         shingles_col(F.col(text_col), shingle_k).alias("sh"),

@@ -516,3 +516,51 @@ def image_dhash(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_dhash, out_schema)
+
+
+def image_dhash_codec(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    id_col: str = "doc_id",
+    width: int = 32,
+) -> DataFrame:
+    """``png_col`` + ``image_dhash`` FUSED into one Arrow pass: encode the
+    pixel bytes to a real PNG (``png_bytes``), full-decode it back
+    (``decode_png_pixels``), and dHash the recovered pixels -- the exact
+    same codec round-trip and results as the two-stage composition, but
+    the PNG payload never crosses the JVM<->Python boundary. The split
+    shape shipped every encoded payload Python->JVM->Python between the
+    two stages (two Arrow (de)serializations of the heaviest column for
+    zero benefit -- guide §4.1/§8: only the tiny hash rows need to come
+    back). Returns (id, width, height, dhash_hi, dhash_lo)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("dhash_hi", T.LongType(), True),
+            T.StructField("dhash_lo", T.LongType(), True),
+        ]
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, his, los = [], [], [], []
+            for pixels in pdf[pixels_col]:
+                w, h, px = decode_png_pixels(png_bytes(bytes(pixels), width))
+                ws.append(w)
+                hs.append(h)
+                d = dhash64(w, h, px)
+                his.append(d >> 32)
+                los.append(d & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "dhash_hi": his,
+                    "dhash_lo": los,
+                }
+            )
+
+    return df.select(id_col, pixels_col).mapInPandas(_roundtrip, out_schema)

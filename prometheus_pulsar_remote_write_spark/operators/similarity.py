@@ -103,18 +103,33 @@ def cosine_topk(
 
     queries is broadcast (small side); ties break on corpus id so results
     are total-ordered and reproducible. Self-matches are excluded.
-    """
+
+    Norms are computed ONCE per row below the join (the module-level
+    norm-once idiom above -- r14: the previous cosine_expr inlining
+    re-evaluated the interpreted norm fold of every corpus vector once
+    PER QUERY and of every query vector once per corpus row; per pair
+    work drops from three higher-order folds to one fold + two scalar
+    reads, identical doubles by construction: same fold, same sqrt,
+    same qn * mn multiplication order)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("__mn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
         .select(
             "query_id",
             "match_id",
             floor_quant_expr(
-                cosine_expr(F.col("query_vec"), F.col("vec")), round_to
+                dot_expr(F.col("query_vec"), F.col("vec"))
+                / (F.col("__qn") * F.col("__mn")),
+                round_to,
             ).alias("cosine"),
         )
     )
@@ -260,7 +275,17 @@ def signlsh_buckets_batch(
                 )
         return pd.Series(out)
 
-    return _buckets(F.col(vec_col))
+    # asNondeterministic (guide §4.4): posexplode over the UDF column
+    # makes Catalyst infer a `size(buckets) > 0 AND isnotnull(buckets)`
+    # filter below the Generate, and filter pushdown then evaluates the
+    # UDF TWICE per row (once under the inferred filter, once in the
+    # projection -- two ArrowEvalPython nodes running the full
+    # (rows x n_bits x dim) hyperplane block each). The function is in
+    # fact deterministic; the marker only forbids the optimizer from
+    # duplicating/reordering it, collapsing the plan to one evaluation.
+    # The inferred filter is pure pruning -- empty/null arrays generate
+    # no rows either way -- so output is identical.
+    return _buckets.asNondeterministic()(F.col(vec_col))
 
 
 def _seq_dots(A, B, chunk: int = 262_144):

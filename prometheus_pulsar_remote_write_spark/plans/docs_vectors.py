@@ -313,8 +313,15 @@ def _neardup_pairs(spark, sf_dir, max_bucket_size: int | None = None):
     )
     pairs = lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=2, max_bucket_size=max_bucket_size
-    )
-    scored = ngram_jaccard_pairs(docs, pairs)
+        # tiny (candidates << corpus); materialized so it can be consumed
+        # twice below -- once as the broadcast id prune, once as the pair
+        # list -- without re-running the signature subplan (r14)
+    ).localCheckpoint(eager=True)
+    # verify only CANDIDATE docs (r14): the exact-Jaccard leg previously
+    # re-tokenized + re-shingled the ENTIRE corpus (and round-robin
+    # shuffled its text a second time) just so the pair join could pick
+    # the few hundred candidate rows out of it.
+    scored = ngram_jaccard_pairs(docs, pairs, prune_to_candidates=True)
     return scored.filter(F.col("jaccard") >= 0.7)
 
 
@@ -2018,9 +2025,16 @@ def docs_phrase_search(spark, sf_dir):
     exactly (n_matches == n_occurrences, an internal cross-check the
     value-hash oracle enforces).
 
-    Scale shape: postings build is one (doc, term) hash agg; the tiny
-    phrase list broadcasts into the postings scan twice (w1 then w2
-    legs, doc-colocated join); adjacency is array arithmetic, no
+    Scale shape: the corpus posexplode runs ONCE and is pruned to the
+    <= 6 phrase terms BEFORE the positional hash agg (broadcast
+    semi-join on the term -- r14: the previous shape built the
+    (doc, term) -> positions index for EVERY term in the corpus and ran
+    the posexplode once per join leg, even though an inner join against
+    the 3-phrase broadcast immediately discarded all but w1/w2 rows;
+    the optimizer pushed the semi prune below the agg on the w2 leg but
+    cannot push the w1 leg's inner join). The tiny pruned postings
+    relation is localCheckpoint-materialized so both legs read it
+    without re-scanning the corpus; adjacency is array arithmetic, no
     explode of the position lists."""
     docs = _docs_spread(spark, sf_dir)
     t = docs.select("doc_id", tokens_col(F.col("text")).alias("tk")).filter(
@@ -2040,29 +2054,36 @@ def docs_phrase_search(spark, sf_dir):
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "w1", "w2")
         .limit(3)
-        # 3 rows, consumed TWICE (broadcast filter + final join):
+        # 3 rows, consumed THRICE (term prune + final join legs):
         # materialize once so the corpus-wide bigram aggregation behind
-        # it doesn't evaluate twice (the emb_nprobe_sweep sharing trick)
+        # it doesn't evaluate per consumer (the emb_nprobe_sweep trick)
         .localCheckpoint(eager=True)
+    )
+    terms = (
+        phrases.select(F.col("w1").alias("tok"))
+        .union(phrases.select(F.col("w2").alias("tok")))
+        .distinct()
     )
     toks = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
     )
-    postings = toks.groupBy("doc_id", "tok").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions")
+    postings = (
+        toks.join(F.broadcast(terms), "tok", "left_semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        # (doc, term) rows for <= 6 terms: tiny; materializing it lets
+        # the w1 and w2 legs below share ONE corpus scan + posexplode
+        .localCheckpoint(eager=True)
     )
     p1 = postings.select(
         "doc_id", F.col("tok").alias("w1"), F.col("positions").alias("pos1")
     )
     p2 = postings.select(
         "doc_id", F.col("tok").alias("w2"), F.col("positions").alias("pos2")
-        # prune THIS leg by the broadcast terms too: joining the full
-        # postings relation on (doc_id, w2) would shuffle every (doc,
-        # term, positions) row in the corpus for a 3-phrase query
-    ).join(F.broadcast(phrases.select("w2").distinct()), "w2", "left_semi")
+    )
     matched = (
         p1.join(F.broadcast(phrases.select("w1", "w2")), "w1")
-        .join(p2, ["doc_id", "w2"])
+        .join(F.broadcast(p2), ["doc_id", "w2"])
         .select(
             "w1",
             "w2",
@@ -2577,22 +2598,34 @@ def docs_char_entropy(spark, sf_dir):
     repetitive text before the expensive LM-scoring stage. Quantized to
     an integer micro-entropy (cnt * floor(ln(n/cnt) * 1e6), the
     micro-idf idiom) so cross-engine bits match; a plain explode ->
-    two hash aggs, fully distributed."""
+    two hash aggs, fully distributed.
+
+    r14 shape: the second agg regroups the per-(doc, char) counts to
+    one row per doc (sum/count + the tiny count list) and the entropy
+    terms fold over that <= alphabet-size array -- replacing the
+    previous doc-keyed Window (sum-over-partition) + countDistinct
+    expand, which cost an extra full Sort of the counts relation for
+    the same two exchanges. Values bit-identical: same integer counts,
+    same per-term double ln, integer term sum is order-free."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     chars = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
     ).filter(F.col("ch") != "")
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
-    n = Window.partitionBy("doc_id")
-    per_char = counts.withColumn("n", F.sum("cnt").over(n)).withColumn(
-        "term",
-        F.col("cnt")
-        * F.floor(F.log(F.col("n").cast("double") / F.col("cnt")) * 1e6).cast("bigint"),
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("nd"),
+        F.collect_list("cnt").alias("arr"),
     )
-    return per_char.groupBy("doc_id").agg(
-        F.max("n").alias("n_chars_counted"),
-        F.countDistinct("ch").alias("n_distinct_chars"),
-        F.sum("term").alias("entropy_micro_n"),
+    term_sum = F.expr(
+        "aggregate(arr, 0L, (acc, c) -> acc + c *"
+        " cast(floor(ln(cast(n as double) / cast(c as double)) * 1e6) as bigint))"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        F.col("nd").alias("n_distinct_chars"),
+        term_sum.alias("entropy_micro_n"),
     )
 
 
@@ -4366,16 +4399,17 @@ def multimodal_image_dhash(spark, sf_dir):
     hash halves plus the exact-hash duplicate-group size, i.e. the
     image-dedup report.
 
-    Scale shape: encode -> decode -> hash is one narrow Arrow pipeline
-    over the documents scan; the only wide edge is the tiny group-size
-    agg on the hash key. The oracle replays the grid arithmetic from the
-    text column (pixels == text bytes zero-padded by construction);
-    pytest covers the decoder against NON-zero-filter PNGs too."""
+    Scale shape: encode -> decode -> hash is ONE fused Arrow stage over
+    the documents scan (r14: image_dhash_codec -- the split
+    png_col/image_dhash composition shipped every PNG payload
+    Python->JVM->Python between its two stages); the only wide edge is
+    the tiny group-size agg on the hash key. The oracle replays the
+    grid arithmetic from the text column (pixels == text bytes
+    zero-padded by construction); pytest covers the decoder against
+    NON-zero-filter PNGs too."""
     docs = _docs_spread(spark, sf_dir)
-    with_png = docs.select(
-        "doc_id", multimodal.png_col(F.encode(F.col("text"), "UTF-8")).alias("payload")
-    )
-    hashed = multimodal.image_dhash(with_png)
+    pixels = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("pixels"))
+    hashed = multimodal.image_dhash_codec(pixels)
     grp = hashed.groupBy("dhash_hi", "dhash_lo").agg(
         F.count("*").alias("dup_group_size")
     )
@@ -4416,13 +4450,12 @@ def multimodal_dhash_neardup(spark, sf_dir):
     is two bit_count expressions. The oracle replays banding, bucket
     join, and popcount over the same grid-arithmetic hashes."""
     docs = _docs_spread(spark, sf_dir)
-    with_png = docs.select(
-        "doc_id", multimodal.png_col(F.encode(F.col("text"), "UTF-8")).alias("payload")
-    )
-    # checkpoint the decode+hash tier: both legs of the banded self-join
-    # reuse it, so the (expensive) Arrow stage runs once, not per leg
+    pixels = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("pixels"))
+    # checkpoint the fused encode+decode+hash tier (r14: one Arrow stage,
+    # the PNG payload never crosses the JVM<->Python boundary): both legs
+    # of the banded self-join reuse it, so the codec stage runs once
     hashed = (
-        multimodal.image_dhash(with_png)
+        multimodal.image_dhash_codec(pixels)
         .select("doc_id", "dhash_hi", "dhash_lo")
         .localCheckpoint(eager=True)
     )
@@ -4639,15 +4672,22 @@ def docs_bbit_minhash(spark, sf_dir):
     )
 
     docs = _docs_spread(spark, sf_dir)
-    sigs = minhash_signatures_agg(docs, num_hashes=N_MINHASH).filter(
-        F.col("mh0").isNotNull()
+    # materialized once (r14): consumed by BOTH the b-bit projection and
+    # the banded pair subplan -- unmaterialized, the md5-per-shingle
+    # signature aggregation evaluated twice
+    sigs = (
+        minhash_signatures_agg(docs, num_hashes=N_MINHASH)
+        .filter(F.col("mh0").isNotNull())
+        .localCheckpoint(eager=True)
     )
     bb = sigs.select(
         "doc_id",
         *[(F.col(f"mh{i}") % (1 << _BBIT_B)).alias(f"b{i}") for i in range(N_MINHASH)],
     )
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    exact = ngram_jaccard_pairs(docs, pairs)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).localCheckpoint(
+        eager=True
+    )
+    exact = ngram_jaccard_pairs(docs, pairs, prune_to_candidates=True)
     a = bb.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -5912,8 +5952,10 @@ def docs_jaccard_threshold_curve(spark, sf_dir):
     sigs = minhash_signatures_agg(docs, num_hashes=N_MINHASH).filter(
         F.col("mh0").isNotNull()
     )
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    scored = ngram_jaccard_pairs(docs, pairs)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).localCheckpoint(
+        eager=True
+    )
+    scored = ngram_jaccard_pairs(docs, pairs, prune_to_candidates=True)
     banded = scored.select(
         F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
             "band"
