@@ -1580,12 +1580,22 @@ def docs_curation_pipeline(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     # quality as a narrow projection (with_quality_features), not a
     # doc_id self-join back to the corpus -- one scan, zero exchanges
-    # before the dedup shuffle
-    kept = with_quality_features(docs).filter(
-        (F.col("quality_score") >= 0.72) & (F.col("n_tokens") >= 15)
+    # before the dedup shuffle. keep_tokens: the dedup prefix key below
+    # derives from the SAME __toks array, so the whole funnel tokenizes
+    # each document exactly once.
+    scored = with_quality_features(docs, keep_tokens=True).withColumn(
+        "prefix_key", F.md5(F.array_join(F.slice(F.col("__toks"), 1, 5), " "))
     )
-    keyed = kept.withColumn(
-        "prefix_key", F.md5(F.array_join(F.slice(tokens_col(F.col("text")), 1, 5), " "))
+    # observe() is a filter-pushdown barrier (CollectMetrics must see
+    # every pre-filter row, so Catalyst cannot substitute the quality
+    # predicate below the scoring projection -- without it the pushed
+    # filter re-derives __toks per conjunct and the funnel paid ~10
+    # tokenize passes per document instead of 1). The count doubles as
+    # the funnel's admission metric.
+    keyed = (
+        scored.observe("curation_scored", F.count(F.lit(1)).alias("n_docs_scored"))
+        .filter((F.col("quality_score") >= 0.72) & (F.col("n_tokens") >= 15))
+        .drop("__toks")
     )
     deduped = exact_dedup(keyed, ["prefix_key"], ["doc_id"])
     # materialized once per session (see neardup_drop_set): re-deriving

@@ -323,7 +323,11 @@ def events_scd2_intervals(spark, sf_dir):
     the groupBy (same partitioning, Catalyst reuses the exchange); state
     per user is bounded by their run count, never the log length."""
     ev = _events(spark, sf_dir)
-    ms = (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long"))
+    # one integer conversion of the internal micros value; the previous
+    # unix_timestamp*1000 + date_format('SSS') form paid a per-row text
+    # FORMATTING pass for the millisecond component (value-identical:
+    # pipeline._EPOCH_MS r14 A/B, n_diff=0 -- all corpus ts positive)
+    ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
         ev.select("user_id", "ts", "event_id", "event_type", ms.alias("ts_ms"))

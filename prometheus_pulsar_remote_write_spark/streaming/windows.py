@@ -218,9 +218,9 @@ def sample_rate_5m(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
     at the watermark."""
     s = ev.select(
         "ts",
-        (
-            F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")
-        ).alias("timestamp"),
+        # integer micros conversion, not the per-row date_format('SSS')
+        # text pass (value-identical; see plans.pipeline._EPOCH_MS)
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("timestamp"),
         F.col("event_type").alias("name"),
         (F.col("user_id") % 10).cast("string").alias("tenant_id"),
         "event_id",
@@ -467,7 +467,7 @@ def _scd2_fold_kwargs() -> dict:
         key_cols=["user_id"],
         select_cols=lambda: [
             "user_id",
-            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),  # integer floor
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ts_ms"),  # integer floor
             "event_id",
             "event_type",
         ],
@@ -753,7 +753,7 @@ def _alert_fold_kwargs(threshold_centi: int, for_ms: int) -> dict:
         select_cols=lambda: [
             (F.col("user_id") % 10).cast("string").alias("tenant_id"),
             F.col("event_type").alias("name"),
-            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ts_ms"),
             "event_id",
             (
                 F.round(F.col("value") * 100).cast("bigint") > threshold_centi
@@ -1034,7 +1034,7 @@ def _retention_fold_kwargs() -> dict:
                     "bigint"
                 )
             ).alias("week"),
-            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ts_ms"),
             "event_id",
         ],
         sort_cols=["week", "event_id"],
@@ -1769,10 +1769,9 @@ def _scrape_gap_fold_kwargs() -> dict:
         select_cols=lambda: [
             (F.col("user_id") % 10).cast("string").alias("tenant_id"),
             F.col("event_type").alias("name"),
-            (
-                F.unix_timestamp("ts") * 1000
-                + F.date_format("ts", "SSS").cast("long")
-            ).alias("ts_ms"),
+            # integer micros conversion (value-identical; see
+            # plans.pipeline._EPOCH_MS)
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ts_ms"),
             "event_id",
         ],
         sort_cols=["ts_ms", "event_id"],
