@@ -198,13 +198,18 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ties break by a fixed language order, so results are deterministic and
     reproducible in the oracle.
     """
-    toks = tokens_col(F.col(text_col))
-    scored = df
+    # tokenize ONCE into a prior-projection column; the per-language
+    # marker filters then read the array attribute (the previous inline
+    # form re-ran split+filter once per language -- five tokenize passes
+    # per row for identical counts)
+    scored = df.withColumn("__lid_toks", tokens_col(F.col(text_col)))
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         scored = scored.withColumn(
             f"score_{lang}",
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+            F.size(
+                F.filter(F.col("__lid_toks"), lambda t: F.array_contains(arr, t))
+            ),
         )
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
@@ -212,7 +217,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in reversed(langs):  # earlier langs win ties
         pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return scored.withColumn("predicted_lang", pred)
+    return scored.withColumn("predicted_lang", pred).drop("__lid_toks")
 
 
 #: BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs --
@@ -273,24 +278,38 @@ def simhash(text: Column, bits: int = 16) -> Column:
     nibbles, so bits <= 32.
     """
     assert 1 <= bits <= 32
-    toks = F.array_distinct(tokens_col(text))
-    bit_vals = [
-        F.when(
-            F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(F.substring(F.md5(t), i + 1, 1) >= "8", 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << (bits - 1 - i)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(bits)
-    ]
-    total = bit_vals[0]
-    for b in bit_vals[1:]:
-        total = total + b
-    return total
+
+    # Evaluate tokenize+distinct and the per-token md5 ONCE per row by
+    # binding them through single-element transform lambdas (the
+    # shingles_col idiom): as inline subtrees the distinct-token array
+    # re-evaluated once per bit and md5(token) once per (token, bit) --
+    # ``bits`` full tokenize passes and 16x the hashing for identical
+    # output. The fold still reads a nibble per (token, bit), but from
+    # the bound hex-prefix array.
+    def _from_hexes(hx: Column) -> Column:
+        bit_vals = [
+            F.when(
+                F.aggregate(
+                    hx,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
+                )
+                > 0,
+                F.lit(1 << (bits - 1 - i)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ]
+        total = bit_vals[0]
+        for b in bit_vals[1:]:
+            total = total + b
+        return total
+
+    hexes = F.transform(
+        F.array(F.array_distinct(tokens_col(text))),
+        lambda tk: F.transform(tk, lambda t: F.substring(F.md5(t), 1, bits)),
+    )[0]
+    return F.transform(F.array(hexes), _from_hexes)[0]
 
 
 def simhash16(text: Column) -> Column:

@@ -3598,13 +3598,19 @@ def emb_rp_projection(spark, sf_dir):
     array (zip_with + aggregate per output dim). The projected table is
     4x narrower than the input; downstream LSH/IVF run on it unchanged."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    q = F.transform(
-        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1e6).cast("bigint")
+    # quantize ONCE into a prior-projection column: as an inline subtree
+    # the floor-transform re-evaluated once per output dim (16 passes
+    # over every vector for identical integers)
+    qd = emb.withColumn(
+        "__q",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x.cast("double") * 1e6).cast("bigint")
+        ),
     )
     projs = [
         F.aggregate(
             F.zip_with(
-                q,
+                F.col("__q"),
                 F.array(*[F.lit(s).cast("bigint") for s in plane]),
                 lambda a, b: a * b,
             ),
@@ -3613,7 +3619,7 @@ def emb_rp_projection(spark, sf_dir):
         ).alias(f"p{j}")
         for j, plane in enumerate(_RP_SIGNS)
     ]
-    out = emb.select("vec_id", "label", *projs)
+    out = qd.select("vec_id", "label", *projs)
     return out.select(
         "vec_id",
         "label",
@@ -4996,10 +5002,13 @@ def emb_power_iteration(spark, sf_dir):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        g = e.agg(
+        # bind the v.w fold to a column below the agg: as an inline
+        # subtree it re-evaluated once per output dim (64 folds of 64
+        # mults per row instead of 1) for identical doubles
+        g = e.withColumn("__dot", dot).agg(
             *[
                 F.sum(
-                    F.floor(F.element_at("v", j + 1) * dot * 1e6)
+                    F.floor(F.element_at("v", j + 1) * F.col("__dot") * 1e6)
                 ).cast("long").alias(f"g{j}")
                 for j in range(dim)
             ]

@@ -490,11 +490,21 @@ def events_anomaly_zscore(spark, sf_dir):
         ),
         lambda x: F.coalesce(x["value"], F.lit(0.0)),
     )
-    s1 = F.aggregate(ordered_vals, F.lit(0.0), lambda acc, v: acc + v)
-    s2 = F.aggregate(ordered_vals, F.lit(0.0), lambda acc, v: acc + v * v)
+    # bind the sorted value array ONCE through a single-element transform
+    # lambda (the shingles_col idiom): s1/s2 as separate result
+    # expressions each re-ran the collect+sort+project subtree, sorting
+    # every user's history twice for identical folds
+    sums = F.transform(
+        F.array(ordered_vals),
+        lambda vals: F.struct(
+            F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v).alias("s1"),
+            F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v * v).alias("s2"),
+        ),
+    )[0]
     stats = (
         ev.groupBy("user_id")
-        .agg(F.count("*").alias("n"), s1.alias("s1"), s2.alias("s2"))
+        .agg(F.count("*").alias("n"), sums.alias("__ss"))
+        .select("user_id", "n", F.col("__ss.s1").alias("s1"), F.col("__ss.s2").alias("s2"))
         .withColumn("mean", F.col("s1") / F.col("n"))
         .withColumn(
             "std",
