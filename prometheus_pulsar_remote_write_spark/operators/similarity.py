@@ -355,6 +355,19 @@ def _banded_embeddings(
 ) -> DataFrame:
     """(id, vec, band_id, bucket) rows -- the sign-LSH banded relation
     shared by the pair scorer and the bucket-histogram detector."""
+    # Under-parallel input guard (guide §2.5 "one huge unsplittable
+    # file ... repartition immediately after the read"): a single-row-
+    # group parquet -- the local testdata layout -- scans as ONE task,
+    # serializing the whole signature stage onto one core. Spread only
+    # when the scan has fewer partitions than the cluster's parallelism:
+    # at scale the input is already split and this is a no-op (nothing
+    # is tuned to the local core count), and when it does fire the extra
+    # exchange moves the payload once vs the `bands` copies the band
+    # explode below already ships into the bucket shuffle.
+    if not emb.isStreaming:
+        want = emb.sparkSession.sparkContext.defaultParallelism
+        if emb.rdd.getNumPartitions() < want:
+            emb = emb.repartition(want)
     if signature_tier == "arrow":
         # one vectorized Arrow pass for ALL sign bits (see
         # signlsh_buckets_batch -- bit-exact with the expression tier)

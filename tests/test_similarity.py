@@ -1241,3 +1241,47 @@ def test_suggest_signature_bits_equals_duckdb_params_cte():
     assert len(rows) == len(ns)
     for n, sql_bits in rows:
         assert sql_bits == suggest_signature_bits(n), n
+
+
+def test_banded_embeddings_spreads_underparallel_scan(spark):
+    """The under-parallel input guard (guide §2.5): a 1-partition input
+    -- the single-row-group testdata layout -- is round-robin spread to
+    defaultParallelism before the Arrow signature stage, so the per-row
+    hyperplane work parallelizes instead of serializing onto one core.
+    An input already at >= defaultParallelism partitions is left alone
+    (the guard is a no-op at cluster scale, nothing is tuned to the
+    local core count), and the pair set is identical either way."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        _banded_embeddings,
+        _hyperplane_signs,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    signs = _hyperplane_signs(64, 6)
+
+    narrow = emb.coalesce(1)
+    banded_narrow = _banded_embeddings(
+        narrow, signs, 2, 3, "arrow", "vec_id", "embedding"
+    )
+    assert banded_narrow.rdd.getNumPartitions() == want
+
+    wide = emb.repartition(want + 2)
+    banded_wide = _banded_embeddings(
+        wide, signs, 2, 3, "arrow", "vec_id", "embedding"
+    )
+    assert banded_wide.rdd.getNumPartitions() == want + 2
+
+    kw = dict(threshold=0.1, bands=2, bits_per_band=3)
+    got_narrow = sorted(
+        tuple(r) for r in embedding_neardup_pairs(narrow, **kw).collect()
+    )
+    got_wide = sorted(
+        tuple(r) for r in embedding_neardup_pairs(wide, **kw).collect()
+    )
+    assert got_narrow == got_wide and got_narrow
