@@ -808,7 +808,17 @@ def cosine_pairs_exact(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(_pairs, out_schema)
+    # Under-parallel input guard (guide §2.5, same as _banded_embeddings):
+    # the corpus is broadcast, so the per-partition matmul is the ONLY
+    # distributed work -- on a single-row-group scan it all lands in one
+    # task. Spread the query side when the scan is under-parallel; a no-op
+    # whenever the input is already split.
+    qside = emb.select(id_col, vec_col)
+    if not emb.isStreaming:
+        want = spark.sparkContext.defaultParallelism
+        if qside.rdd.getNumPartitions() < want:
+            qside = qside.repartition(want)
+    return qside.mapInPandas(_pairs, out_schema)
 
 
 def ivf_assign(

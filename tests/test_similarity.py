@@ -1285,3 +1285,31 @@ def test_banded_embeddings_spreads_underparallel_scan(spark):
         tuple(r) for r in embedding_neardup_pairs(wide, **kw).collect()
     )
     assert got_narrow == got_wide and got_narrow
+
+
+def test_cosine_pairs_exact_spreads_underparallel_scan(spark):
+    """Same guard on the exact all-pairs baseline: the corpus is
+    broadcast, so the per-partition matmul is the only distributed work
+    and a 1-partition scan serializes it. The pair set must be identical
+    between a coalesce(1) input and a pre-spread one."""
+    import numpy as np
+
+    from prometheus_pulsar_remote_write_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    narrow = cosine_pairs_exact(emb.coalesce(1), threshold=0.1)
+    assert narrow.rdd.getNumPartitions() == want
+    got_narrow = sorted(tuple(r) for r in narrow.collect())
+    got_wide = sorted(
+        tuple(r)
+        for r in cosine_pairs_exact(
+            emb.repartition(want + 1), threshold=0.1
+        ).collect()
+    )
+    assert got_narrow == got_wide and got_narrow
