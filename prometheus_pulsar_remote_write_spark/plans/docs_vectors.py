@@ -2949,47 +2949,40 @@ def docs_boilerplate_removal(spark, sf_dir):
         .select("block", F.lit(1).alias("is_boiler"))
     )
     marked = blocks.join(boiler, "block", "left")
-    return marked.groupBy("doc_id").agg(
+    # clean text assembled ONCE per document: Spark dedupes the identical
+    # collect_list agg buffers, but identical RESULT expressions are
+    # evaluated per output column -- md5(concat_ws(...)) and
+    # length(concat_ws(...)) each re-sorted and re-joined the kept blocks
+    # (one full O(doc-length) string build per row, twice). CollapseProject
+    # leaves the two-step shape alone (non-cheap producer, 2 refs), so the
+    # digest and the length now read one materialized __clean column.
+    assembled = marked.groupBy("doc_id").agg(
         F.count("*").alias("n_blocks"),
         F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_dropped"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("is_boiler").isNull(),
-                                F.struct(
-                                    F.col("bidx").alias("bidx"),
-                                    F.col("block").alias("block"),
-                                ),
-                            )
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler").isNull(),
+                            F.struct(
+                                F.col("bidx").alias("bidx"),
+                                F.col("block").alias("block"),
+                            ),
                         )
-                    ),
-                    lambda s: s.getField("block"),
+                    )
                 ),
-            )
-        ).alias("clean_digest"),
-        F.length(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("is_boiler").isNull(),
-                                F.struct(
-                                    F.col("bidx").alias("bidx"),
-                                    F.col("block").alias("block"),
-                                ),
-                            )
-                        )
-                    ),
-                    lambda s: s.getField("block"),
-                ),
-            )
-        ).alias("clean_len"),
+                lambda s: s.getField("block"),
+            ),
+        ).alias("__clean"),
+    )
+    return assembled.select(
+        "doc_id",
+        "n_blocks",
+        "n_dropped",
+        F.md5("__clean").alias("clean_digest"),
+        F.length("__clean").alias("clean_len"),
     )
 
 
