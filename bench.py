@@ -53,20 +53,20 @@ HEADLINE = [
     "docs_phrase_search",
 ]
 
-#: Queries timed with MORE than best-of-2: the r14 drift A/B
-#: (scripts/drift_ab_r14.py, SCALE.md §12) showed the wire queries keep
-#: warming in ~6 runs deep (JIT C2 on the hot serialization codegen) --
-#: session floors agree within 7%, but run 1-2 minima sit 8-30% above
-#: the 12-run floor WITHOUT tripping the 1.2x agreement retry, which is
-#: exactly the plan-identical +/-20-30% round-over-round band r12/r13
-#: chased. min-of-6 lands within ~5% of the floor on both A/B sessions
-#: at ~1s/run extra harness wall. Everything else stays best-of-2: the
-#: doctrine for diagnosing movers remains shuffle-byte + peak-memory
-#: profiles, not seconds.
-DEEP_RUN_QUERIES = {
-    "produce_flatten": 6,
-    "produce_serialize_json": 6,
-}
+#: Uniform timed-run count for EVERY query (r15, the round-14 verdict's
+#: top item): one warmup + min-of-N with the same N everywhere, so no
+#: per-query methodology can flatter any row round-over-round. N=6 was
+#: already validated for the deepest-warming queries (the r14 drift A/B,
+#: scripts/drift_ab_r14.py / SCALE.md §12: the wire queries' JIT keeps
+#: warming ~6 runs deep and min-of-6 lands within ~5% of the 12-run
+#: floor), and the r14 driver run showed best-of-2 is not noise-robust
+#: on a contended host (noise_ratio 1.328 got recorded as ground truth:
+#: 19 plan-identical queries "regressed" 30-60%). min-of-6 gives every
+#: query six chances to land a clean run between contention bursts.
+#: The r14 per-query values remain comparable: min over MORE runs of
+#: the same plan can only be <= the old statistic, and the two queries
+#: that were already min-of-6 are measured identically.
+UNIFORM_RUNS = 6
 
 
 def run_query(df) -> None:
@@ -195,11 +195,11 @@ def main() -> None:
     # One UNTIMED warmup execution per query absorbs the one-time codegen /
     # file-index / Python-worker-fork costs a long-running engine amortizes
     # away, so every timed run measures steady-state plan throughput (r5
-    # noise_ratio 1.4 was entirely first-run JIT). Then best-of-2 timed
-    # runs; if they disagree by >1.5x the host is contended (round 3: every
-    # query ran uniformly ~3x slower while the driver's correctness job
-    # shared the cores) -- take one extra run so the minimum reflects the
-    # plan, not the neighbor.
+    # noise_ratio 1.4 was entirely first-run JIT). Then min-of-UNIFORM_RUNS
+    # timed runs; if even the two best disagree by >1.2x the host is
+    # contended (round 3: every query ran uniformly ~3x slower while the
+    # driver's correctness job shared the cores) -- take extra runs so the
+    # minimum reflects the plan, not the neighbor.
     # self-run scaling studies (SCALE.md sf0.1-vs-sf1 slopes) subset the
     # list and redirect the detail file via env; the driver path -- no
     # env set -- is byte-identical to before
@@ -218,7 +218,7 @@ def main() -> None:
         run_query(fn(spark, sf_dir))  # untimed warmup
         runs = []
         before = _metrics_snapshot(spark)
-        for _ in range(DEEP_RUN_QUERIES.get(name, 2)):
+        for _ in range(UNIFORM_RUNS):
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             runs.append(time.time() - t0)
@@ -234,7 +234,7 @@ def main() -> None:
         # retry (up to 2 extra runs) until the two best runs agree within
         # 1.2x: a single GC pause / contended run then costs one retry
         # instead of poisoning the reported spread
-        while len(runs) < DEEP_RUN_QUERIES.get(name, 2) + 2:
+        while len(runs) < UNIFORM_RUNS + 2:
             best2 = sorted(runs)[:2]
             if best2[1] <= 1.2 * best2[0]:
                 break
@@ -272,9 +272,18 @@ def main() -> None:
     # line), so the final stdout line stays minimal. The full per-run
     # spreads and per-query shuffle-bytes profile -- the plan-regression
     # instrument -- go to a side file (durable, committable) and stderr.
+    # per-query reproducibility (second-best / best run): identifies a
+    # contended ROW post-hoc -- the headline noise_ratio is just the max
+    # of this column, so a single noisy query no longer indicts all 22
+    per_query_noise = {
+        name: round((lambda s: s[1] / s[0])(sorted(r)), 3)
+        for name, r in spreads.items()
+        if len(r) >= 2 and min(r) > 0
+    }
     detail = {
         "spread": spreads,
         "bytes": bytes_moved,
+        "noise_ratio": per_query_noise,
         "sf": sf,
         # worker-pool RSS right after session warmup: the subtrahend for
         # every query's peak_python_rss_mb
