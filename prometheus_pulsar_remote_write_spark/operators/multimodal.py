@@ -104,9 +104,15 @@ def png_bytes(pixels: bytes, width: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + padded[y * width : (y + 1) * width] for y in range(height)
-    )
+    # one vectorized scatter builds the filter-0 scanline stream (filter
+    # byte 0 + row bytes, per row) instead of a per-row Python join --
+    # byte-identical raw, so the zlib stream (and every golden payload)
+    # is unchanged
+    import numpy as np
+
+    scan = np.zeros((height, width + 1), dtype=np.uint8)
+    scan[:, 1:] = np.frombuffer(padded, dtype=np.uint8).reshape(height, width)
+    raw = scan.tobytes()
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -424,6 +430,17 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         i += 12 + ln
     raw = zlib.decompress(idat)
     stride = width + 1
+    # fast path (r15): every PNG this repo's encoder emits -- and most
+    # small grayscale images -- uses filter 0 on every row, where
+    # reconstruction is just dropping the filter-byte column; one
+    # vectorized slice replaces the per-row Python loop. Any non-zero
+    # filter falls through to the spec-complete loop below.
+    if width > 0 and len(raw) == height * stride:
+        import numpy as np
+
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        if not arr[:, 0].any():
+            return width, height, arr[:, 1:].tobytes()
     out = bytearray()
     prev = bytearray(width)
     for y in range(height):

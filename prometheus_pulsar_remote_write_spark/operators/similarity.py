@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import logging
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -233,47 +234,73 @@ def signlsh_buckets_batch(
     Why it exists: each expression-tier bit is an interpreted
     higher-order aggregate, so 32 bits (the measured-safe 4x8 sizing)
     cost ~4.3s at sf0.1 vs 0.9s for 8 bits -- the signature stage went
-    expression-bound. One Arrow batch computes a (rows x n_bits x dim)
-    product block in ~ms and scales linearly with input partitions
+    expression-bound. One Arrow batch accumulates the (rows x n_bits)
+    dot block in ~ms and scales linearly with input partitions
     (narrow, no shuffle).
+
+    r15 (guide §5, the r14 verdict's Arrow-RSS item): the fold is
+    accumulated one DIMENSION at a time (dots += V[:,d] * planes[:,d]
+    for d in 0..dim-1) instead of materializing the full
+    (rows x n_bits x dim) product block plus an equal-size np.cumsum
+    copy -- the identical left-to-right IEEE adds (the accumulator
+    starts at 0.0 exactly like the expression fold's zero literal; sign
+    of the dot cannot differ, and parity stays pytest-pinned), at
+    1/dim-th the working set. The two (rows x n_bits) buffers live once
+    per TASK (iterator form, guide §4.5) and are reused across batches,
+    so a 32-process worker pool no longer allocates-and-faults fresh
+    16 MB blocks per batch.
     """
     import numpy as np
 
     planes = np.array(signs, dtype=np.float64)  # (n_bits, dim)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        out = []
+    def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        n_bits, dim = planes.shape
+        # per-task reusable buffers, grown (never shrunk) to the largest
+        # batch seen; plane columns pre-sliced once
+        plane_cols = [np.ascontiguousarray(planes[:, d]) for d in range(dim)]
+        dots_buf = np.empty((0, n_bits), dtype=np.float64)
+        tmp_buf = np.empty((0, n_bits), dtype=np.float64)
         # a NULL embedding folds to NULL in the expression tier, and
         # NULL >= 0 falls through to the otherwise("0") branch -- mirror
         # that here (and keep the ragged row out of np.array)
         null_bands = ["0" * bits_per_band] * bands
-        # chunk so the (chunk x n_bits x dim) block stays ~16 MB
-        chunk = max(1, 2_000_000 // (planes.shape[0] * planes.shape[1]))
-        for lo in range(0, len(vecs), chunk):
-            block = [v for v in vecs.iloc[lo : lo + chunk] if v is not None]
-            nulls = [v is None for v in vecs.iloc[lo : lo + chunk]]
+        for vecs in batches:
+            nulls = [v is None for v in vecs]
+            block = [v for v, is_null in zip(vecs, nulls) if not is_null]
+            band_rows: list = []
             if block:
                 V = np.array(block, dtype=np.float64)  # (B, dim)
-                prods = V[:, None, :] * planes[None, :, :]  # exact doubles
-                dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
+                B = V.shape[0]
+                if dots_buf.shape[0] < B:
+                    dots_buf = np.empty((B, n_bits), dtype=np.float64)
+                    tmp_buf = np.empty((B, n_bits), dtype=np.float64)
+                dots = dots_buf[:B]
+                tmp = tmp_buf[:B]
+                dots[:] = 0.0
+                for d in range(V.shape[1]):
+                    # exact doubles; += is one sequential add per element,
+                    # same order as the expression fold
+                    np.multiply(V[:, d, None], plane_cols[d], out=tmp)
+                    dots += tmp
                 # Spark SQL and DuckDB both order NaN above every number,
                 # so a NaN fold takes the >= 0 branch ('1'); numpy's
                 # NaN >= 0 is False -- mirror the engines, not IEEE
                 bits = np.where(np.isnan(dots) | (dots >= 0), "1", "0")
-            rows = iter(bits) if block else iter(())
-            for is_null in nulls:
-                if is_null:
-                    out.append(list(null_bands))
-                    continue
-                row = next(rows)
-                out.append(
-                    [
-                        "".join(row[b * bits_per_band : (b + 1) * bits_per_band])
-                        for b in range(bands)
-                    ]
+                # fixed-width unicode view joins each band's bits_per_band
+                # chars without a per-row Python join loop
+                band_rows = (
+                    np.ascontiguousarray(bits.reshape(B * bands, bits_per_band))
+                    .view(f"<U{bits_per_band}")
+                    .reshape(B, bands)
+                    .tolist()
                 )
-        return pd.Series(out)
+            out = []
+            rows = iter(band_rows)
+            for is_null in nulls:
+                out.append(list(null_bands) if is_null else next(rows))
+            yield pd.Series(out)
 
     # asNondeterministic (guide §4.4): posexplode over the UDF column
     # makes Catalyst infer a `size(buckets) > 0 AND isnotnull(buckets)`
@@ -288,20 +315,27 @@ def signlsh_buckets_batch(
     return _buckets.asNondeterministic()(F.col(vec_col))
 
 
-def _seq_dots(A, B, chunk: int = 262_144):
-    """Sequential (left-to-right) IEEE dot products of PAIRED rows:
-    ``np.cumsum`` (``np.add.accumulate``) performs the identical adds, in
-    the identical order, as the expression fold
-    ``aggregate(zip_with(a, b, *), 0.0, +)`` and DuckDB's
-    ``list_dot_product`` -- no pairwise/SIMD re-association -- so the
-    result is bit-identical to both, not merely close. Chunked along the
-    pair axis so the (pairs x dim) contribution block stays bounded."""
+def _seq_dots(A, B):
+    """Sequential (left-to-right) IEEE dot products of PAIRED rows,
+    accumulated one dimension at a time: ``out += A[:,d] * B[:,d]`` for
+    d in 0..dim-1 performs the identical adds, in the identical order,
+    as the expression fold ``aggregate(zip_with(a, b, *), 0.0, +)`` and
+    DuckDB's ``list_dot_product`` -- no pairwise/SIMD re-association --
+    so the result is bit-identical to both, not merely close. (r15: the
+    previous form materialized the full (pairs x dim) product block
+    plus an equal-size np.cumsum copy per 262k-row chunk -- ~270 MB of
+    fresh allocations per call at dim=64; the per-dim accumulator's
+    working set is two (pairs,) vectors, the guide §5 Arrow-RSS fix.)"""
     import numpy as np
 
-    out = np.empty(len(A), dtype=np.float64)
-    for lo in range(0, len(A), chunk):
-        hi = min(lo + chunk, len(A))
-        out[lo:hi] = np.cumsum(A[lo:hi] * B[lo:hi], axis=1)[:, -1]
+    n = len(A)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    tmp = np.empty(n, dtype=np.float64)
+    for d in range(A.shape[1]):
+        np.multiply(A[:, d], B[:, d], out=tmp)
+        out += tmp
     return out
 
 
