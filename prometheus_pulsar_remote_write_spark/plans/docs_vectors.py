@@ -4003,10 +4003,22 @@ def emb_nprobe_sweep(spark, sf_dir):
     query vectors, and mean recall in milli.
 
     Scale shape: the cell assignment (the dominant stage) is computed
-    ONCE and checkpoint-shared across all four settings via ivf_topk's
-    ``assigned=`` hook; each setting then adds only its broadcast probe
-    + per-cell scoring, and the sweep unions four one-row aggregates."""
-    from ..operators.similarity import ivf_assign
+    ONCE and checkpoint-shared across all four settings.
+
+    r15 restructure (the r14 verdict's sweep-union item; guide §2.4):
+    the four settings' probe sets are NESTED PREFIXES of one ranked
+    probe relation (nprobe=k probes exactly the cells with probe rank
+    <= k), so instead of unioning four per-setting subplans (48
+    exchanges: 4x probe window + 4x candidate join + 8 aggregates),
+    score the nprobe=8 candidate set ONCE carrying each row's probe
+    rank, explode every candidate to the settings it participates in
+    (those with nprobe >= its probe rank), and rank/count/hit-join per
+    (nprobe, query_id) in a single pass. Per-setting candidates, their
+    quantized cosines, and the rank order are identical by construction
+    -- the same rows rank in the same (cosine DESC, match_id ASC)
+    order; a settings spine left-join keeps the 0-candidate row shape
+    the old one-row aggregates produced."""
+    from ..operators.similarity import cosine_expr, floor_quant_expr, ivf_assign
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
@@ -4019,32 +4031,79 @@ def emb_nprobe_sweep(spark, sf_dir):
     )
     centroids = emb.orderBy("vec_id").limit(8)
     assigned = ivf_assign(emb, centroids).localCheckpoint(eager=True)
-    parts = []
-    for nprobe in (1, 2, 4, 8):
-        scored = ivf_topk(
-            emb, queries, n_cells=8, nprobe=nprobe, k=1 << 30, assigned=assigned
+    settings = (1, 2, 4, 8)
+    cent = centroids.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cent_vec")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc(
+            floor_quant_expr(cosine_expr(F.col("query_vec"), F.col("cent_vec")), 9)
+        ),
+        F.asc("cell"),
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= max(settings))
+        .select("query_id", "query_vec", "cell", "pr")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "pr",
+            F.col("vec_id").alias("match_id"),
+            floor_quant_expr(
+                cosine_expr(F.col("query_vec"), F.col("embedding")), 4
+            ).alias("cosine"),
         )
-        cand = scored.agg(F.count("*").alias("n_candidates"))
-        top3 = scored.filter(F.col("rank") <= 3)
-        hits = exact.join(
-            F.broadcast(top3),
-            (exact["query_id"] == top3["query_id"])
-            & (exact["exact_match"] == top3["match_id"]),
-        ).agg(F.count("*").alias("n_hits"))
-        parts.append(
-            cand.crossJoin(hits).select(
-                F.lit(nprobe).cast("bigint").alias("nprobe"),
-                F.col("n_candidates").cast("bigint"),
-                F.col("n_hits").cast("bigint"),
-                F.floor(F.col("n_hits") * 1000 / 15)
-                .cast("bigint")
-                .alias("recall_milli"),
+    )
+    # each candidate belongs to every setting that probes at least its
+    # cell's rank
+    cand_s = cand.withColumn(
+        "nprobe",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(s) for s in settings]), lambda s: s >= F.col("pr")
             )
+        ),
+    )
+    rank_w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    ranked = cand_s.withColumn("rank", F.row_number().over(rank_w))
+    counts = ranked.groupBy("nprobe").agg(F.count("*").alias("n_candidates"))
+    top3 = ranked.filter(F.col("rank") <= 3)
+    hits = (
+        top3.join(
+            F.broadcast(exact),
+            (top3["query_id"] == exact["query_id"])
+            & (top3["match_id"] == exact["exact_match"]),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in settings])).alias("nprobe")
+    )
+    return (
+        spine.join(F.broadcast(counts), "nprobe", "left")
+        .join(F.broadcast(hits), "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("bigint"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.floor(F.coalesce(F.col("n_hits"), F.lit(0)) * 1000 / 15)
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )
 
 
 def _ivf_scored_cte(nprobe: int) -> str:

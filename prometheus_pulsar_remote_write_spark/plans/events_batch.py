@@ -193,8 +193,22 @@ def events_cms_key_drift(spark, sf_dir):
     All-integer (CMS counters, +1-smoothed ratio floored to micro), so
     the oracle hash-matches exactly. At 100 TB the exact candidate
     stream is the piece you replace with the sketch's own heavy-hitter
-    candidates; the comparison machinery is unchanged."""
-    from ..operators.sketch import cms_estimate, cms_table
+    candidates; the comparison machinery is unchanged.
+
+    r15 restructure (the r14 verdict's sweep-union item; guide §2.4/§8
+    "decide with small rows"): the old plan scanned events FOUR times
+    (bounds, cms-first-half, cms-second-half, top-20) and probed the two
+    sketches through 8 per-depth broadcast joins -- 40 exchanges. Now
+    ONE (ukey, first_half) pre-aggregation is the proxy for everything
+    downstream: both half-sketches derive from its per-user counts
+    (sum of per-user counts per counter == count of events per counter,
+    exactly -- and the md5 key hash runs once per USER instead of once
+    per event), the top-20 is a re-aggregation of it, and both halves'
+    point estimates come from one pivoted counter relation probed by a
+    single posexplode + left join + min. Two event scans total (bounds
+    + the pre-agg), ~48 ms-scale derived relations after that; values
+    identical by integer arithmetic."""
+    from ..operators.sketch import CMS_D, _cms_bucket, _hash60
 
     ev = _events(spark, sf_dir)
     bounds = ev.agg(
@@ -206,19 +220,51 @@ def events_cms_key_drift(spark, sf_dir):
         F.col("user_id").cast("string").alias("ukey"),
         (F.unix_timestamp("ts") < F.col("mid_s")).alias("first_half"),
     )
-    t1 = cms_table(keyed.filter(F.col("first_half")), "ukey")
-    t2 = cms_table(keyed.filter(~F.col("first_half")), "ukey")
+    # the small proxy: one exchange over events, <= 2 rows per user; the
+    # eager localCheckpoint materializes it once for its three consumers
+    base = (
+        keyed.groupBy("ukey", "first_half")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    h = _hash60(F.col("ukey")) % (1 << 28)
+    # both CMS tables in one pass, pivoted to (depth, bucket, n1, n2):
+    # summing per-user counts reproduces cms_table's per-event count
+    # exactly, and an absent half in a bucket is the same 0 the old
+    # left-join + coalesce produced
+    cms_piv = (
+        base.select(
+            "first_half",
+            "cnt",
+            F.posexplode(
+                F.array(*[_cms_bucket(i, h) for i in range(CMS_D)])
+            ).alias("depth", "bucket"),
+        )
+        .groupBy("depth", "bucket")
+        .agg(
+            F.sum(F.when(F.col("first_half"), F.col("cnt")).otherwise(0)).alias("n1"),
+            F.sum(F.when(~F.col("first_half"), F.col("cnt")).otherwise(0)).alias("n2"),
+        )
+    )
     top = (
-        keyed.groupBy("ukey")
-        .agg(F.count("*").alias("total_n"))
+        base.groupBy("ukey")
+        .agg(F.sum("cnt").alias("total_n"))
         .orderBy(F.desc("total_n"), "ukey")
         .limit(20)
     )
-    e1 = cms_estimate(t1, top, "ukey").withColumnRenamed("est_n", "est_n_first")
-    e2 = cms_estimate(t2, top.select("ukey"), "ukey").withColumnRenamed(
-        "est_n", "est_n_second"
+    probes = top.select(
+        "ukey",
+        "total_n",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, h) for i in range(CMS_D)])
+        ).alias("depth", "bucket"),
     )
-    both = e1.join(e2, "ukey")
+    both = probes.join(F.broadcast(cms_piv), ["depth", "bucket"], "left").groupBy(
+        "ukey", "total_n"
+    ).agg(
+        F.min(F.coalesce(F.col("n1"), F.lit(0))).alias("est_n_first"),
+        F.min(F.coalesce(F.col("n2"), F.lit(0))).alias("est_n_second"),
+    )
     growth = F.floor(
         (F.col("est_n_second") + 1).cast("double")
         * 1e6
