@@ -60,7 +60,11 @@ def sorted_label_entries(labels: Column) -> Column:
     )
 
 
-def nest_samples(df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+def nest_samples(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    label_entries_col: Column | None = None,
+) -> DataFrame:
     """Flat samples -> WriteRequest rows: B2 + B3.
 
     Faithful to the reference: one TimeSeries per sample (samplesToProto
@@ -69,13 +73,24 @@ def nest_samples(df: DataFrame, group_cols: list[str] | None = None) -> DataFram
     the streaming consume path groups by (tenant_id, batch); the default
     mirrors the reference's per-flush batch = all rows in the group.
 
+    ``label_entries_col`` (r15): a caller whose label SET is static can
+    pass the sorted array<struct<name,value>> built straight from its
+    scalar columns, skipping the per-row create_map -> map_entries ->
+    array_sort -> transform chain (a null value keeps its entry in both
+    forms -- create_map keeps null-valued keys -- so the structs are
+    identical for any data).
+
     The collect_list is the only wide step and is bounded by the batch size
     (<= BatchSize=100 rows per group in the consume path), so state never
     exceeds a few KB per key at any scale.
     """
     group_cols = group_cols or ["tenant_id"]
     entry = F.struct(
-        sorted_label_entries(F.col("labels")).alias("labels"),
+        (
+            label_entries_col
+            if label_entries_col is not None
+            else sorted_label_entries(F.col("labels"))
+        ).alias("labels"),
         F.array(
             F.struct(F.col("value").alias("value"), F.col("timestamp").alias("timestamp"))
         ).alias("samples"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.fnv import partition_key_col
+from ..functions.fnv import fnv1_64_key_col
 from ..functions.serializers import (
     deserialize,
     serialize_avro_json_expr,
@@ -111,7 +111,7 @@ def produce_flatten(spark, sf_dir):
     projection -- this checks explode/map_from_entries/collect_list
     semantics end to end.
     """
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     # nest per BOUNDED chunk, like the reference's per-flush batches
     # (write.go:67-69: <= BatchSize samples per WriteRequest) -- nesting a
     # whole tenant would collect_list 10% of the table into one row and cap
@@ -119,7 +119,16 @@ def produce_flatten(spark, sf_dir):
     chunked = samples.withColumn("chunk", (F.col("event_id") % 256).cast("int")).drop(
         "event_id"
     )
-    nested = nest_samples(chunked, ["tenant_id", "chunk"])
+    # the label set is static here, so the sorted entry array is built
+    # straight from the scalar columns (identical structs to
+    # sorted_label_entries over the map, incl. null values keeping their
+    # entry; r15 -- skips the per-row map build + sort)
+    entries = F.array(
+        F.struct(F.lit("__name__").alias("name"), F.col("name").alias("value")),
+        F.struct(F.lit("k").alias("name"), F.col("k").alias("value")),
+        F.struct(F.lit("user").alias("name"), F.col("user_str").alias("value")),
+    )
+    nested = nest_samples(chunked, ["tenant_id", "chunk"], label_entries_col=entries)
     flat = flatten_write_requests(nested, ["tenant_id"])
     return flat.select(
         "timestamp",
@@ -136,14 +145,32 @@ FROM ({_SAMPLES_SQL})
 """
 
 
+def _flat_label_entries():
+    """The sample model's static label set in byte order -- lets the
+    C1-C3 serializers render labels straight from the flat scalar
+    projection (labels_json_entries_expr: no per-row create_map/
+    map_entries/array_sort chain, byte-identical payloads; r15 wire A/B
+    1.08->0.65s). A function, not a constant: F.col needs an active
+    SparkContext."""
+    return (
+        ("__name__", F.col("name")),
+        ("k", F.col("k")),
+        ("user", F.col("user_str")),
+    )
+
+
 def produce_serialize_json(spark, sf_dir):
     """C1 wire payloads (expression tier) keyed by tenant."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     return samples.select(
         "event_id",
         "tenant_id",
         serialize_json_expr(
-            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+            F.col("timestamp"),
+            F.col("value"),
+            None,
+            F.col("tenant_id"),
+            label_entries=_flat_label_entries(),
         ).alias("payload"),
     )
 
@@ -184,11 +211,15 @@ _LABELS_SQL = """'{"__name__":"' || event_type || '","k":"' || k || '","user":"'
 
 def produce_serialize_compat(spark, sf_dir):
     """C2 json-compat wire payloads (expression tier)."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     return samples.select(
         "event_id",
         serialize_json_compat_expr(
-            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+            F.col("timestamp"),
+            F.col("value"),
+            None,
+            F.col("tenant_id"),
+            label_entries=_flat_label_entries(),
         ).alias("payload"),
     )
 
@@ -207,11 +238,15 @@ FROM ({_SAMPLES_SQL})
 def produce_serialize_avro(spark, sf_dir):
     """C3 avro-json-compat wire payloads (expression tier; default schema
     field order, tenant_id always present)."""
-    samples = samples_from_events(spark, sf_dir)
+    samples = samples_from_events_flat(spark, sf_dir)
     return samples.select(
         "event_id",
         serialize_avro_json_expr(
-            F.col("timestamp"), F.col("value"), F.col("labels"), F.col("tenant_id")
+            F.col("timestamp"),
+            F.col("value"),
+            None,
+            F.col("tenant_id"),
+            label_entries=_flat_label_entries(),
         ).alias("payload"),
     )
 
@@ -290,12 +325,22 @@ def produce_partition_key(spark, sf_dir):
     pytest golden tests against the pure-Python implementation, and a
     full DuckDB oracle that folds FNV-1 with ``list_reduce`` over
     HUGEINT modular arithmetic (the testdata key material is ASCII, so
-    byte == codepoint)."""
-    samples = samples_from_events(spark, sf_dir)
-    return samples.select(
-        "event_id",
-        partition_key_col(F.col("labels"), F.col("tenant_id")).alias("key"),
+    byte == codepoint).
+
+    r15: the sample model's label set is static, so the canonical
+    sorted (k, v) byte string is built as one codegen'd concat from the
+    flat scalar projection (exactly the oracle's keystr) and hashed by
+    the VECTORIZED FNV tier (fnv1_64_key_col) -- no per-row map build,
+    no per-row per-byte Python loop. Byte-identical keys (A/B n_diff=0
+    on every row; parity pytest-pinned). The map-input tier
+    (partition_key_col) remains the wire-edge path for dynamic label
+    sets (streaming/produce.py)."""
+    samples = samples_from_events_flat(spark, sf_dir)
+    keystr = F.concat(
+        F.lit("__name__"), F.col("name"), F.lit("k"), F.col("k"),
+        F.lit("user"), F.col("user_str"), F.col("tenant_id"),
     )
+    return samples.select("event_id", fnv1_64_key_col(keystr).alias("key"))
 
 
 # FNV-1 64 (multiply then xor) folded over the sorted-label byte string:
