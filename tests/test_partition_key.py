@@ -86,3 +86,30 @@ def test_spark_key_cols(spark):
     # exact tier matches the pure-Python reference implementation
     expected = sample_partition_key({"__name__": "foo", "count": "2"}, "t1")
     assert out[0].exact == expected
+
+
+def test_fnv1_64_key_col_vectorized_parity(spark):
+    """The r15 vectorized canonical-string tier must render the exact
+    'hex %016x' % fnv1_64(keystr) for every row -- including empty
+    strings, non-ASCII (multi-byte UTF-8), strings longer than their
+    batch-mates (padding never leaks into the fold), and NULL -> NULL."""
+    from pyspark.sql import functions as F
+
+    from prometheus_pulsar_remote_write_spark.functions.fnv import fnv1_64_key_col
+
+    vals = [
+        "",
+        "a",
+        "__name__foo" + "k" * 40,
+        "__name__signüp" + "k7user12tenant-a",
+        "short",
+        None,
+        "x" * 100,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    got = {r.i: r.key for r in df.select("i", fnv1_64_key_col(F.col("s")).alias("key")).collect()}
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+        else:
+            assert got[i] == f"hex {fnv1_64(v.encode('utf-8')):016x}", (i, v)
