@@ -4020,17 +4020,25 @@ def emb_nprobe_sweep(spark, sf_dir):
     the old one-row aggregates produced."""
     from ..operators.similarity import cosine_expr, floor_quant_expr, ivf_assign
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
     # 15 rows; checkpointed so the brute-force baseline runs once, not
     # once per sweep setting
-    exact = (
-        cosine_topk(emb, queries, k=3)
-        .select("query_id", F.col("match_id").alias("exact_match"))
-        .localCheckpoint(eager=True)
+    exact_plan = cosine_topk(emb, queries, k=3).select(
+        "query_id", F.col("match_id").alias("exact_match")
     )
     centroids = emb.orderBy("vec_id").limit(8)
-    assigned = ivf_assign(emb, centroids).localCheckpoint(eager=True)
+    assigned_plan = ivf_assign(emb, centroids)
+    # the two eager materializations are INDEPENDENT subtrees (brute-force
+    # baseline vs cell assignment) -- submit both from driver threads so
+    # the second job back-fills the first's straggler tail (guide §2.6)
+    # instead of waiting for it
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(exact_plan.localCheckpoint, True)
+        fa = pool.submit(assigned_plan.localCheckpoint, True)
+        exact, assigned = fe.result(), fa.result()
     settings = (1, 2, 4, 8)
     cent = centroids.select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cent_vec")
@@ -5192,11 +5200,16 @@ def docs_dedup_sweep(spark, sf_dir):
     over the dedup family's actual decisions, not re-implementations.
 
     Scale shape: each method contributes its own audited subplan; the
-    final union is 5 one-row aggregates."""
+    final union is 5 one-row aggregates. The five method subplans are
+    INDEPENDENT, but several run eager localCheckpoint jobs at build
+    time (MinHash pairs, SimHash pairs, containment's signature prune)
+    -- built sequentially those jobs serialize, so the legs are built
+    from a driver thread pool (guide §2.6) and each leg's checkpoint
+    back-fills the previous one's straggler tail."""
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    n_docs = docs.count()
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    n_vecs = emb.count()
 
     def row(method, total, dropped_df):
         return dropped_df.agg(F.count("*").alias("n_dropped")).select(
@@ -5206,20 +5219,23 @@ def docs_dedup_sweep(spark, sf_dir):
             F.expr(f"(1000 * n_dropped) DIV {total}").alias("drop_permille"),
         )
 
-    exact_kept = docs_exact_dedup(spark, sf_dir).select("doc_id")
-    exact_drop = docs.select("doc_id").exceptAll(exact_kept)
-    minhash_drop = (
-        docs_neardup_pairs(spark, sf_dir).select(F.col("id_b").alias("d")).distinct()
-    )
-    simhash_drop = (
-        docs_simhash_neardup(spark, sf_dir).select(F.col("id_b").alias("d")).distinct()
-    )
-    contain_drop = (
-        docs_containment_pairs(spark, sf_dir)
-        .select(F.col("id_small").alias("d"))
-        .distinct()
-    )
-    semdedup_drop = emb_semdedup(spark, sf_dir).filter(~F.col("kept"))
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_ndocs = pool.submit(docs.count)
+        f_nvecs = pool.submit(emb.count)
+        f_exact = pool.submit(docs_exact_dedup, spark, sf_dir)
+        f_minhash = pool.submit(docs_neardup_pairs, spark, sf_dir)
+        f_simhash = pool.submit(docs_simhash_neardup, spark, sf_dir)
+        f_contain = pool.submit(docs_containment_pairs, spark, sf_dir)
+        f_semdedup = pool.submit(emb_semdedup, spark, sf_dir)
+        n_docs, n_vecs = f_ndocs.result(), f_nvecs.result()
+        exact_kept = f_exact.result().select("doc_id")
+        exact_drop = docs.select("doc_id").exceptAll(exact_kept)
+        minhash_drop = f_minhash.result().select(F.col("id_b").alias("d")).distinct()
+        simhash_drop = f_simhash.result().select(F.col("id_b").alias("d")).distinct()
+        contain_drop = (
+            f_contain.result().select(F.col("id_small").alias("d")).distinct()
+        )
+        semdedup_drop = f_semdedup.result().filter(~F.col("kept"))
     return (
         row("exact_prefix", n_docs, exact_drop)
         .unionByName(row("minhash_jaccard", n_docs, minhash_drop))
