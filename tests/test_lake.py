@@ -261,6 +261,7 @@ def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
     assert spark.read.parquet(zdir).count() == ev.count()
 
 
+@pytest.mark.slow
 def test_continuous_aggregate_mv_converges_to_batch(spark, tmp_path):
     """Incremental MV maintenance: streaming the 5m-rate aggregate through
     foreachBatch dynamic-partition merges yields a parquet MV equal to

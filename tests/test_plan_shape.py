@@ -9,6 +9,7 @@ stay correct (SURVEY.md §4).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from prometheus_pulsar_remote_write_spark.plans import relational
@@ -67,6 +68,7 @@ def test_aggregation_is_partial_then_final(spark):
     assert "partial_sum" in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_in_catalog(spark):
     """No catalog query may degenerate into a cartesian product."""
     from prometheus_pulsar_remote_write_spark.plans import catalog

@@ -260,6 +260,7 @@ def _samples_stream(spark, tmp_path, rows):
     return spark.readStream.schema(schema).json(in_dir)
 
 
+@pytest.mark.slow
 def test_stateful_batcher_size_and_delay_triggers(spark, tmp_path):
     """D1 dual trigger: full batches flush on size; the under-size remainder
     flushes on delay. availableNow keeps running micro-batches until pending
@@ -748,6 +749,7 @@ def test_streaming_rate_matches_batch(spark, tmp_path):
         assert batch[k] == v, k
 
 
+@pytest.mark.slow
 def test_tws_batcher_matches_applyinpandas_semantics(spark, tmp_path):
     """The transformWithStateInPandas batcher must reproduce the D1 dual
     trigger exactly: size batches + delay-flushed remainders, per-tenant
@@ -811,6 +813,7 @@ def test_tws_batcher_matches_applyinpandas_semantics(spark, tmp_path):
     assert all(r["flush_reason"] == "delay" and r["batch_seq"] == 0 for r in b_rows)
 
 
+@pytest.mark.slow
 def test_streaming_cms_matches_batch(spark, tmp_path):
     """The watermarked CMS counter stream must equal the batch sketch
     grouped by hour for every closed window."""
@@ -1687,6 +1690,7 @@ def test_streaming_slo_burn_matches_batch(spark, tmp_path):
         assert batch[k] == v, f"{k}: stream {v} != batch {batch[k]}"
 
 
+@pytest.mark.slow
 def test_streaming_slo_burn_multi_batch_replay(spark, tmp_path):
     """Regression: bucket_ts runs up to 5h ahead of event time, so a
     naive watermark on it lets one micro-batch's k=5 buckets advance the
@@ -2046,6 +2050,7 @@ def test_transition_stream_tws_twin_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
     """F7 streaming twin (round 8): the online ordered-stage funnel
     (three stage timestamps per user as state) must reproduce the batch
@@ -2153,6 +2158,7 @@ def test_streaming_path_trigrams_match_batch(spark, tmp_path):
     assert streamed == batch and streamed
 
 
+@pytest.mark.slow
 def test_stateful_twins_sort_within_batch(spark, tmp_path):
     """The in-order contract the stateful twins document is per-key
     ACROSS micro-batches; WITHIN a batch they must not depend on row
@@ -2221,6 +2227,7 @@ def test_stateful_twins_sort_within_batch(spark, tmp_path):
     assert streamed_funnel == batch_funnel and streamed_funnel
 
 
+@pytest.mark.slow
 def test_transition_stream_idle_timeout_bounds_state(spark, tmp_path):
     """State-TTL path (round 8): with idle_timeout_ms set, a user idle
     beyond the event-time watermark horizon is EVICTED from the state
@@ -2285,6 +2292,7 @@ def test_transition_stream_idle_timeout_bounds_state(spark, tmp_path):
     assert (1, "click", "purchase") not in got
 
 
+@pytest.mark.slow
 def test_scrape_gap_stream_idle_timeout_evicts_stale_series(spark, tmp_path):
     """Series-churn TTL (round 8): with idle_timeout_ms set, a series
     silent past the watermark horizon is evicted (the Prometheus
@@ -2348,6 +2356,7 @@ def test_scrape_gap_stream_idle_timeout_evicts_stale_series(spark, tmp_path):
     assert [g for g in gaps if g[0] == "0"] == [("0", "view", 60_000)]
 
 
+@pytest.mark.slow
 def test_transition_stream_tws_timer_ttl(spark, tmp_path):
     """The transformWithStateInPandas TTL uses the API's native per-key
     event-time TIMER (registerTimer / handleExpiredTimer) instead of
@@ -2473,6 +2482,7 @@ def test_interval_to_ms_parses_and_rejects():
             windows._interval_to_ms(bad)
 
 
+@pytest.mark.slow
 def test_path_trigram_stream_idle_timeout(spark, tmp_path):
     """Journey-TTL (round 8): an idle user's trigram state evicts past
     the watermark horizon; on return the journey restarts, so no
@@ -2697,6 +2707,7 @@ def test_path_trigram_stream_tws_matches_batch(spark, tmp_path):
     assert streamed == batch and streamed
 
 
+@pytest.mark.slow
 def test_path_trigram_stream_tws_timer_ttl(spark, tmp_path):
     """TWS journey-TTL (round 9): the per-key event-time timer evicts an
     idle user's trigram pair; on return the journey restarts with no
@@ -2753,6 +2764,7 @@ def test_path_trigram_stream_tws_timer_ttl(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_open_backlog_stream_matches_batch_curve(spark, tmp_path):
     """F6->F7 depth (round 9): the cumulative-flow backlog query as an
     incremental stream. Order lifecycle deltas (+1 at open, -1 the day
@@ -2908,6 +2920,7 @@ def test_ewma_stream_tws_matches_batch(spark, tmp_path):
     assert streamed == batch and streamed
 
 
+@pytest.mark.slow
 def test_latest_state_stream_idle_timeout_is_lossless_downstream(spark, tmp_path):
     """CDC TTL (round 9): a dormant user's latest-wins state evicts past
     the watermark horizon, and the RE-DERIVED state from their return
@@ -3136,6 +3149,7 @@ def test_cusum_stream_tws_matches_batch(spark, tmp_path):
     assert streamed == batch and streamed
 
 
+@pytest.mark.slow
 def test_open_backlog_stream_append_finalizes_closed_days(spark, tmp_path):
     """The lateness-armed append mode emits each day ONCE when the
     watermark passes it (bounded state for a production deployment),
@@ -3185,6 +3199,7 @@ def test_open_backlog_stream_append_finalizes_closed_days(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_funnel_stream_idle_timeout_restarts_per_incarnation(spark, tmp_path):
     """Funnel TTL (round 9): an evicted user's funnel restarts from
     stage 1 on return, so at-most-once-per-stage holds PER INCARNATION
@@ -3384,6 +3399,7 @@ def _evolution_fold_kwargs(with_count: bool) -> dict:
     )
 
 
+@pytest.mark.slow
 def test_tws_state_schema_evolution_across_restart(spark, tmp_path):
     """The stated reason the TWS tier exists (windows.py cites
     state-schema EVOLUTION for long-lived jobs) proved live: a
@@ -3520,6 +3536,7 @@ def test_tws_state_schema_evolution_requires_avro_encoding(spark, tmp_path):
             run_once(with_count=True)  # v2 on the SAME ckpt must refuse
 
 
+@pytest.mark.slow
 def test_tws_legacy_checkpoint_orphan_timer_does_not_evict(spark, tmp_path):
     """Round-10 advice regression (windows.py timer_meta migration): a
     checkpoint written by the PRE-timer_meta code has a live registered
@@ -3665,6 +3682,7 @@ def test_tws_legacy_checkpoint_orphan_timer_does_not_evict(spark, tmp_path):
     assert ns == [1, 2, 3, 4]  # a premature eviction would reset the count
 
 
+@pytest.mark.slow
 def test_retention_stream_ttl_arms_from_real_event_time(spark, tmp_path):
     """Round-9 advice regression: the retention fold's idle-TTL timer
     must arm from the key's real last EVENT timestamp, not the week
@@ -3725,6 +3743,7 @@ def test_retention_stream_ttl_arms_from_real_event_time(spark, tmp_path):
     assert sum(1 for (u, _w) in per_pair if u == 1) == 1
 
 
+@pytest.mark.slow
 def test_consume_dedup_within_watermark_makes_delivery_effectively_once(
     spark, tmp_path
 ):
@@ -3826,6 +3845,7 @@ def test_consume_dedup_within_watermark_makes_delivery_effectively_once(
     assert len(dup_samples) == 2 * n_good  # at-least-once: all doubled
 
 
+@pytest.mark.slow
 def test_consume_dedup_state_eviction_at_streaming_cadence(spark, tmp_path):
     """Round-10 verdict task 5: the dedup stage's state must be bounded
     by rate x horizon, not history -- pinned against Spark upgrades by
