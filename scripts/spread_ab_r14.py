@@ -51,6 +51,12 @@ def main():
         return tabs
 
     def patched_hash(spark_, sf_dir_, names=None):
+        # NB (r15 advice close-out): l_orderkey is the JOIN key for
+        # q3/q5/q10; q1 aggregates by (l_returnflag, l_linestatus), so
+        # for q1 this leg is effectively a second arbitrary spread, not
+        # an agg-key-aligned one. The rejection verdict is unaffected
+        # (the rr leg also lost on every query), but read the q1 hash
+        # row as "spread", not "aligned partitioning".
         tabs = orig(spark_, sf_dir_, names)
         if "lineitem" in tabs:
             tabs["lineitem"] = tabs["lineitem"].repartition(
@@ -58,7 +64,11 @@ def main():
             )
         return tabs
 
-    # sub-stage: unsplittable decode floor for q1
+    # sub-stage: unsplittable decode floor for q1. The column list and
+    # shipdate predicate are PINNED to plans/relational.py
+    # q1_pricing_summary (its scan projection + filter as committed in
+    # r13) -- if q1's predicate ever changes, update this sub-stage or
+    # the "decode floor" comparison silently measures something else.
     li = load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]
     scan_only = li.select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
